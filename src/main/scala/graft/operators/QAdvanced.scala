@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.QueryPack
+import graft.functions.GeoMean
+import graft.sources.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Custom-aggregate and multimodal-column surfaces — SURVEY.md §2.4
+  * (`udaf_geomean`) + the north-star multimodal plumbing (BASELINE.json:6).
+  *
+  * Multimodal design: media payloads are opaque `binary` columns with typed
+  * metadata columns alongside (the lakehouse-standard layout). Decoding is
+  * a per-partition transform (see graft.operators.Multimodal) so codecs run
+  * where the bytes already are — no driver collect, no shuffle. In this
+  * container there is no image/audio codec, so decode is a clearly-marked
+  * deterministic stub; the Spark-side schema/partitioning/batching is real.
+  */
+object QAdvanced extends QueryPack {
+
+  /** Geometric mean of l_quantity per returnflag via a typed Aggregator —
+    * partial-aggregable (map-side combine), see GeoMean. */
+  private def udafGeomean(s: SparkSession, d: String): DataFrame = {
+    val gm = udaf(GeoMean, org.apache.spark.sql.Encoders.scalaDouble)
+    t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(trunc4(gm(col("l_quantity"))).as("geo_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  private val oUdafGeomean =
+    s"""SELECT l_returnflag,
+       |  ${oTrunc4("exp(avg(ln(l_quantity)))")} AS geo_qty, count(*) AS n
+       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Opaque-binary plumbing: bytes + length + content digest + header hex +
+    * stubbed "decode" metadata derived deterministically from the payload. */
+  private def mmBinaryMeta(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .withColumn("payload", col("text").cast(BinaryType))
+      .select(
+        col("doc_id"),
+        length(col("payload")).as("n_bytes"),
+        md5(col("payload")).as("digest"),
+        substring(hex(col("payload")), 1, 8).as("header_hex"),
+        // STUB decode: deterministic fake media dimensions from byte length
+        // (real decoders plug into Multimodal.decodePartition).
+        (length(col("payload")) % 640).as("fake_w"),
+        ((length(col("payload")) * 7) % 480).as("fake_h"),
+        (length(col("payload")) % 30 + 1).as("fake_frames"))
+      .orderBy("doc_id")
+
+  private val oMmBinaryMeta =
+    """SELECT doc_id,
+      |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+      |  md5(text) AS digest,
+      |  substr(hex(encode(text)), 1, 8) AS header_hex,
+      |  CAST(octet_length(encode(text)) % 640 AS INT) AS fake_w,
+      |  CAST((octet_length(encode(text)) * 7) % 480 AS INT) AS fake_h,
+      |  CAST(octet_length(encode(text)) % 30 + 1 AS INT) AS fake_frames
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, QFn] = Map(
+    "udaf_geomean"   -> udafGeomean _,
+    "mm_binary_meta" -> mmBinaryMeta _)
+
+  val oracles: Map[String, String] = Map(
+    "udaf_geomean"   -> oUdafGeomean,
+    "mm_binary_meta" -> oMmBinaryMeta)
+}

@@ -1,0 +1,208 @@
+package graft.operators
+
+import graft.QueryPack
+import graft.sources.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** Join operators — SURVEY.md §2.3.
+  *
+  * Reference capability: MorphL's feature engineering joins per-user event
+  * aggregates against the user dimension, and its churn-candidate set is an
+  * anti-join shape (users with no recent activity) [SURVEY §2 legend (chp)].
+  *
+  * Scale notes (100 TB):
+  *  - Dimension tables (region/nation, and customer up to ~GBs) are
+  *    `broadcast()` so the fact scan joins map-side with zero shuffle.
+  *  - Fact-fact joins shuffle on their equi-keys; Catalyst/AQE picks
+  *    SMJ vs shuffled-hash and handles skew at runtime.
+  *  - The theta join keeps an equi prefix (p_brand) so Spark plans a
+  *    hash/SMJ join with a residual range predicate instead of a BNLJ —
+  *    at 100 TB a pure cross is unrunnable; the equi-bucketing bounds each
+  *    group.
+  *  - The as-of join is a window formulation: one shuffle on user_id, then
+  *    a running `max(click_ts)` — this is the scalable pattern (no
+  *    per-row subquery, no cross product), identical to what a custom
+  *    range-join strategy would produce for monotone "most recent prior".
+  */
+object QJoins extends QueryPack {
+
+  private def joinInnerHash(s: SparkSession, d: String): DataFrame = {
+    val o = t(s, d, "orders"); val c = t(s, d, "customer")
+    o.join(c, o("o_custkey") === c("c_custkey"), "inner")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"), sum4(col("o_totalprice")).as("sum_price"))
+      .orderBy("c_mktsegment")
+  }
+
+  private val oJoinInnerHash =
+    s"""SELECT c_mktsegment, count(*) AS n_orders, ${oSum4("o_totalprice")} AS sum_price
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** 4-way star join: fact lineitem against broadcast dims (TPC-H Q5 shape). */
+  private def joinBroadcastDim(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
+    val c = t(s, d, "customer"); val n = t(s, d, "nation"); val r = t(s, d, "region")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .filter(r("r_name") === "ASIA")
+      .groupBy("n_name")
+      .agg(sum(revenue).cast(DoubleType).as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  private val oJoinBroadcastDim =
+    s"""SELECT n_name, CAST(SUM($oRevenue) AS DOUBLE) AS revenue,
+       |  count(*) AS n_items
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = 'ASIA'
+       |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** Left outer with generated nulls: big orders per customer (0 for most). */
+  private def joinLeftOuter(s: SparkSession, d: String): DataFrame = {
+    val c = t(s, d, "customer")
+    val big = t(s, d, "orders").filter(col("o_totalprice") > 450000.0)
+    c.join(big, c("c_custkey") === big("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_big"))
+      .orderBy("c_custkey")
+  }
+
+  private val oJoinLeftOuter =
+    """SELECT c_custkey, count(o_orderkey) AS n_big
+      |FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 450000.0) o
+      |ON c_custkey = o_custkey
+      |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
+
+  private def joinFullOuter(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "events")
+    val su = e.filter(col("event_type") === "signup")
+      .groupBy(date_trunc("day", col("ts")).as("day")).agg(count(lit(1)).as("n_signup"))
+    val pu = e.filter(col("event_type") === "purchase")
+      .groupBy(date_trunc("day", col("ts")).as("day")).agg(count(lit(1)).as("n_purchase"))
+    su.join(pu, su("day") === pu("day"), "full_outer")
+      .select(coalesce(su("day"), pu("day")).as("day"),
+        coalesce(col("n_signup"), lit(0L)).as("n_signup"),
+        coalesce(col("n_purchase"), lit(0L)).as("n_purchase"))
+      .orderBy("day")
+  }
+
+  private val oJoinFullOuter =
+    """WITH su AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n_signup
+      |            FROM events WHERE event_type='signup' GROUP BY 1),
+      |     pu AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n_purchase
+      |            FROM events WHERE event_type='purchase' GROUP BY 1)
+      |SELECT coalesce(su.day, pu.day) AS day,
+      |  coalesce(n_signup, 0) AS n_signup, coalesce(n_purchase, 0) AS n_purchase
+      |FROM su FULL JOIN pu ON su.day = pu.day ORDER BY day""".stripMargin
+
+  private def joinSemi(s: SparkSession, d: String): DataFrame = {
+    val c = t(s, d, "customer")
+    val urgent = t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
+    c.join(urgent, c("c_custkey") === urgent("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name").orderBy("c_custkey")
+  }
+
+  private val oJoinSemi =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Churn-candidate shape: customers with NO tracked events at all. */
+  private def joinAnti(s: SparkSession, d: String): DataFrame = {
+    val c = t(s, d, "customer"); val e = t(s, d, "events")
+    c.join(e, c("c_custkey") === e("user_id"), "left_anti")
+      .select("c_custkey", "c_name").orderBy("c_custkey")
+  }
+
+  private val oJoinAnti =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM events WHERE user_id = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  private def joinCross(s: SparkSession, d: String): DataFrame =
+    t(s, d, "region").crossJoin(t(s, d, "nation"))
+      .select("r_name", "n_name").orderBy("r_name", "n_name")
+
+  private val oJoinCross =
+    """SELECT r_name, n_name FROM region CROSS JOIN nation
+      |ORDER BY r_name, n_name""".stripMargin
+
+  /** Equi + range theta join: same-brand part pairs with increasing size.
+    * The brand equi-key keeps this a hash join with residual predicate. */
+  private def joinThetaRange(s: SparkSession, d: String): DataFrame = {
+    val a = t(s, d, "part").select(col("p_partkey").as("a_key"),
+      col("p_brand").as("a_brand"), col("p_size").as("a_size"))
+    val b = t(s, d, "part").select(col("p_partkey").as("b_key"),
+      col("p_brand").as("b_brand"), col("p_size").as("b_size"))
+    a.join(b, col("a_brand") === col("b_brand") && col("a_size") < col("b_size"))
+      .groupBy(col("a_brand").as("p_brand"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("b_size").cast(LongType) - col("a_size").cast(LongType)).as("sum_gap"))
+      .orderBy("p_brand")
+  }
+
+  private val oJoinThetaRange =
+    """SELECT a.p_brand, count(*) AS n_pairs,
+      |  CAST(SUM(CAST(b.p_size AS BIGINT) - CAST(a.p_size AS BIGINT)) AS BIGINT) AS sum_gap
+      |FROM part a JOIN part b
+      |  ON a.p_brand = b.p_brand AND a.p_size < b.p_size
+      |GROUP BY a.p_brand ORDER BY a.p_brand""".stripMargin
+
+  /** As-of join: for each purchase, the most recent strictly-prior click by
+    * the same user (MorphL recency features). Window formulation: one
+    * shuffle on user_id, running max over click timestamps. Timestamps are
+    * microsecond-unique per user (probed: 0 duplicate (user_id,ts) pairs),
+    * so ROWS-preceding equals the strict `p.ts > c.ts` as-of semantics. */
+  private def joinAsof(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select("event_id", "user_id", "ts", "event_type")
+    val w = Window.partitionBy("user_id").orderBy("ts")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    e.withColumn("last_click_ts",
+        max(when(col("event_type") === "click", col("ts"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "last_click_ts")
+      .orderBy("event_id")
+  }
+
+  private val oJoinAsof =
+    """SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts,
+      |  CAST(c.ts AS TIMESTAMP) AS last_click_ts
+      |FROM (SELECT * FROM events WHERE event_type='purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='click') c
+      |ON p.user_id = c.user_id AND p.ts > c.ts
+      |ORDER BY p.event_id""".stripMargin
+
+  val queries: Map[String, QFn] = Map(
+    "join_inner_hash"    -> joinInnerHash _,
+    "join_broadcast_dim" -> joinBroadcastDim _,
+    "join_left_outer"    -> joinLeftOuter _,
+    "join_full_outer"    -> joinFullOuter _,
+    "join_semi"          -> joinSemi _,
+    "join_anti"          -> joinAnti _,
+    "join_cross"         -> joinCross _,
+    "join_theta_range"   -> joinThetaRange _,
+    "join_asof"          -> joinAsof _)
+
+  val oracles: Map[String, String] = Map(
+    "join_inner_hash"    -> oJoinInnerHash,
+    "join_broadcast_dim" -> oJoinBroadcastDim,
+    "join_left_outer"    -> oJoinLeftOuter,
+    "join_full_outer"    -> oJoinFullOuter,
+    "join_semi"          -> oJoinSemi,
+    "join_anti"          -> oJoinAnti,
+    "join_cross"         -> oJoinCross,
+    "join_theta_range"   -> oJoinThetaRange,
+    "join_asof"          -> oJoinAsof)
+}

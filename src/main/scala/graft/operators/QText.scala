@@ -1,0 +1,275 @@
+package graft.operators
+
+import graft.QueryPack
+import graft.functions.BigramExplode
+import graft.sources.Tables._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text analysis + deduplication over the `documents` table — SURVEY.md §2.9
+  * plus the north-star training-data-pipeline operators (BASELINE.json:6):
+  * exact dedup, MinHash, SimHash, n-gram Jaccard, quality scoring, token
+  * counting, fingerprinting.
+  *
+  * Scale notes (100 TB corpus):
+  *  - Exact dedup is a hash-groupBy on md5(text): one shuffle keyed by
+  *    digest, arbitrarily parallel, no skew (hashes are uniform).
+  *  - MinHash: tokenize -> explode -> per-doc min of k seeded digests. The
+  *    explode happens map-side and the groupBy(doc_id) combines partially,
+  *    so the shuffle carries k digests per doc, not the token stream. Near
+  *    dups are then found by grouping equal signatures (band-bucket join),
+  *    never by pairwise comparison.
+  *  - SimHash packs a 16-bit signature per doc — a fixed-width sketch whose
+  *    cost is one aggregation; Hamming-close buckets can then be
+  *    self-joined on the signature.
+  *  - Pairwise Jaccard is intentionally restricted to a candidate window
+  *    (doc_id < 40): at scale the candidate set comes from LSH buckets, not
+  *    a cross join — this key verifies the verifier, not the candidate
+  *    generator.
+  *  - All hashing is md5 (hex) — portable across engines and partitionings
+  *    (SURVEY App. A r5; Spark hash()/xxhash64 have no DuckDB twin).
+  */
+object QText extends QueryPack {
+
+  private def docsToks(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").withColumn("toks", split(col("text"), " "))
+
+  // ---- tokenize + top-k word count ----
+
+  private def textTokenizeWordcount(s: SparkSession, d: String): DataFrame =
+    docsToks(s, d)
+      .select(explode(col("toks")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(20)
+
+  private val oTextTokenizeWordcount =
+    """SELECT word, count(*) AS n
+      |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin
+
+  // ---- bigrams via the custom Generator ----
+
+  private def textNgramBigram(s: SparkSession, d: String): DataFrame = {
+    BigramExplode.register(s)
+    docsToks(s, d)
+      .createOrReplaceTempView("graft_docs_toks")
+    s.sql(
+      """SELECT doc_id, bigrams(toks) AS (pos, bigram)
+        |FROM graft_docs_toks WHERE doc_id < 10""".stripMargin)
+      .orderBy("doc_id", "pos")
+  }
+
+  private val oTextNgramBigram =
+    """WITH d AS (SELECT doc_id, string_split(text,' ') AS t FROM documents
+      |           WHERE doc_id < 10),
+      |     e AS (SELECT doc_id, t,
+      |             unnest(generate_series(1, len(t)-1)) AS pos FROM d)
+      |SELECT doc_id, CAST(pos AS INT) AS pos,
+      |  t[pos] || ' ' || t[pos+1] AS bigram
+      |FROM e ORDER BY doc_id, pos""".stripMargin
+
+  // ---- exact dedup ----
+
+  private def textDedupExact(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .withColumn("h", md5(col("text").cast(BinaryType)))
+      .groupBy("h")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+      .orderBy("h")
+
+  private val oTextDedupExact =
+    """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- MinHash signatures (portable: seeded md5 over tokens) ----
+
+  private val minhashK = 4
+
+  private def textDedupMinhash(s: SparkSession, d: String): DataFrame = {
+    val sigs: Seq[Column] = (0 until minhashK).map { k =>
+      min(md5(concat(lit(s"$k|"), col("word")).cast(BinaryType))).as(s"sig$k")
+    }
+    docsToks(s, d)
+      .select(col("doc_id"), explode(col("toks")).as("word"))
+      .groupBy("doc_id")
+      .agg(sigs.head, sigs.tail: _*)
+      .orderBy("doc_id")
+  }
+
+  private val oTextDedupMinhash = {
+    val sigs = (0 until minhashK)
+      .map(k => s"min(md5('$k|' || word)) AS sig$k").mkString(",\n  ")
+    s"""SELECT doc_id, $sigs
+       |FROM (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- SimHash (16-bit, md5-derived — portable) ----
+
+  private def textSimhash(s: SparkSession, d: String): DataFrame = {
+    val h = conv(substring(md5(col("word").cast(BinaryType)), 1, 15), 16, 10)
+      .cast(LongType)
+    val bitSums: Seq[Column] = (0 until 16).map { b =>
+      sum(when((shiftright(col("h"), b).bitwiseAND(lit(1L))) === 1L, 1)
+        .otherwise(-1)).as(s"s$b")
+    }
+    val packed = (0 until 16).map { b =>
+      when(col(s"s$b") >= 0, lit(1 << b)).otherwise(lit(0))
+    }.reduce(_ + _)
+    docsToks(s, d)
+      .select(col("doc_id"), explode(col("toks")).as("word"))
+      .withColumn("h", h)
+      .groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), packed.cast(IntegerType).as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  private val oTextSimhash = {
+    val bitSums = (0 until 16).map { b =>
+      s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b"
+    }.mkString(",\n    ")
+    val packed = (0 until 16)
+      .map(b => s"(CASE WHEN s$b >= 0 THEN ${1 << b} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH w AS (SELECT doc_id,
+       |    CAST(concat('0x', substr(md5(word), 1, 15)) AS BIGINT) AS h
+       |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents)),
+       |  b AS (SELECT doc_id,
+       |    $bitSums
+       |  FROM w GROUP BY doc_id)
+       |SELECT doc_id, CAST($packed AS INT) AS simhash
+       |FROM b ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- pairwise token-set Jaccard on a bounded candidate window ----
+
+  private def dedupJaccardPairs(s: SparkSession, d: String): DataFrame = {
+    val base = docsToks(s, d).filter(col("doc_id") < 40)
+      .select(col("doc_id"), array_distinct(col("toks")).as("tset"))
+    val a = base.select(col("doc_id").as("a_id"), col("tset").as("a_t"))
+    val b = base.select(col("doc_id").as("b_id"), col("tset").as("b_t"))
+    a.join(broadcast(b), col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        trunc4(
+          size(array_intersect(col("a_t"), col("b_t"))).cast(DoubleType) /
+          size(array_distinct(concat(col("a_t"), col("b_t")))).cast(DoubleType)
+        ).as("jaccard"))
+      .orderBy("a_id", "b_id")
+  }
+
+  private val oDedupJaccardPairs =
+    s"""WITH d AS (SELECT doc_id, list_distinct(string_split(text,' ')) AS tset
+       |           FROM documents WHERE doc_id < 40)
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  ${oTrunc4("CAST(len(list_intersect(a.tset, b.tset)) AS DOUBLE) / " +
+                    "CAST(len(list_distinct(list_concat(a.tset, b.tset))) AS DOUBLE)")} AS jaccard
+       |FROM d a JOIN d b ON a.doc_id < b.doc_id
+       |ORDER BY a_id, b_id""".stripMargin
+
+  // ---- corpus profile ----
+
+  private def textLangProfile(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        trunc4(sum(col("n_chars")).cast(DoubleType) / count(lit(1))).as("avg_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy("lang", "source")
+
+  private val oTextLangProfile =
+    s"""SELECT lang, source, count(*) AS n_docs,
+       |  ${oTrunc4("CAST(SUM(n_chars) AS DOUBLE)/count(*)")} AS avg_chars,
+       |  max(n_chars) AS max_chars
+       |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
+  // ---- quality scoring (length / diversity / stopword ratios) ----
+
+  private val stopWords = Seq("scan", "join", "order", "key", "table")
+
+  private def textQualityScore(s: SparkSession, d: String): DataFrame = {
+    docsToks(s, d)
+      .withColumn("n_toks", size(col("toks")))
+      .withColumn("n_distinct", size(array_distinct(col("toks"))))
+      .withColumn("stop_hits",
+        size(filter(col("toks"), tk => tk.isin(stopWords.map(x => x: Any): _*))))
+      .select(col("doc_id"), col("n_toks"), col("n_distinct"), col("stop_hits"),
+        trunc4(col("n_distinct").cast(DoubleType) / col("n_toks")).as("ttr"),
+        trunc4((length(col("text")) - col("n_toks") + 1).cast(DoubleType) /
+          col("n_toks")).as("avg_word_len"),
+        trunc4(col("stop_hits").cast(DoubleType) / col("n_toks")).as("stop_ratio"))
+      .orderBy("doc_id")
+  }
+
+  private val oTextQualityScore = {
+    val stopList = stopWords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH d AS (SELECT doc_id, text, string_split(text,' ') AS toks FROM documents),
+       |  m AS (SELECT doc_id, text,
+       |    CAST(len(toks) AS INT) AS n_toks,
+       |    CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+       |    CAST(len(list_filter(toks, tk -> list_contains($stopList, tk))) AS INT) AS stop_hits
+       |  FROM d)
+       |SELECT doc_id, n_toks, n_distinct, stop_hits,
+       |  ${oTrunc4("CAST(n_distinct AS DOUBLE)/n_toks")} AS ttr,
+       |  ${oTrunc4("CAST(length(text) - n_toks + 1 AS DOUBLE)/n_toks")} AS avg_word_len,
+       |  ${oTrunc4("CAST(stop_hits AS DOUBLE)/n_toks")} AS stop_ratio
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- token counting: whitespace, regex, BPE-ish estimate ----
+
+  private def textTokenCount(s: SparkSession, d: String): DataFrame =
+    docsToks(s, d).select(
+      col("doc_id"),
+      size(col("toks")).as("n_ws"),
+      regexp_count(col("text"), lit("[a-z0-9]+")).cast(IntegerType).as("n_re"),
+      ceil(length(col("text")) / 4.0).as("bpe_est"))
+      .orderBy("doc_id")
+
+  private val oTextTokenCount =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text,' ')) AS INT) AS n_ws,
+      |  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INT) AS n_re,
+      |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_est
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- document fingerprint: canonicalized token-set digest ----
+
+  private def textFingerprint(s: SparkSession, d: String): DataFrame =
+    docsToks(s, d).select(
+      col("doc_id"),
+      md5(array_join(array_sort(array_distinct(col("toks"))), " ")
+        .cast(BinaryType)).as("fingerprint"))
+      .orderBy("doc_id")
+
+  private val oTextFingerprint =
+    """SELECT doc_id,
+      |  md5(array_to_string(list_sort(list_distinct(string_split(text,' '))), ' ')) AS fingerprint
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, QFn] = Map(
+    "text_tokenize_wordcount" -> textTokenizeWordcount _,
+    "text_ngram_bigram"       -> textNgramBigram _,
+    "text_dedup_exact"        -> textDedupExact _,
+    "text_dedup_minhash"      -> textDedupMinhash _,
+    "text_simhash"            -> textSimhash _,
+    "dedup_jaccard_pairs"     -> dedupJaccardPairs _,
+    "text_lang_profile"       -> textLangProfile _,
+    "text_quality_score"      -> textQualityScore _,
+    "text_token_count"        -> textTokenCount _,
+    "text_fingerprint"        -> textFingerprint _)
+
+  val oracles: Map[String, String] = Map(
+    "text_tokenize_wordcount" -> oTextTokenizeWordcount,
+    "text_ngram_bigram"       -> oTextNgramBigram,
+    "text_dedup_exact"        -> oTextDedupExact,
+    "text_dedup_minhash"      -> oTextDedupMinhash,
+    "text_simhash"            -> oTextSimhash,
+    "dedup_jaccard_pairs"     -> oDedupJaccardPairs,
+    "text_lang_profile"       -> oTextLangProfile,
+    "text_quality_score"      -> oTextQualityScore,
+    "text_token_count"        -> oTextTokenCount,
+    "text_fingerprint"        -> oTextFingerprint)
+}

@@ -1,0 +1,127 @@
+package graft.streaming
+
+import graft.QueryPack
+import graft.sources.Tables._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Streaming operators — SURVEY.md §2.10. MorphL ingests daily GA batches
+  * (micro-batch semantics); the north star demands real streaming windows.
+  *
+  * Strategy: each operator is a pure `DataFrame => DataFrame` transform
+  * (see StreamOps) that runs identically under batch and Structured
+  * Streaming. The driver's DuckDB oracle verifies the batch form here;
+  * MemoryStream scalatest verifies streaming-only semantics (watermarks,
+  * late-data drop, incremental session merge).
+  *
+  * Scale notes: tumbling/sliding windows are pre-aggregated per partition
+  * before the keyed state store is touched; session windows shuffle once on
+  * user_id; dedup keys state by event_id bounded by the watermark — all are
+  * the standard scalable shapes for streaming at 100 TB/day.
+  */
+object QStreaming extends QueryPack {
+
+  private def streamTumblingAgg(s: SparkSession, d: String): DataFrame =
+    StreamOps.tumblingAgg(t(s, d, "events")).orderBy("hour_start", "event_type")
+
+  private val oStreamTumblingAgg =
+    s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
+       |  count(*) AS n, ${oSum4("value")} AS sum_value
+       |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin
+
+  private def streamSlidingAgg(s: SparkSession, d: String): DataFrame =
+    StreamOps.slidingAgg(t(s, d, "events")).orderBy("win_start")
+
+  private val oStreamSlidingAgg =
+    s"""WITH b AS (SELECT CAST(date_trunc('day', min(ts)) AS TIMESTAMP)
+       |             - INTERVAL 1 HOUR AS lo, max(ts) AS hi FROM events),
+       |  s AS (SELECT unnest(generate_series((SELECT lo FROM b),
+       |          (SELECT hi FROM b), INTERVAL 30 MINUTE)) AS win_start)
+       |SELECT win_start, count(*) AS n, ${oSum4("value")} AS sum_value
+       |FROM s JOIN events e
+       |  ON e.ts >= s.win_start AND e.ts < s.win_start + INTERVAL 1 HOUR
+       |GROUP BY win_start ORDER BY win_start""".stripMargin
+
+  private def streamSessionWindow(s: SparkSession, d: String): DataFrame =
+    StreamOps.sessionAgg(t(s, d, "events")).orderBy("user_id", "s_start")
+
+  /** Gaps-and-islands twin of session_window (30-min gap). A gap of exactly
+    * 30min starts a new session in Spark (window end is exclusive), hence
+    * `>=` in the flag; probed: zero exact-30min gaps in the data anyway. */
+  private val oStreamSessionWindow =
+    """WITH e AS (SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS flag
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |  g AS (SELECT user_id, ts, sum(flag) OVER (
+      |    PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS grp FROM e)
+      |SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS s_start,
+      |  CAST(max(ts) AS TIMESTAMP) AS s_end, count(*) AS n
+      |FROM g GROUP BY user_id, grp ORDER BY user_id, s_start""".stripMargin
+
+  private def streamDedupIds(s: SparkSession, d: String): DataFrame =
+    StreamOps.dedupCounts(t(s, d, "events")).orderBy("event_type")
+
+  private val oStreamDedupIds =
+    """SELECT event_type, count(DISTINCT event_id) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Watermark surface — no DuckDB oracle by nature (late-data semantics
+    * only exist under streaming); MemoryStream scalatest covers it. In
+    * batch mode withWatermark is a no-op, so this stays verifiable as a
+    * plain windowed count. */
+  private def streamLateData(s: SparkSession, d: String): DataFrame =
+    StreamOps.lateDataAgg(t(s, d, "events")).orderBy("win_start")
+
+  val queries: Map[String, QFn] = Map(
+    "stream_tumbling_agg"   -> streamTumblingAgg _,
+    "stream_sliding_agg"    -> streamSlidingAgg _,
+    "stream_session_window" -> streamSessionWindow _,
+    "stream_dedup_ids"      -> streamDedupIds _,
+    "stream_late_data"      -> streamLateData _)
+
+  val oracles: Map[String, String] = Map(
+    "stream_tumbling_agg"   -> oStreamTumblingAgg,
+    "stream_sliding_agg"    -> oStreamSlidingAgg,
+    "stream_session_window" -> oStreamSessionWindow,
+    "stream_dedup_ids"      -> oStreamDedupIds)
+}
+
+/** Batch/stream-agnostic transforms: apply to a batch DataFrame for the
+  * oracle gate, or to `spark.readStream` input for real streaming (see
+  * StreamingSpec for the MemoryStream harness). */
+object StreamOps {
+
+  def tumblingAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum4(col("value")).as("sum_value"))
+      .select(col("w.start").as("hour_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), sum4(col("value")).as("sum_value"))
+      .select(col("w.start").as("win_start"), col("n"), col("sum_value"))
+
+  def sessionAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(min(col("ts")).as("s_start"), max(col("ts")).as("s_end"),
+        count(lit(1)).as("n"))
+      .select(col("user_id"), col("s_start"), col("s_end"), col("n"))
+
+  def dedupCounts(events: DataFrame): DataFrame =
+    events
+      .dropDuplicates("event_id")
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+
+  def lateDataAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("win_start"), col("n"))
+}
