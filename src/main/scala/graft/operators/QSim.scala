@@ -28,12 +28,13 @@ import org.apache.spark.sql.types._
   */
 object QSim extends QueryPack {
 
-  /** cosine(a, b) over two double arrays as pure Catalyst HOFs. */
-  private def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  /** Native fused-loop cosine kernel (see graft.plans.CosineSim). The
+    * equivalent pure-HOF spelling — aggregate(zip_with(a,b,(x,y)=>x*y),...)
+    * — is semantically identical but far slower (per-row allocation,
+    * interpreted lambda); the kernel codegens into the join stage.
+    * Callers must CosineSim.register(spark) once per query. */
+  private def cosine(a: String, b: String): Column =
+    expr(s"cosine_sim($a, $b)")
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast(DoubleType))
 
@@ -44,11 +45,12 @@ object QSim extends QueryPack {
   // ---- brute-force cosine top-k (the exact baseline) ----
 
   private def simCosineTopk(s: SparkSession, d: String): DataFrame = {
+    graft.plans.CosineSim.register(s)
     val q = embD(s, d).filter(col("vec_id") < 20)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
     val c = embD(s, d).select(col("vec_id"), col("v").as("cv"))
     val scored = c.join(broadcast(q))
-      .select(col("qid"), col("vec_id"), trunc4(cosine(col("qv"), col("cv"))).as("score"))
+      .select(col("qid"), col("vec_id"), trunc4(cosine("qv", "cv")).as("score"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("score").desc, col("vec_id"))
     scored.withColumn("rnk", row_number().over(w))
@@ -88,11 +90,12 @@ object QSim extends QueryPack {
   // ---- embedding near-duplicate pairs ----
 
   private def dedupEmbCosine(s: SparkSession, d: String): DataFrame = {
+    graft.plans.CosineSim.register(s)
     val a = embD(s, d).select(col("vec_id").as("a_id"), col("v").as("a_v"))
     val b = embD(s, d).select(col("vec_id").as("b_id"), col("v").as("b_v"))
     a.join(b, col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
-        trunc4(cosine(col("a_v"), col("b_v"))).as("score"))
+        trunc4(cosine("a_v", "b_v")).as("score"))
       .filter(col("score") >= 0.4)
       .orderBy("a_id", "b_id")
   }
@@ -108,6 +111,7 @@ object QSim extends QueryPack {
   // ---- IVF-style ANN: route query to nearest centroid cell, search cell ----
 
   private def simAnnIvf(s: SparkSession, d: String): DataFrame = {
+    graft.plans.CosineSim.register(s)
     val e = embD(s, d)
     // cell centroids: label -> mean vector (pos-sorted array rebuild)
     val cent = t(s, d, "embeddings")
@@ -123,7 +127,7 @@ object QSim extends QueryPack {
       .partitionBy("qid").orderBy(col("cscore").desc, col("label"))
     val routed = q.join(broadcast(cent))
       .select(col("qid"), col("qv"), col("label"),
-        trunc4(cosine(col("qv"), col("cv"))).as("cscore"))
+        trunc4(cosine("qv", "cv")).as("cscore"))
       .withColumn("r", row_number().over(wq)).filter(col("r") === 1)
       .select(col("qid"), col("qv"), col("label").as("cell"))
     // stage 2: exact search inside the routed cell only
@@ -131,7 +135,7 @@ object QSim extends QueryPack {
       .partitionBy("qid").orderBy(col("score").desc, col("vec_id"))
     e.join(broadcast(routed), e("label") === routed("cell"))
       .select(col("qid"), col("cell"), col("vec_id"),
-        trunc4(cosine(col("qv"), col("v"))).as("score"))
+        trunc4(cosine("qv", "v")).as("score"))
       .withColumn("rnk", row_number().over(wc)).filter(col("rnk") <= 3)
       .select("qid", "cell", "rnk", "vec_id", "score")
       .orderBy("qid", "rnk")
