@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Engine-side invariants that the DuckDB oracle cannot express
+  * (SURVEY §5 layers 3-4). */
+class OperatorSpec extends SparkSpec {
+
+  test("every declared oracle key has a query implementation") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  test("flagship entry returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() === 6)
+  }
+
+  test("approx_count_distinct lands within 2% of exact") {
+    val approx = SparkEntry.queries("agg_approx_distinct")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = SparkEntry.queries("agg_count_distinct")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, ex) =>
+      val ap = approx(k)
+      assert(math.abs(ap - ex).toDouble / ex <= 0.02, s"$k: $ap vs $ex")
+    }
+  }
+
+  test("CosineSim kernel == HOF spelling, and cos(v,v) == 1") {
+    graft.plans.CosineSim.register(spark)
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"),
+        x => x.cast("double")).as("v"))
+    val hof = e.select(col("vec_id"),
+      (aggregate(zip_with(col("v"), col("v"), (p, q) => p * q),
+        lit(0.0), (a, x) => a + x) /
+        (sqrt(aggregate(zip_with(col("v"), col("v"), (p, q) => p * q),
+          lit(0.0), (a, x) => a + x)) *
+         sqrt(aggregate(zip_with(col("v"), col("v"), (p, q) => p * q),
+          lit(0.0), (a, x) => a + x)))).as("c"))
+    val native = e.select(col("vec_id"), expr("cosine_sim(v, v)").as("c"))
+    val joined = hof.as("h").join(native.as("n"), "vec_id")
+      .select(col("h.c").as("hc"), col("n.c").as("nc")).collect()
+    joined.foreach { r =>
+      assert(r.getDouble(0) === r.getDouble(1))
+      assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+    }
+  }
+
+  test("geomean aggregator: known small input") {
+    import spark.implicits._
+    val gm = udaf(graft.functions.GeoMean,
+      org.apache.spark.sql.Encoders.scalaDouble)
+    val got = Seq(2.0, 8.0).toDF("x").agg(gm($"x")).as[Double].head()
+    assert(math.abs(got - 4.0) < 1e-12) // sqrt(2*8)
+  }
+
+  test("bigram generator: positions and pairs") {
+    graft.functions.BigramExplode.register(spark)
+    import spark.implicits._
+    val rows = Seq("a b c", "solo").toDF("text")
+      .selectExpr("bigrams(split(text, ' ')) AS (pos, bigram)").collect()
+    assert(rows.toSeq === Seq(Row(1, "a b"), Row(2, "b c")))
+  }
+
+  test("dedup idempotence: f(f(x)) == f(x)") {
+    val once = SparkEntry.queries("stream_dedup_ids")(spark, sf)
+    val d = graft.sources.Tables.t(spark, sf, "events")
+      .dropDuplicates("event_id").dropDuplicates("event_id")
+      .groupBy("event_type").agg(count(lit(1)).as("n")).orderBy("event_type")
+    assert(once.collect().toSeq === d.collect().toSeq)
+  }
+
+  test("union_distinct is a subset of union_all keys") {
+    val all = SparkEntry.queries("set_union_all")(spark, sf)
+      .select("user_id").collect().map(_.getLong(0)).toSet
+    val dis = SparkEntry.queries("set_union_distinct")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(dis.subsetOf(all))
+  }
+
+  test("rollup row count == grand total + per-region + per-nation rows") {
+    val rows = SparkEntry.queries("agg_rollup")(spark, sf).collect()
+    val grand = rows.count(r => r.getInt(3) == 1 && r.getInt(4) == 1)
+    val perRegion = rows.count(r => r.getInt(3) == 0 && r.getInt(4) == 1)
+    val perNation = rows.count(r => r.getInt(3) == 0 && r.getInt(4) == 0)
+    assert(grand === 1)
+    assert(perRegion === 5)
+    assert(rows.length === grand + perRegion + perNation)
+  }
+
+  test("minhash signature invariant under token order permutation") {
+    graft.functions.BigramExplode // touch
+    import spark.implicits._
+    val docs = Seq((1L, "x y z"), (2L, "z y x")).toDF("doc_id", "text")
+    val sig = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy("doc_id")
+      .agg(min(md5(concat(lit("0|"), col("word")).cast("binary"))).as("sig0"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sig(1L) === sig(2L))
+  }
+
+  test("running sum final value equals group total") {
+    val run = SparkEntry.queries("win_running_sum")(spark, sf)
+    val finals = run.groupBy("o_custkey")
+      .agg(max(col("running")).as("final"))
+    val totals = graft.sources.Tables.t(spark, sf, "orders")
+      .groupBy("o_custkey")
+      .agg(graft.sources.Tables.sum4(col("o_totalprice")).as("total"))
+    val bad = finals.join(totals, "o_custkey")
+      .filter(col("final") =!= col("total")).count()
+    assert(bad === 0)
+  }
+}

@@ -1,0 +1,45 @@
+package graft
+
+/** Plan-shape assertions: the scale posture (SURVEY §4) is only real if the
+  * physical plan shows it — pushdown reaching the scan, pruned read schema,
+  * broadcast joins where dimensions are small. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(key: String): String =
+    SparkEntry.queries(key)(spark, sf).queryExecution.executedPlan.toString
+
+  test("filter is pushed down to the parquet scan") {
+    val p = plan("scan_filter_pushdown")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+      s"no pushed filter in:\n$p")
+  }
+
+  test("projection prunes the read schema to selected columns") {
+    val p = plan("scan_project_prune")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_extendedprice"), s"unpruned scan: $readSchema")
+  }
+
+  test("star join broadcasts the dimension tables") {
+    val p = plan("join_broadcast_dim")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
+  }
+
+  test("theta join keeps the brand equi-key (no pure cartesian)") {
+    val p = plan("join_theta_range")
+    assert(!p.contains("CartesianProduct"), s"cartesian product in:\n$p")
+  }
+
+  test("q1 aggregates with partial (map-side) combine") {
+    val p = plan("agg_group_q1")
+    assert(p.contains("HashAggregate"), p)
+    // partial + final pair => two HashAggregate operators
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("top-k uses TakeOrderedAndProject, not a full sort") {
+    val p = plan("limit_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+}

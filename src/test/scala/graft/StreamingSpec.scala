@@ -1,0 +1,89 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamOps
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double, props: String)
+
+/** Streaming-only semantics: watermark late-data drop, session merge,
+  * batch/stream equivalence (SURVEY §5 layer 5 — no DuckDB oracle). */
+class StreamingSpec extends SparkSpec {
+
+  private def ev(id: Long, t: String, user: Long = 1L): Ev =
+    Ev(id, Timestamp.valueOf(t), user, "click", 1.0, "{}")
+
+  test("tumbling agg: stream (complete mode) == batch on same data") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val data = Seq(
+      ev(1, "2024-01-01 10:05:00"), ev(2, "2024-01-01 10:55:00"),
+      ev(3, "2024-01-01 11:05:00"))
+    val ms = MemoryStream[Ev]
+    ms.addData(data)
+    val q = StreamOps.tumblingAgg(ms.toDF())
+      .writeStream.format("memory").queryName("tumb")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("tumb").orderBy("hour_start", "event_type").collect()
+    val batch = StreamOps.tumblingAgg(data.toDF())
+      .orderBy("hour_start", "event_type").collect()
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
+  test("watermark drops a too-late row, keeps an in-time one") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = StreamOps.lateDataAgg(ms.toDF())
+      .writeStream.format("memory").queryName("late")
+      .outputMode("append").start()
+    // batch 1: watermark advances to 11:00 - 10min = 10:50
+    ms.addData(ev(1, "2024-01-01 10:05:00"), ev(2, "2024-01-01 11:00:00"))
+    q.processAllAvailable()
+    // batch 2: 10:07 is 43min late (< wm, window [10:00,10:10) closed) ->
+    // dropped; 10:55 is within watermark -> kept
+    ms.addData(ev(3, "2024-01-01 10:07:00"), ev(4, "2024-01-01 10:55:00"))
+    q.processAllAvailable()
+    // batch 3: push watermark far ahead so all open windows finalize
+    ms.addData(ev(5, "2024-01-01 12:00:00"))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("late").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1))).toMap
+    assert(rows("2024-01-01 10:00:00.0") === 1L) // late row 3 NOT counted
+    assert(rows("2024-01-01 10:50:00.0") === 1L) // in-time row 4 counted
+  }
+
+  test("session window splits at >30min gap, merges within") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    ms.addData(
+      ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:20:00"),
+      ev(3, "2024-01-01 11:10:00")) // 50min after ev2 -> new session
+    val q = StreamOps.sessionAgg(ms.toDF())
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("sess").orderBy("s_start").collect()
+    assert(rows.length === 2)
+    assert(rows(0).getLong(3) === 2L) // first session has 2 events
+    assert(rows(1).getLong(3) === 1L)
+  }
+
+  test("streaming dedup removes duplicate event ids") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    ms.addData(ev(1, "2024-01-01 10:00:00"), ev(1, "2024-01-01 10:00:00"),
+      ev(2, "2024-01-01 10:01:00"))
+    val q = StreamOps.dedupCounts(ms.toDF())
+      .writeStream.format("memory").queryName("dd")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val n = spark.table("dd").collect().map(_.getLong(1)).sum
+    assert(n === 2L)
+  }
+}
