@@ -1,5 +1,19 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Per-round benchmark: times every SparkEntry query at the given sf.
+  *
+  * Each query is materialized through the `noop` sink (not `count()`):
+  * count() lets Catalyst prune every projection, so map-only queries would
+  * time as scan+count no-ops. The noop sink forces every declared expression
+  * to execute while writing nothing.
+  *
+  * Output contract: ONE JSON line on stdout as the final line (after
+  * spark.stop(), so no shutdown logging can interleave), plus the same JSON
+  * persisted to BENCH_LOCAL.json as a parse-proof backup (round 1's driver
+  * parse of stdout arrived truncated).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,22 +21,32 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    def noop(name: String): Unit =
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
     // Untimed warm-up: session/executor init, codegen compiler, parquet
     // footer caches — so per-query times measure the queries, not startup.
     spark.range(1000).selectExpr("sum(id)").collect()
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    try noop("agg_group_q1") catch { case _: Throwable => }
+    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try noop(name) catch { case _: Throwable => }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    Files.writeString(Paths.get("BENCH_LOCAL.json"), json + "\n")
     spark.stop()
+    // Final line of stdout, post-shutdown: nothing can print after this.
+    println(json)
+    System.out.flush()
   }
 }

@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -24,6 +25,14 @@ case class BigramExplode(child: Expression)
 
   private val space = UTF8String.fromString(" ")
 
+  /** Analysis-time type gate: a non-array argument fails with a clear
+    * AnalysisException instead of a runtime ClassCastException. */
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bigrams() requires ARRAY<STRING>, got ${other.catalogString}")
+  }
+
   override def elementSchema: StructType = new StructType()
     .add("pos", IntegerType, nullable = false)
     .add("bigram", StringType, nullable = false)
@@ -34,10 +43,13 @@ case class BigramExplode(child: Expression)
     val arr = data.asInstanceOf[ArrayData]
     val n = arr.numElements()
     if (n < 2) Iterator.empty
-    else (0 until n - 1).iterator.map { i =>
-      val bg = UTF8String.concat(arr.getUTF8String(i), space,
-        arr.getUTF8String(i + 1))
-      InternalRow(i + 1, bg)
+    else (0 until n - 1).iterator.flatMap { i =>
+      // skip pairs containing a null token: elementSchema declares the
+      // bigram field non-nullable, and UTF8String.concat(null, …) would
+      // otherwise emit a null into it
+      val a = arr.getUTF8String(i); val b = arr.getUTF8String(i + 1)
+      if (a == null || b == null) Iterator.empty
+      else Iterator.single(InternalRow(i + 1, UTF8String.concat(a, space, b)))
     }
   }
 

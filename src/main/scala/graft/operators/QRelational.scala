@@ -316,12 +316,18 @@ object QRelational extends QueryPack {
       |INTERSECT SELECT user_id FROM events WHERE event_type='click'
       |ORDER BY user_id""".stripMargin
 
+  /** Purchasers with no URGENT order — cohorts chosen so the difference is
+    * non-empty at every sf (every event cohort equals every other, so an
+    * event-vs-event EXCEPT proved nothing; probed: 22 rows at sf0.01). */
   private def setExcept(s: SparkSession, d: String): DataFrame =
-    users(s, d, "click").except(users(s, d, "purchase")).orderBy("user_id")
+    users(s, d, "purchase")
+      .except(t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("user_id")))
+      .orderBy("user_id")
 
   private val oSetExcept =
-    """SELECT user_id FROM events WHERE event_type='click'
-      |EXCEPT SELECT user_id FROM events WHERE event_type='purchase'
+    """SELECT user_id FROM events WHERE event_type='purchase'
+      |EXCEPT SELECT o_custkey AS user_id FROM orders WHERE o_orderpriority='1-URGENT'
       |ORDER BY user_id""".stripMargin
 
   // ---- wiring ----

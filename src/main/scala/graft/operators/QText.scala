@@ -51,14 +51,20 @@ object QText extends QueryPack {
 
   // ---- bigrams via the custom Generator ----
 
+  /** Monotone counter so concurrent query construction in one session never
+    * races on a shared view name (each call binds its own view, dropped as
+    * soon as sql() has eagerly analyzed the plan). */
+  private val viewSeq = new java.util.concurrent.atomic.AtomicLong()
+
   private def textNgramBigram(s: SparkSession, d: String): DataFrame = {
     BigramExplode.register(s)
-    docsToks(s, d)
-      .createOrReplaceTempView("graft_docs_toks")
-    s.sql(
-      """SELECT doc_id, bigrams(toks) AS (pos, bigram)
-        |FROM graft_docs_toks WHERE doc_id < 10""".stripMargin)
+    val view = s"graft_docs_toks_${viewSeq.incrementAndGet()}"
+    docsToks(s, d).createOrReplaceTempView(view)
+    try s.sql(
+      s"""SELECT doc_id, bigrams(toks) AS (pos, bigram)
+         |FROM $view WHERE doc_id < 10""".stripMargin)
       .orderBy("doc_id", "pos")
+    finally s.catalog.dropTempView(view)
   }
 
   private val oTextNgramBigram =

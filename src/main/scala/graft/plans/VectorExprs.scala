@@ -1,10 +1,11 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Native Catalyst kernel for cosine similarity over ARRAY<DOUBLE>.
   *
@@ -25,12 +26,33 @@ case class CosineSim(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  /** Analysis-time type gate: only ARRAY<DOUBLE>/ARRAY<FLOAT> are accepted
+    * (anything else fails analysis, not a runtime ClassCastException), and
+    * each side is read through its element type's accessor — calling the
+    * SQL function on the raw FLOAT[] embedding column previously read
+    * misaligned bytes via ArrayData.getDouble and returned silently wrong
+    * scores. */
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType | FloatType, _), ArrayType(DoubleType | FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "cosine_sim requires ARRAY<DOUBLE> or ARRAY<FLOAT> arguments, got " +
+          s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+    }
+
+  private lazy val leftFloat =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private lazy val rightFloat =
+    right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
   override def nullSafeEval(a: Any, b: Any): Any =
-    CosineSim.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    CosineSim.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      leftFloat, rightFloat)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.plans.CosineSim.compute($a, $b);")
+      s"${ev.value} = graft.plans.CosineSim.compute($a, $b, $leftFloat, $rightFloat);")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSim =
@@ -38,13 +60,20 @@ case class CosineSim(left: Expression, right: Expression)
 }
 
 object CosineSim {
-  /** Fused dot/norm loop — shared by interpreted eval and codegen. */
-  def compute(x: ArrayData, y: ArrayData): Double = {
-    val n = math.min(x.numElements(), y.numElements())
+  /** Fused dot/norm loop — shared by interpreted eval and codegen.
+    * Mismatched lengths are an error (matching DuckDB's
+    * list_cosine_similarity), never a silent min-length truncation.
+    * `xf`/`yf` select the float accessor; codegen passes them as literals
+    * so the JIT folds the branches away. */
+  def compute(x: ArrayData, y: ArrayData, xf: Boolean, yf: Boolean): Double = {
+    val n = x.numElements()
+    require(n == y.numElements(),
+      s"cosine_sim: vector length mismatch ($n vs ${y.numElements()})")
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
-      val xi = x.getDouble(i); val yi = y.getDouble(i)
+      val xi = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
       dot += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
     }

@@ -25,14 +25,17 @@ object Tables {
     *
     * `events.parquet` stores ts as parquet TIMESTAMP(NANOS), which Spark's
     * vectorized reader rejects; we read it as raw nanos
-    * (legacy.parquet.nanosAsLong) and rebuild a TIMESTAMP_NTZ at micro
-    * precision (probed: every value is microsecond-aligned, so this is
-    * lossless). NTZ matches the naive timestamps DuckDB and the other
+    * (legacy.parquet.nanosAsLong — set once at session build by every
+    * entry point: Verify/Bench/EntrySmoke/TimeOne/SparkSpec; mutating it
+    * here would be a racy hidden global) and rebuild a TIMESTAMP_NTZ at
+    * micro precision (probed: every value is microsecond-aligned, so this
+    * is lossless). NTZ matches the naive timestamps DuckDB and the other
     * tables use.
     */
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+        "session must set spark.sql.legacy.parquet.nanosAsLong=true to read events")
       spark.read.parquet(s"$sfDir/$name.parquet")
         .withColumn("ts",
           expr("timestamp_micros(ts div 1000)").cast(TimestampNTZType))
