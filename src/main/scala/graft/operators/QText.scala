@@ -175,6 +175,99 @@ object QText extends QueryPack {
        |FROM d a JOIN d b ON a.doc_id < b.doc_id
        |ORDER BY a_id, b_id""".stripMargin
 
+  // ---- banded MinHash LSH near-dup pairs (the scalable dedup pipeline) ----
+
+  /** LSH geometry: k = b·r seeded MinHashes over 3-word shingles, banded
+    * into b bands of r rows. Independent md5 seeds per hash — a double-hash
+    * scheme (h1 + i·h2) was probed and missed 2 of 25 planted pairs at
+    * sf0.01: with ~64-shingle docs the linear combos share their argmin far
+    * too often, so band collisions decorrelate. P(candidate | j=0.9) =
+    * 1-(1-0.9^4)^8 = 0.9998 per pair; P(candidate | j≈0, the corpus bulk)
+    * ≈ 0 — probed at sf0.01: 25 candidates out of 124,750 pairs. */
+  private val lshR = 4
+  private val lshB = 8
+
+  /** Distinct 3-word shingles per document (Broder's near-dup unit: word
+    * n-grams separate true sequence-level near-dups from mere vocabulary
+    * overlap — this corpus has only 31 distinct words, so token-set
+    * similarity is uniformly high while shingle similarity isolates the
+    * 25 planted near-dup pairs). */
+  private def shingled(s: SparkSession, d: String): DataFrame =
+    docsToks(s, d).filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), array_distinct(expr(
+        """transform(sequence(1, size(toks)-2),
+          |  i -> concat(element_at(toks, i), ' ', element_at(toks, i+1),
+          |              ' ', element_at(toks, i+2)))""".stripMargin)).as("shs"))
+
+  /** Candidate pairs from band-bucket collisions — exposed for the spec
+    * that asserts |candidates| ≪ N²/2. One shuffle keyed by (band, bkey)
+    * (uniform md5 keys), in-bucket pairs only: never an all-pairs join. */
+  private[graft] def lshCandidates(s: SparkSession, d: String): DataFrame = {
+    val ex = shingled(s, d).select(col("doc_id"), explode(col("shs")).as("sh"))
+    val sigs = (0 until lshR * lshB).map { i =>
+      min(md5(concat(lit(s"$i|"), col("sh")).cast(BinaryType))).as(s"m$i")
+    }
+    val sig = ex.groupBy("doc_id").agg(sigs.head, sigs.tail: _*)
+    val bandCols = (0 until lshB).map { j =>
+      struct(lit(j).as("band"),
+        md5(concat_ws(",", (0 until lshR).map(i => col(s"m${j * lshR + i}")): _*)
+          .cast(BinaryType)).as("bkey"))
+    }
+    val bands = sig
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val a = bands.select(col("doc_id").as("a_id"), col("band"), col("bkey"))
+    val b = bands.select(col("doc_id").as("b_id"), col("band"), col("bkey"))
+    a.join(b, Seq("band", "bkey")).filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+  }
+
+  /** Banded-LSH near-duplicate pairs: candidates from band buckets, then
+    * exact shingle-Jaccard verification at 0.8. The 100 TB shape end to
+    * end: shingle explode is map-side; the signature groupBy partially
+    * aggregates k mins; bands shuffle b keys per doc; the candidate join
+    * is equi on (band, bkey); the verifier only ever sees in-bucket pairs. */
+  private def dedupLshPairs(s: SparkSession, d: String): DataFrame = {
+    val sets = shingled(s, d)
+    val cand = lshCandidates(s, d)
+    val sa = sets.select(col("doc_id").as("a_id"), col("shs").as("a_s"))
+    val sb = sets.select(col("doc_id").as("b_id"), col("shs").as("b_s"))
+    cand.join(sa, "a_id").join(sb, "b_id")
+      .select(col("a_id"), col("b_id"),
+        trunc4(
+          size(array_intersect(col("a_s"), col("b_s"))).cast(DoubleType) /
+          size(array_distinct(concat(col("a_s"), col("b_s")))).cast(DoubleType)
+        ).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .orderBy("a_id", "b_id")
+  }
+
+  private val oDedupLshPairs: String = {
+    val mins = (0 until lshR * lshB)
+      .map(i => s"min(md5('$i|' || s)) AS m$i").mkString(",\n    ")
+    val bands = (0 until lshB).map { j =>
+      val cat = (0 until lshR).map(i => s"m${j * lshR + i}").mkString(" || ',' || ")
+      s"SELECT doc_id, $j AS band, md5($cat) AS bkey FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+       |  shl AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+       |             for i in range(1, len(w)-1)]) AS shs FROM t WHERE len(w) >= 3),
+       |  ex AS (SELECT doc_id, unnest(shs) AS s FROM shl),
+       |  sig AS (SELECT doc_id,
+       |    $mins
+       |  FROM ex GROUP BY doc_id),
+       |  bands AS ($bands),
+       |  cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |    FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+       |      AND a.doc_id < b.doc_id),
+       |  j AS (SELECT a_id, b_id,
+       |      ${oTrunc4("CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE) / " +
+                        "len(list_distinct(list_concat(sa.shs, sb.shs)))")} AS jaccard
+       |    FROM cand JOIN shl sa ON sa.doc_id = a_id JOIN shl sb ON sb.doc_id = b_id)
+       |SELECT a_id, b_id, jaccard FROM j WHERE jaccard >= 0.8
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   // ---- corpus profile ----
 
   private def textLangProfile(s: SparkSession, d: String): DataFrame =
@@ -262,6 +355,7 @@ object QText extends QueryPack {
     "text_dedup_minhash"      -> textDedupMinhash _,
     "text_simhash"            -> textSimhash _,
     "dedup_jaccard_pairs"     -> dedupJaccardPairs _,
+    "dedup_lsh_pairs"         -> dedupLshPairs _,
     "text_lang_profile"       -> textLangProfile _,
     "text_quality_score"      -> textQualityScore _,
     "text_token_count"        -> textTokenCount _,
@@ -274,6 +368,7 @@ object QText extends QueryPack {
     "text_dedup_minhash"      -> oTextDedupMinhash,
     "text_simhash"            -> oTextSimhash,
     "dedup_jaccard_pairs"     -> oDedupJaccardPairs,
+    "dedup_lsh_pairs"         -> oDedupLshPairs,
     "text_lang_profile"       -> oTextLangProfile,
     "text_quality_score"      -> oTextQualityScore,
     "text_token_count"        -> oTextTokenCount,

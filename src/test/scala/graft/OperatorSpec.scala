@@ -102,6 +102,33 @@ class OperatorSpec extends SparkSpec {
     assert(sig(1L) === sig(2L))
   }
 
+  test("LSH banding: exact recall vs all-pairs truth, candidates << N^2/2") {
+    // brute-force shingle-jaccard >= 0.8 over all pairs (test-only; the
+    // operator itself must never do this)
+    val sets = graft.sources.Tables.t(spark, sf, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), array_distinct(expr(
+        """transform(sequence(1, size(toks)-2),
+          |  i -> concat(element_at(toks, i), ' ', element_at(toks, i+1),
+          |              ' ', element_at(toks, i+2)))""".stripMargin)).as("shs"))
+    val nDocs = sets.count()
+    val a = sets.select(col("doc_id").as("a_id"), col("shs").as("a_s"))
+    val b = sets.select(col("doc_id").as("b_id"), col("shs").as("b_s"))
+    val truth = a.join(b, col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (size(array_intersect(col("a_s"), col("b_s"))).cast("double") /
+         size(array_distinct(concat(col("a_s"), col("b_s")))).cast("double")).as("j"))
+      .filter(floor(col("j") * 10000) / 10000.0 >= 0.8)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SparkEntry.queries("dedup_lsh_pairs")(spark, sf)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh === truth, "LSH pairs must exactly match brute-force truth")
+    val candidates = graft.operators.QText.lshCandidates(spark, sf).count()
+    assert(candidates < nDocs * (nDocs - 1) / 2 / 100,
+      s"candidate count $candidates is not << N^2/2 (${nDocs * (nDocs - 1) / 2})")
+  }
+
   test("running sum final value equals group total") {
     val run = SparkEntry.queries("win_running_sum")(spark, sf)
     val finals = run.groupBy("o_custkey")
