@@ -138,13 +138,33 @@ object QJoins extends QueryPack {
       |ORDER BY r_name, n_name""".stripMargin
 
   /** Equi + range theta join: same-brand part pairs with increasing size.
-    * The brand equi-key keeps this a hash join with residual predicate. */
+    *
+    * The equi-key is composite (brand, size-bucket): brand alone has ~25
+    * distinct values, which caps the shuffle-join parallelism at 25 tasks
+    * and makes per-group pair work O(G²) — at 100× data that is 10,000×
+    * work on 25 tasks. Bucketing p_size into width-10 bands and enumerating
+    * (a_bucket → every bucket ≥ it) turns the join key into
+    * (brand, bucket-pair): ~125 distinct keys, and every cross-bucket pair
+    * satisfies a_size < b_size by construction, so the residual range
+    * predicate only filters within same-bucket groups. Identical output;
+    * the ~3× map-side expansion of side A is the standard price of a
+    * band/range join and stays embarrassingly parallel. */
   private def joinThetaRange(s: SparkSession, d: String): DataFrame = {
+    val bucketW = 10
+    val maxBucket = 4 // p_size ∈ 1..50 (probed)
     val a = t(s, d, "part").select(col("p_partkey").as("a_key"),
       col("p_brand").as("a_brand"), col("p_size").as("a_size"))
+      .withColumn("tb",
+        explode(sequence(
+          least(((col("a_size") - 1) / bucketW).cast(IntegerType), lit(maxBucket)),
+          lit(maxBucket))))
     val b = t(s, d, "part").select(col("p_partkey").as("b_key"),
       col("p_brand").as("b_brand"), col("p_size").as("b_size"))
-    a.join(b, col("a_brand") === col("b_brand") && col("a_size") < col("b_size"))
+      // clamp into the last bucket so out-of-range sizes can never be lost
+      .withColumn("b_bucket",
+        least(((col("b_size") - 1) / bucketW).cast(IntegerType), lit(maxBucket)))
+    a.join(b, col("a_brand") === col("b_brand") && col("tb") === col("b_bucket")
+        && col("a_size") < col("b_size"))
       .groupBy(col("a_brand").as("p_brand"))
       .agg(count(lit(1)).as("n_pairs"),
         sum(col("b_size").cast(LongType) - col("a_size").cast(LongType)).as("sum_gap"))

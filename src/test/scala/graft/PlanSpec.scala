@@ -26,9 +26,11 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
   }
 
-  test("theta join keeps the brand equi-key (no pure cartesian)") {
+  test("theta join keeps a composite equi-key (no pure cartesian)") {
     val p = plan("join_theta_range")
     assert(!p.contains("CartesianProduct"), s"cartesian product in:\n$p")
+    // the size-bucket component must be part of the join key, not a residual
+    assert(p.contains("tb"), s"bucket key missing from join in:\n$p")
   }
 
   test("q1 aggregates with partial (map-side) combine") {
