@@ -73,19 +73,29 @@ object QSim extends QueryPack {
 
   // ---- per-label centroids (vector aggregation) ----
 
-  private def embCentroid(s: SparkSession, d: String): DataFrame =
-    t(s, d, "embeddings")
-      .select(col("label"), posexplode(col("embedding")))
-      .select(col("label"), (col("pos") + 1).as("pos"), col("col").cast(DoubleType).as("x"))
-      .groupBy("label", "pos")
-      .agg(trunc4(avg(col("x"))).as("c"))
+  /** One-pass per-label mean vector via the VecCentroid aggregate: each
+    * partition folds into (dim longs + count), the shuffle carries dim+1
+    * longs per label — no 64× posexplode row blowup, and the scaled-long
+    * accumulation is bit-deterministic at any partition count (the old
+    * double avg() was not). The posexplode here runs AFTER aggregation, on
+    * #labels rows, purely to shape the (label, pos, c) output. */
+  private def embCentroid(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VecCentroid.register(s)
+    embD(s, d)
+      .groupBy("label")
+      .agg(expr("vec_centroid(v)").as("cv"))
+      .select(col("label"), posexplode(col("cv")))
+      .select(col("label"), (col("pos") + 1).as("pos"), trunc4(col("col")).as("c"))
       .orderBy("label", "pos")
+  }
 
-  private val oEmbCentroid =
+  private val oEmbCentroid = {
+    val q = graft.functions.VecCentroid.oQuant("CAST(embedding[i] AS DOUBLE)")
     s"""SELECT label, CAST(i AS INT) AS pos,
-       |  ${oTrunc4("avg(CAST(embedding[i] AS DOUBLE))")} AS c
+       |  ${oTrunc4("CAST(SUM(" + q + ") AS DOUBLE)/count(*)/1000000")} AS c
        |FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i)
        |GROUP BY label, i ORDER BY label, pos""".stripMargin
+  }
 
   // ---- embedding near-duplicate pairs ----
 
@@ -112,15 +122,12 @@ object QSim extends QueryPack {
 
   private def simAnnIvf(s: SparkSession, d: String): DataFrame = {
     graft.plans.CosineSim.register(s)
+    graft.functions.VecCentroid.register(s)
     val e = embD(s, d)
-    // cell centroids: label -> mean vector (pos-sorted array rebuild)
-    val cent = t(s, d, "embeddings")
-      .select(col("label"), posexplode(col("embedding")))
-      .select(col("label"), col("pos"), col("col").cast(DoubleType).as("x"))
-      .groupBy("label", "pos").agg(avg(col("x")).as("cx"))
-      .groupBy("label")
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
-        st => st.getField("cx")).as("cv"))
+    // cell centroids in one pass (deterministic scaled-long mean — a raw
+    // double avg() could flip a trunc4 digit with partition count and
+    // re-route a near-tie query to a different cell)
+    val cent = e.groupBy("label").agg(expr("vec_centroid(v)").as("cv"))
     val q = e.filter(col("vec_id") < 20).select(col("vec_id").as("qid"), col("v").as("qv"))
     // stage 1: nearest centroid per query (tiny cross join)
     val wq = org.apache.spark.sql.expressions.Window
@@ -141,9 +148,11 @@ object QSim extends QueryPack {
       .orderBy("qid", "rnk")
   }
 
-  private val oSimAnnIvf =
+  private val oSimAnnIvf = {
+    val q = graft.functions.VecCentroid.oQuant("CAST(embedding[i] AS DOUBLE)")
     s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |  pe AS (SELECT label, i AS pos, avg(CAST(embedding[i] AS DOUBLE)) AS cx
+       |  pe AS (SELECT label, i AS pos,
+       |           CAST(SUM($q) AS DOUBLE)/count(*)/1000000 AS cx
        |         FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i)
        |         GROUP BY label, i),
        |  cent AS (SELECT label, list(cx ORDER BY pos) AS cv FROM pe GROUP BY label),
@@ -161,6 +170,7 @@ object QSim extends QueryPack {
        |      PARTITION BY qid ORDER BY score DESC, vec_id) AS rnk FROM cand)
        |SELECT qid, cell, CAST(rnk AS INT) AS rnk, vec_id, score
        |FROM rk WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
+  }
 
   val queries: Map[String, QFn] = Map(
     "sim_cosine_topk"  -> simCosineTopk _,

@@ -129,6 +129,22 @@ class OperatorSpec extends SparkSpec {
       s"candidate count $candidates is not << N^2/2 (${nDocs * (nDocs - 1) / 2})")
   }
 
+  test("vec_centroid is bit-identical across input partitionings") {
+    graft.functions.VecCentroid.register(spark)
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("label"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+    def centroids(parts: Int): Map[Int, Seq[Double]] =
+      e.repartition(parts).groupBy("label")
+        .agg(expr("vec_centroid(v)").as("cv"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    val one = centroids(1)
+    val many = centroids(7)
+    assert(one.keySet === many.keySet)
+    one.foreach { case (k, v) =>
+      assert(v === many(k), s"label $k differs across partitionings")
+    }
+  }
+
   test("running sum final value equals group total") {
     val run = SparkEntry.queries("win_running_sum")(spark, sf)
     val finals = run.groupBy("o_custkey")

@@ -33,6 +33,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("tb"), s"bucket key missing from join in:\n$p")
   }
 
+  test("centroid aggregates before any Generate (no 64x explode shuffle)") {
+    val p = plan("emb_centroid")
+    val gen = p.indexOf("Generate")
+    val agg = p.indexOf("ObjectHashAggregate")
+    assert(agg >= 0, s"no aggregate in:\n$p")
+    assert(gen >= 0 && gen < agg,
+      s"Generate must sit above the aggregate (post-agg reshape only) in:\n$p")
+  }
+
   test("q1 aggregates with partial (map-side) combine") {
     val p = plan("agg_group_q1")
     assert(p.contains("HashAggregate"), p)
