@@ -1,0 +1,112 @@
+package graft.operators
+
+import graft.sources.Tables._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic seeded k-means over an embedding column, shared by the
+  * IVF-style ANN search (`sim_ann_kmeans`) and the bucketed embedding
+  * near-dup miner (`dedup_emb_cosine`).
+  *
+  * The classic IVF recipe (cf. Johnson et al., "Billion-scale similarity
+  * search with GPUs"): coarse-quantize the corpus into k cells, route each
+  * query to its nprobe nearest cell centroids, search only those cells.
+  * Probe cost drops from O(N) to O(N·nprobe/k).
+  *
+  * Determinism (the property that makes these oracle-verifiable):
+  *  - init = the k lowest-vec_id vectors (no RNG);
+  *  - assignment ranks by trunc4(cosine) with a cell-id tiebreak;
+  *  - centroid updates run through VecCentroid's scaled-long sums, which
+  *    are bit-identical at any partition count.
+  * So every Lloyd iteration is a pure function of the data, and DuckDB
+  * reproduces it exactly from the same construction.
+  *
+  * Scale shape: centroids are model state (k·dim doubles — KBs), so each
+  * iteration materializes them on the driver and broadcasts; the corpus is
+  * only ever scanned, never shuffled by the assignment (broadcast join +
+  * per-vector window). This is how distributed k-means is actually run.
+  */
+object AnnKMeans {
+
+  private def cosine(a: String, b: String): Column =
+    expr(s"cosine_sim($a, $b)")
+
+  /** Assign each vector (vec_id, v) to its nearest centroid (cell, cv).
+    * Broadcast join — the corpus side never shuffles; the per-vector argmin
+    * is a row_number window partitioned by vec_id. */
+  def assign(e: DataFrame, cent: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(col("score").desc, col("cell"))
+    e.join(broadcast(cent))
+      .select(col("vec_id"), col("v"), col("cell"),
+        trunc4(cosine("v", "cv")).as("score"))
+      .withColumn("r", row_number().over(w)).filter(col("r") === 1)
+      .select("vec_id", "v", "cell")
+  }
+
+  /** Top-`nprobe` cells per vector (same ranking as `assign`). */
+  def assignProbes(e: DataFrame, cent: DataFrame, nprobe: Int): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(col("score").desc, col("cell"))
+    e.join(broadcast(cent))
+      .select(col("vec_id"), col("v"), col("cell"),
+        trunc4(cosine("v", "cv")).as("score"))
+      .withColumn("r", row_number().over(w)).filter(col("r") <= nprobe)
+      .select("vec_id", "v", "cell")
+  }
+
+  /** k-means centroids after `iters` Lloyd iterations, materialized each
+    * round (k rows of dim doubles) and re-broadcast. Requires
+    * CosineSim.register + VecCentroid.register on the session. */
+  def centroids(e: DataFrame, k: Int, iters: Int): DataFrame = {
+    val spark = e.sparkSession
+    var cent = e.orderBy("vec_id").limit(k)
+      .withColumn("cell",
+        (row_number().over(Window.orderBy("vec_id")) - 1).cast("int"))
+      .select("cell", "v").withColumnRenamed("v", "cv")
+    for (_ <- 1 to iters) {
+      val next = assign(e, cent)
+        .groupBy("cell").agg(expr("vec_centroid(v)").as("cv"))
+      // materialize the (tiny) model state; empty cells drop out, exactly
+      // as the oracle's GROUP BY does
+      import spark.implicits._
+      cent = spark.createDataFrame(
+        next.select(col("cell"), col("cv")).as[(Int, Seq[Double])]
+          .collect().toIndexedSeq)
+        .toDF("cell", "cv")
+    }
+    cent
+  }
+
+  /** Oracle-side twin: CTE chain c0, a1, c1, …, a_iters, c_iters where
+    * `c$iters` holds the final centroids. Caller supplies the `e` CTE
+    * (vec_id, v DOUBLE[]) as the first WITH entry. `dim` is the vector
+    * width for the centroid unnest. */
+  def oCentroidChain(k: Int, iters: Int, dim: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cell, v AS cv
+         |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $k)),
+         |""".stripMargin)
+    for (it <- 1 to iters) {
+      sb.append(
+        s"""a$it AS (SELECT vec_id, v, cell FROM (
+           |  SELECT e.vec_id, e.v, c.cell, row_number() OVER (PARTITION BY e.vec_id
+           |    ORDER BY ${oTrunc4("list_cosine_similarity(e.v, c.cv)")} DESC, c.cell) AS r
+           |  FROM e, c${it - 1} c) WHERE r = 1),
+           |c$it AS (SELECT cell, list(cx ORDER BY pos) AS cv FROM (
+           |  SELECT cell, i AS pos,
+           |    CAST(SUM(CAST(floor(v[i] * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)/count(*)/1000000 AS cx
+           |  FROM a$it, (SELECT unnest(generate_series(1, $dim)) AS i)
+           |  GROUP BY cell, i) GROUP BY cell),
+           |""".stripMargin)
+    }
+    sb.toString
+  }
+
+  /** Oracle-side twin of `assignProbes` over the final centroid CTE. */
+  def oAssignProbes(centCte: String, nprobe: Int): String =
+    s"""SELECT vec_id, v, cell FROM (
+       |  SELECT e.vec_id, e.v, c.cell, row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY ${oTrunc4("list_cosine_similarity(e.v, c.cv)")} DESC, c.cell) AS r
+       |  FROM e, $centCte c) WHERE r <= $nprobe""".stripMargin
+}

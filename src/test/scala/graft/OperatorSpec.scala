@@ -145,6 +145,73 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  /** Deterministic planted clusters: `n` points around `k` seeded centers.
+    * The driver testdata's embeddings are near-random (max pairwise cosine
+    * 0.513), so ANN/bucketed-dedup quality gates run here, on data with the
+    * metric structure real corpora have. Seeded RNG in a test is fine — the
+    * engine itself stays RNG-free. */
+  private def planted(nCenters: Int, n: Int, dim: Int,
+      noise: Double): Seq[(Long, Seq[Double])] = {
+    val rnd = new scala.util.Random(42)
+    val centers = Array.fill(nCenters, dim)(rnd.nextDouble() + 0.5)
+    (0 until n).map { i =>
+      val c = centers(i % nCenters)
+      (i.toLong, c.map(x => x + (rnd.nextDouble() - 0.5) * noise).toSeq)
+    }
+  }
+
+  test("k-means ANN: recall@10 >= 0.9 vs brute force on clustered data") {
+    graft.plans.CosineSim.register(spark)
+    graft.functions.VecCentroid.register(spark)
+    import spark.implicits._
+    val e = planted(10, 200, 16, 0.1).toDF("vec_id", "v")
+    val cent = graft.operators.AnnKMeans.centroids(e, 10, 3)
+    val assigned = graft.operators.AnnKMeans.assign(e, cent)
+    val q = e.filter(col("vec_id") < 20)
+    val routed = graft.operators.AnnKMeans.assignProbes(q, cent, 2)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("cell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("score").desc, col("vec_id"))
+    def top10(scored: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 10)
+        .select("qid", "vec_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val ann = top10(assigned.join(broadcast(routed), "cell")
+      .select(col("qid"), col("vec_id"),
+        expr("floor(cosine_sim(qv, v) * 10000) / 10000.0").as("score")))
+    val truth = top10(e.select(col("vec_id"), col("v").as("cv"))
+      .crossJoin(broadcast(q.select(col("vec_id").as("qid"), col("v").as("qv"))))
+      .select(col("qid"), col("vec_id"),
+        expr("floor(cosine_sim(qv, cv) * 10000) / 10000.0").as("score")))
+    val recalls = truth.map { case (qid, t) => ann(qid).intersect(t).size / 10.0 }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"mean recall@10 $mean < 0.9")
+  }
+
+  test("IVF-bucketed dedup: full recall of planted near-dup pairs") {
+    graft.plans.CosineSim.register(spark)
+    graft.functions.VecCentroid.register(spark)
+    import spark.implicits._
+    // 100 base points in 10 clusters; points i and i+100 are near-dups
+    val base = planted(10, 100, 16, 0.3)
+    val dups = base.map { case (id, v) => (id + 100, v.map(_ + 0.001)) }
+    val e = (base ++ dups).toDF("vec_id", "v")
+    val cent = graft.operators.AnnKMeans.centroids(e, 8, 3)
+    val probes = graft.operators.AnnKMeans.assignProbes(e, cent, 2)
+    val a = probes.select(col("vec_id").as("a_id"), col("v").as("a_v"), col("cell"))
+    val b = probes.select(col("vec_id").as("b_id"), col("v").as("b_v"), col("cell"))
+    val found = a.join(b, Seq("cell")).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        expr("floor(cosine_sim(a_v, b_v) * 10000) / 10000.0").as("score"))
+      .distinct()
+      .filter(col("score") >= 0.999) // trunc4 floors scores to 4dp
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0L until 100L).map(i => (i, i + 100)).toSet
+    assert(expected.subsetOf(found),
+      s"missed planted pairs: ${(expected -- found).take(5)}")
+  }
+
   test("running sum final value equals group total") {
     val run = SparkEntry.queries("win_running_sum")(spark, sf)
     val finals = run.groupBy("o_custkey")
