@@ -74,18 +74,44 @@ object QStreaming extends QueryPack {
   private def streamLateData(s: SparkSession, d: String): DataFrame =
     StreamOps.lateDataAgg(t(s, d, "events")).orderBy("win_start")
 
+  /** Custom stateful sessionization (flatMapGroupsWithState): 30-min gap
+    * PLUS a 5-event session cap — semantics `session_window` cannot
+    * express. Batch form emits open trailing sessions too, which makes it
+    * fully DuckDB-oracle-able (gaps-and-islands, then each island split
+    * into cap-sized chunks). */
+  private def streamSessionCustom(s: SparkSession, d: String): DataFrame =
+    CustomSessions.sessionizeCapped(t(s, d, "events"),
+      gapMinutes = 30, cap = 5, emitOpen = true)
+      .orderBy("user_id", "s_start")
+
+  private val oStreamSessionCustom =
+    """WITH e AS (SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS flag
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |  g AS (SELECT user_id, ts, sum(flag) OVER (
+      |    PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS grp FROM e),
+      |  s AS (SELECT user_id, ts, grp,
+      |    CAST((row_number() OVER (PARTITION BY user_id, grp ORDER BY ts) - 1) // 5 AS INT) AS sub
+      |  FROM g)
+      |SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS s_start,
+      |  CAST(max(ts) AS TIMESTAMP) AS s_end, count(*) AS n
+      |FROM s GROUP BY user_id, grp, sub ORDER BY user_id, s_start""".stripMargin
+
   val queries: Map[String, QFn] = Map(
-    "stream_tumbling_agg"   -> streamTumblingAgg _,
-    "stream_sliding_agg"    -> streamSlidingAgg _,
-    "stream_session_window" -> streamSessionWindow _,
-    "stream_dedup_ids"      -> streamDedupIds _,
-    "stream_late_data"      -> streamLateData _)
+    "stream_tumbling_agg"    -> streamTumblingAgg _,
+    "stream_sliding_agg"     -> streamSlidingAgg _,
+    "stream_session_window"  -> streamSessionWindow _,
+    "stream_session_custom"  -> streamSessionCustom _,
+    "stream_dedup_ids"       -> streamDedupIds _,
+    "stream_late_data"       -> streamLateData _)
 
   val oracles: Map[String, String] = Map(
-    "stream_tumbling_agg"   -> oStreamTumblingAgg,
-    "stream_sliding_agg"    -> oStreamSlidingAgg,
-    "stream_session_window" -> oStreamSessionWindow,
-    "stream_dedup_ids"      -> oStreamDedupIds)
+    "stream_tumbling_agg"    -> oStreamTumblingAgg,
+    "stream_sliding_agg"     -> oStreamSlidingAgg,
+    "stream_session_window"  -> oStreamSessionWindow,
+    "stream_session_custom"  -> oStreamSessionCustom,
+    "stream_dedup_ids"       -> oStreamDedupIds)
 }
 
 /** Batch/stream-agnostic transforms: apply to a batch DataFrame for the
@@ -124,4 +150,70 @@ object StreamOps {
       .groupBy(window(col("ts"), "10 minutes").as("w"))
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("win_start"), col("n"))
+}
+
+/** Custom stateful sessionization — the `flatMapGroupsWithState` extension
+  * point a real pipeline reaches when `session_window` semantics run out
+  * (here: a hard cap on events per session).
+  *
+  * State per user is the open trailing session (start, last, n). Each
+  * invocation folds the sorted new events on top of that state and emits
+  * every session CLOSED by a 30-min gap or by the cap; the still-open
+  * session goes back into state (streaming, `emitOpen = false`) or is
+  * emitted (batch, `emitOpen = true` — batch groups see all rows at once,
+  * so the trailing session is final and the output is oracle-checkable).
+  *
+  * Scale notes: one shuffle on user_id; per-invocation sort is bounded by
+  * the micro-batch's per-user event count (batch mode: per-user total —
+  * the same bound every groupBy-collect_list sessionizer has; a secondary
+  * sort via repartitionAndSortWithinPartitions is the upgrade path if a
+  * single user exceeds memory). State is O(1) per user — the watermark
+  * timeout that would garbage-collect idle users is the production next
+  * step and orthogonal to the semantics tested here. */
+/** Open-session state for CustomSessions — top-level and public because
+  * the state encoder's generated code must construct it. */
+case class OpenSession(start: Long, last: Long, n: Long)
+
+object CustomSessions {
+
+  /** gap/cap sessionizer over (user_id, ts); emits
+    * (user_id, s_start, s_end, n) with timestamps preserved as NTZ. */
+  def sessionizeCapped(events: DataFrame, gapMinutes: Int, cap: Int,
+      emitOpen: Boolean): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val gapUs = gapMinutes * 60L * 1000000L
+    val evs = events.select(col("user_id").cast("long"),
+      expr("unix_micros(cast(ts as timestamp))")).as[(Long, Long)]
+    val sessions = evs.groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, (Long, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, it, state) =>
+          val ts = it.map(_._2).toArray
+          java.util.Arrays.sort(ts)
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Long, Long)]
+          var open: OpenSession = state.getOption.orNull
+          ts.foreach { t =>
+            open match {
+              case null => open = OpenSession(t, t, 1L)
+              case o if t - o.last >= gapUs || o.n >= cap =>
+                out += ((uid, o.start, o.last, o.n))
+                open = OpenSession(t, t, 1L)
+              case o => open = OpenSession(o.start, t, o.n + 1)
+            }
+          }
+          if (open != null) {
+            if (emitOpen) out += ((uid, open.start, open.last, open.n))
+            else state.update(open)
+          }
+          out.iterator
+      }
+    sessions.toDF("user_id", "su", "eu", "n")
+      .select(col("user_id"),
+        expr("cast(timestamp_micros(su) as timestamp_ntz)").as("s_start"),
+        expr("cast(timestamp_micros(eu) as timestamp_ntz)").as("s_end"),
+        col("n"))
+  }
 }

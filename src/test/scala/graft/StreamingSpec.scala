@@ -73,6 +73,50 @@ class StreamingSpec extends SparkSpec {
     assert(rows(1).getLong(3) === 1L)
   }
 
+  test("custom sessionizer (uncapped) == session_window on real data") {
+    val events = graft.sources.Tables.t(spark, sf, "events")
+    val custom = graft.streaming.CustomSessions
+      .sessionizeCapped(events, 30, Int.MaxValue, emitOpen = true)
+      .orderBy("user_id", "s_start").collect()
+    val builtin = StreamOps.sessionAgg(events)
+      .orderBy("user_id", "s_start").collect()
+    assert(custom.toSeq === builtin.toSeq)
+  }
+
+  test("custom sessionizer: cap splits a long session where built-in cannot") {
+    import spark.implicits._
+    val data = Seq(
+      ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:05:00"),
+      ev(3, "2024-01-01 10:10:00"), ev(4, "2024-01-01 10:15:00"),
+      ev(5, "2024-01-01 12:00:00"))
+    val got = graft.streaming.CustomSessions
+      .sessionizeCapped(data.toDF(), 30, 2, emitOpen = true)
+      .orderBy("s_start").collect()
+      .map(r => (r.getAs[java.time.LocalDateTime]("s_start").toString,
+        r.getLong(3)))
+    assert(got.toSeq === Seq(
+      ("2024-01-01T10:00", 2L), ("2024-01-01T10:10", 2L),
+      ("2024-01-01T12:00", 1L)))
+  }
+
+  test("custom sessionizer streams incrementally: gap closes, open stays") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = graft.streaming.CustomSessions
+      .sessionizeCapped(ms.toDF(), 30, Int.MaxValue, emitOpen = false)
+      .writeStream.format("memory").queryName("csess")
+      .outputMode("append").start()
+    ms.addData(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:10:00"))
+    q.processAllAvailable()
+    assert(spark.table("csess").count() === 0) // still open, held in state
+    ms.addData(ev(3, "2024-01-01 11:00:00")) // 50min gap closes it
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("csess").collect()
+    assert(rows.length === 1)
+    assert(rows(0).getLong(3) === 2L) // the closed 2-event session
+  }
+
   test("streaming dedup removes duplicate event ids") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
