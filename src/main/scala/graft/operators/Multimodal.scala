@@ -14,10 +14,12 @@ import org.apache.spark.sql.types._
   * pipelines batch media work in PySpark, expressed natively in Scala via
   * `mapPartitions` over a typed Dataset.
   *
-  * The actual codec is NOT available in this container, so `decodeStub` is
-  * a clearly-marked deterministic fake (length/digest-derived). Swapping in
-  * a real decoder changes only the function body — schema, partitioning and
-  * batch shape are production-real.
+  * The decode path is REAL for PPM (P6) payloads — full header parse
+  * (magic, comments, dims, maxval) and pixel statistics over the raw RGB
+  * plane — exercised against deterministically synthesized images, since
+  * this container ships no JPEG/PNG codec. Non-PPM payloads fall back to
+  * `decodeStub`, a clearly-marked deterministic fake; swapping in a JNI
+  * image codec changes only that function body.
   */
 object Multimodal {
 
@@ -25,12 +27,67 @@ object Multimodal {
   case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
       width: Int, height: Int, n_frames: Int, brightness: Double)
 
-  /** STUB decode — deterministic fake "decoded" features. A real build
-    * replaces the body with e.g. a JNI image decoder; the signature and the
-    * per-partition batching are the real contract. */
+  // ---- real decoder: PPM (P6) ----
+
+  /** Parse a binary PPM (P6): magic, #-comments, width/height/maxval
+    * tokens, single whitespace, then w·h·3 raw bytes. Returns
+    * (width, height, mean brightness in [0,1]) or None if the payload is
+    * not a well-formed P6. */
+  def decodePpm(p: Array[Byte]): Option[(Int, Int, Double)] = {
+    var i = 0
+    def skipWsAndComments(): Unit = {
+      var more = true
+      while (more && i < p.length) {
+        val c = p(i).toChar
+        if (c == '#') { while (i < p.length && p(i) != '\n') i += 1 }
+        else if (c.isWhitespace) i += 1
+        else more = false
+      }
+    }
+    def readInt(): Option[Int] = {
+      skipWsAndComments()
+      val s = i
+      while (i < p.length && p(i) >= '0' && p(i) <= '9') i += 1
+      if (i == s || i - s > 9) None
+      else Some(new String(p, s, i - s, "US-ASCII").toInt)
+    }
+    if (p.length < 2 || p(0) != 'P' || p(1) != '6') return None
+    i = 2
+    for {
+      w <- readInt()
+      h <- readInt()
+      maxval <- readInt()
+      if w > 0 && h > 0 && maxval > 0 && maxval < 65536
+      if i < p.length && p(i).toChar.isWhitespace
+    } yield {
+      i += 1 // the single whitespace after maxval
+      val n = w * h * 3
+      require(p.length - i >= n,
+        s"ppm: truncated pixel plane (${p.length - i} of $n bytes)")
+      var acc = 0L
+      var j = i
+      while (j < i + n) { acc += (p(j) & 0xff); j += 1 }
+      (w, h, acc.toDouble / n / maxval)
+    }
+  }
+
+  /** Deterministic synthetic P6 payload (no codec libs in the container, so
+    * the fixture generator lives here): dims derived from the id, pixel
+    * bytes from a (id, offset) formula — every byte reproducible. */
+  def synthPpm(id: Long): Array[Byte] = {
+    val w = 4 + (id % 5).toInt
+    val h = 3 + (id % 4).toInt
+    val header = s"P6\n# graft synthetic $id\n$w $h\n255\n".getBytes("US-ASCII")
+    val px = new Array[Byte](w * h * 3)
+    var i = 0
+    while (i < px.length) { px(i) = ((id * 31 + i * 7) % 256).toByte; i += 1 }
+    header ++ px
+  }
+
+  /** STUB decode for payload kinds with no in-container codec — a
+    * deterministic fake standing in for e.g. a JNI JPEG decoder. */
   def decodeStub(r: MediaRow): MediaFeatures = {
     val n = r.payload.length
-    // cheap deterministic "content" statistic standing in for pixel math
     var acc = 0L
     var i = 0
     while (i < n) { acc += (r.payload(i) & 0xff); i += 1 }
@@ -39,12 +96,20 @@ object Multimodal {
       brightness = if (n == 0) 0.0 else acc.toDouble / n / 255.0)
   }
 
+  /** Dispatching decode: real PPM parse when the magic matches, stub
+    * otherwise. */
+  def decode(r: MediaRow): MediaFeatures = decodePpm(r.payload) match {
+    case Some((w, h, bright)) =>
+      MediaFeatures(r.media_id, r.kind, r.payload.length, w, h, 1, bright)
+    case None => decodeStub(r)
+  }
+
   /** Partition-batched decode: one decoder instance per partition. */
   def decodeAll(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // real impl: val codec = Codec.open() — once per partition
-      rows.map(decodeStub)
+      rows.map(decode)
     }
   }
 
@@ -57,5 +122,15 @@ object Multimodal {
         col("text").cast(BinaryType).as("payload"),
         col("lang").as("kind"))
       .as[MediaRow]
+  }
+
+  /** A media lake of synthesized PPM images keyed by doc_id — payloads are
+    * generated executor-side inside the scan's mapPartitions, so nothing is
+    * collected or broadcast. */
+  def mediaFromPpm(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => MediaRow(id, synthPpm(id), "ppm")))
   }
 }

@@ -62,11 +62,33 @@ object QAdvanced extends QueryPack {
       |  CAST(octet_length(encode(text)) % 30 + 1 AS INT) AS fake_frames
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Real media decode: synthesized P6 payloads parsed by the actual PPM
+    * decoder (header, comments, dims, raw RGB stats) in per-partition
+    * batches. The oracle never parses bytes — it recomputes the pixel
+    * statistics analytically from the synthesis formula, so any parse
+    * offset/sign bug in the decoder shows up as a brightness mismatch. */
+  private def mmDecodePpm(s: SparkSession, d: String): DataFrame =
+    Multimodal.decodeAll(Multimodal.mediaFromPpm(s, d))
+      .select(col("media_id"), col("width"), col("height"),
+        trunc4(col("brightness")).as("brightness"))
+      .orderBy("media_id")
+
+  private val oMmDecodePpm =
+    s"""WITH d AS (SELECT doc_id, CAST(4 + doc_id % 5 AS INT) AS width,
+       |             CAST(3 + doc_id % 4 AS INT) AS height FROM documents),
+       |  px AS (SELECT doc_id, width, height,
+       |           unnest(generate_series(0, width*height*3 - 1)) AS i FROM d)
+       |SELECT doc_id AS media_id, width, height,
+       |  ${oTrunc4("CAST(SUM((doc_id*31 + i*7) % 256) AS DOUBLE)/(width*height*3)/255")} AS brightness
+       |FROM px GROUP BY doc_id, width, height ORDER BY media_id""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "udaf_geomean"   -> udafGeomean _,
-    "mm_binary_meta" -> mmBinaryMeta _)
+    "mm_binary_meta" -> mmBinaryMeta _,
+    "mm_decode_ppm"  -> mmDecodePpm _)
 
   val oracles: Map[String, String] = Map(
     "udaf_geomean"   -> oUdafGeomean,
-    "mm_binary_meta" -> oMmBinaryMeta)
+    "mm_binary_meta" -> oMmBinaryMeta,
+    "mm_decode_ppm"  -> oMmDecodePpm)
 }

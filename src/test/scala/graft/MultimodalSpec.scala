@@ -26,4 +26,37 @@ class MultimodalSpec extends SparkSpec {
     val media = Multimodal.mediaFromDocuments(spark, sf).repartition(3)
     assert(Multimodal.decodeAll(media).rdd.getNumPartitions === 3)
   }
+
+  test("PPM decoder: known pixel stats on a hand-built image") {
+    // 2x1 P6: one black pixel, one white pixel -> mean brightness 0.5
+    val img = "P6\n2 1\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](0, 0, 0, -1, -1, -1)
+    assert(Multimodal.decodePpm(img) === Some((2, 1, 0.5)))
+    // comments between header tokens are skipped
+    val commented = "P6\n# a comment\n2 1\n# another\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](0, 0, 0, -1, -1, -1)
+    assert(Multimodal.decodePpm(commented) === Some((2, 1, 0.5)))
+    // non-PPM magic -> None (falls back to the stub path)
+    assert(Multimodal.decodePpm("JFIFxxxx".getBytes("US-ASCII")) === None)
+    // truncated pixel plane -> hard error, not silent stats
+    val truncated = "P6\n2 1\n255\n".getBytes("US-ASCII") ++ Array[Byte](0, 0)
+    intercept[IllegalArgumentException](Multimodal.decodePpm(truncated))
+  }
+
+  test("synthesized PPM round-trips through the real decoder") {
+    val feats = Multimodal.decodeAll(Multimodal.mediaFromPpm(spark, sf))
+      .collect().map(f => f.media_id -> f).toMap
+    assert(feats.nonEmpty)
+    feats.foreach { case (id, f) =>
+      assert(f.width === 4 + (id % 5).toInt)
+      assert(f.height === 3 + (id % 4).toInt)
+      assert(f.n_frames === 1)
+      assert(f.brightness >= 0.0 && f.brightness <= 1.0)
+      // brightness must match the synthesis formula exactly
+      val n = f.width * f.height * 3
+      val expected = (0 until n).map(i => (id * 31 + i * 7) % 256).sum
+        .toDouble / n / 255
+      assert(f.brightness === expected)
+    }
+  }
 }
