@@ -1,0 +1,29 @@
+package graft
+
+/** Cross-partitioning determinism (SURVEY §5.6): every declared result must
+  * be independent of shuffle.partitions, or the driver's hash compare (and
+  * a real cluster at any size) can silently diverge from local runs. Runs
+  * the determinism-sensitive keys at 1 and 32 shuffle partitions on
+  * sf0.001 and requires exact row-for-row equality. */
+class HarnessSpec extends SparkSpec {
+
+  // keys whose plans contain the determinism-sensitive machinery: decimal
+  // sums, scaled-long centroids, k-means routing, LSH banding, stateful
+  // fold, interpolated percentiles, prefix-sum windows
+  private val probeKeys = Seq(
+    "agg_group_q1", "agg_stats", "udaf_geomean", "emb_centroid",
+    "dedup_lsh_pairs", "dedup_emb_cosine", "sim_ann_kmeans",
+    "stream_session_custom", "agg_percentile", "win_theta_rewrite",
+    "gen_date_spine", "scan_sample_hash")
+
+  probeKeys.foreach { key =>
+    test(s"$key: identical at shuffle.partitions 1 and 32") {
+      def run(parts: Int): Seq[String] = {
+        spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+        try SparkEntry.queries(key)(spark, sf).collect().map(_.toString).toSeq
+        finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+      }
+      assert(run(1) === run(32), s"$key depends on partition count")
+    }
+  }
+}

@@ -212,6 +212,24 @@ class OperatorSpec extends SparkSpec {
       s"missed planted pairs: ${(expected -- found).take(5)}")
   }
 
+  test("approx_percentile lands within 5% of exact percentile") {
+    val approx = SparkEntry.queries("agg_pctl_approx")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = SparkEntry.queries("agg_percentile")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    exact.foreach { case (k, ex) =>
+      assert(math.abs(approx(k) - ex) / ex <= 0.05, s"$k: ${approx(k)} vs $ex")
+    }
+  }
+
+  test("theta window rewrite == pair join result") {
+    val joined = SparkEntry.queries("join_theta_range")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val windowed = SparkEntry.queries("win_theta_rewrite")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(joined.toSeq === windowed.toSeq)
+  }
+
   test("running sum final value equals group total") {
     val run = SparkEntry.queries("win_running_sum")(spark, sf)
     val finals = run.groupBy("o_custkey")
