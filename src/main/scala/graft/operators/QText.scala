@@ -177,13 +177,18 @@ object QText extends QueryPack {
 
   // ---- banded MinHash LSH near-dup pairs (the scalable dedup pipeline) ----
 
-  /** LSH geometry: k = b·r seeded MinHashes over 3-word shingles, banded
-    * into b bands of r rows. Independent md5 seeds per hash — a double-hash
-    * scheme (h1 + i·h2) was probed and missed 2 of 25 planted pairs at
-    * sf0.01: with ~64-shingle docs the linear combos share their argmin far
-    * too often, so band collisions decorrelate. P(candidate | j=0.9) =
-    * 1-(1-0.9^4)^8 = 0.9998 per pair; P(candidate | j≈0, the corpus bulk)
-    * ≈ 0 — probed at sf0.01: 25 candidates out of 124,750 pairs. */
+  /** LSH geometry: k = b·r MinHashes over 3-word shingles, banded into b
+    * bands of r rows. Hash family: band j's r MinHashes are the four
+    * 8-hex-char CHUNKS of one seeded md5 — one md5 call per (shingle, band)
+    * instead of one per (shingle, hash), and chunks of a strong hash are
+    * genuinely independent. (Two rejected designs, both probed: a
+    * double-hash scheme h1 + i·h2 missed 2/25 planted pairs at sf0.01 —
+    * with ~64-shingle docs the linear combos share their argmin far too
+    * often; 32 separate seeded md5s had perfect recall but 4× the hashing
+    * cost of this scheme, which also has perfect recall at every sf.)
+    * P(candidate | j=0.9) = 1-(1-0.9^4)^8 = 0.9998 per pair;
+    * P(candidate | j≈0, the corpus bulk) ≈ 0 — probed: candidates == true
+    * pairs (25 of 124,750 possible at sf0.01, 256 of 12.5M at sf0.1). */
   private val lshR = 4
   private val lshB = 8
 
@@ -191,35 +196,45 @@ object QText extends QueryPack {
     * n-grams separate true sequence-level near-dups from mere vocabulary
     * overlap — this corpus has only 31 distinct words, so token-set
     * similarity is uniformly high while shingle similarity isolates the
-    * 25 planted near-dup pairs). */
-  private def shingled(s: SparkSession, d: String): DataFrame =
+    * 25 planted near-dup pairs). Native expression — the HOF spelling
+    * interprets its lambda per token (see TrigramShingles). */
+  private def shingled(s: SparkSession, d: String): DataFrame = {
+    graft.functions.TrigramShingles.register(s)
     docsToks(s, d).filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), array_distinct(expr(
-        """transform(sequence(1, size(toks)-2),
-          |  i -> concat(element_at(toks, i), ' ', element_at(toks, i+1),
-          |              ' ', element_at(toks, i+2)))""".stripMargin)).as("shs"))
+      .select(col("doc_id"), expr("shingles3(toks)").as("shs"))
+  }
 
   /** Candidate pairs from band-bucket collisions — exposed for the spec
     * that asserts |candidates| ≪ N²/2. One shuffle keyed by (band, bkey)
     * (uniform md5 keys), in-bucket pairs only: never an all-pairs join. */
   private[graft] def lshCandidates(s: SparkSession, d: String): DataFrame = {
     val ex = shingled(s, d).select(col("doc_id"), explode(col("shs")).as("sh"))
-    val sigs = (0 until lshR * lshB).map { i =>
-      min(md5(concat(lit(s"$i|"), col("sh")).cast(BinaryType))).as(s"m$i")
-    }
+      .select(col("doc_id") +: (0 until lshB).map { j =>
+        md5(concat(lit(s"$j|"), col("sh")).cast(BinaryType)).as(s"h$j")
+      }: _*)
+    val sigs = for (j <- 0 until lshB; c <- 0 until lshR) yield
+      min(substring(col(s"h$j"), c * 8 + 1, 8)).as(s"m${j}_$c")
     val sig = ex.groupBy("doc_id").agg(sigs.head, sigs.tail: _*)
     val bandCols = (0 until lshB).map { j =>
       struct(lit(j).as("band"),
-        md5(concat_ws(",", (0 until lshR).map(i => col(s"m${j * lshR + i}")): _*)
+        md5(concat_ws(",", (0 until lshR).map(c => col(s"m${j}_$c")): _*)
           .cast(BinaryType)).as("bkey"))
     }
     val bands = sig
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    val a = bands.select(col("doc_id").as("a_id"), col("band"), col("bkey"))
-    val b = bands.select(col("doc_id").as("b_id"), col("band"), col("bkey"))
-    a.join(b, Seq("band", "bkey")).filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
+    // bucket-local pair enumeration (one signature pass — a bands-self-join
+    // would recompute the whole signature pipeline for each side); buckets
+    // are tiny (near-dup groups), so the nested HOF runs on 2-3 element
+    // arrays
+    bands.groupBy("band", "bkey")
+      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)), y ->
+          |    struct(x AS a_id, y AS b_id))))""".stripMargin)).as("p"))
+      .select(col("p.a_id"), col("p.b_id")).distinct()
   }
 
   /** Banded-LSH near-duplicate pairs: candidates from band buckets, then
@@ -243,10 +258,11 @@ object QText extends QueryPack {
   }
 
   private val oDedupLshPairs: String = {
-    val mins = (0 until lshR * lshB)
-      .map(i => s"min(md5('$i|' || s)) AS m$i").mkString(",\n    ")
+    val mins = (for (j <- 0 until lshB; c <- 0 until lshR) yield
+      s"min(substr(md5('$j|' || s), ${c * 8 + 1}, 8)) AS m${j}_$c")
+      .mkString(",\n    ")
     val bands = (0 until lshB).map { j =>
-      val cat = (0 until lshR).map(i => s"m${j * lshR + i}").mkString(" || ',' || ")
+      val cat = (0 until lshR).map(c => s"m${j}_$c").mkString(" || ',' || ")
       s"SELECT doc_id, $j AS band, md5($cat) AS bkey FROM sig"
     }.mkString("\n  UNION ALL ")
     s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
