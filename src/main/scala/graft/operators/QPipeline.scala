@@ -1,0 +1,143 @@
+package graft.operators
+
+import graft.QueryPack
+import graft.sources.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** End-to-end pipeline operators: the reference's headline churn
+  * feature/label computation (MorphL's entire reason to exist — per-user
+  * behavioral features + an inactivity churn label, SURVEY §2 legend (chp)
+  * and Appendix B), plus the text/vector feature-engineering steps a
+  * training-data pipeline runs at scale (TF-IDF, embedding quantization).
+  */
+object QPipeline extends QueryPack {
+
+  /** MorphL-style churn features + label per user: activity counts, spend,
+    * recency, and `churned = inactive > 7 days` relative to the corpus
+    * clock (max event ts — joined as one broadcast row, never collected).
+    * One shuffle on user_id; the label threshold mirrors MorphL's
+    * days-since-last-session rule. Day arithmetic is integer micros
+    * division, so both engines agree exactly. */
+  private def chpFeaturesLabel(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "events")
+    val now = e.agg(max(expr("unix_micros(cast(ts as timestamp))")).as("now_us"))
+    e.groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(when(col("event_type") === "click", 1)).as("n_clicks"),
+        count(when(col("event_type") === "purchase", 1)).as("n_purchases"),
+        sum4(col("value")).as("total_value"),
+        max(expr("unix_micros(cast(ts as timestamp))")).as("last_us"))
+      .crossJoin(broadcast(now))
+      // integer micros division (`div`, not `/` — Column `/` is double)
+      .select(col("user_id"), col("n_events"), col("n_clicks"),
+        col("n_purchases"), col("total_value"),
+        expr("(now_us - last_us) div 86400000000").as("days_inactive"),
+        expr("cast((now_us - last_us) div 86400000000 > 7 as int)")
+          .as("churn_label"))
+      .orderBy("user_id")
+  }
+
+  private val oChpFeaturesLabel =
+    s"""WITH now AS (SELECT max(epoch_us(ts)) AS now_us FROM events),
+       |  f AS (SELECT user_id, count(*) AS n_events,
+       |      count(*) FILTER (event_type = 'click') AS n_clicks,
+       |      count(*) FILTER (event_type = 'purchase') AS n_purchases,
+       |      ${oSum4("value")} AS total_value,
+       |      max(epoch_us(ts)) AS last_us
+       |    FROM events GROUP BY user_id)
+       |SELECT user_id, n_events, n_clicks, n_purchases, total_value,
+       |  (now_us - last_us) // 86400000000 AS days_inactive,
+       |  CAST((now_us - last_us) // 86400000000 > 7 AS INT) AS churn_label
+       |FROM f, now ORDER BY user_id""".stripMargin
+
+  /** TF-IDF with top-3 terms per document: tf = in-doc frequency over doc
+    * length, idf = ln(N/df). Term stats are one tokenize-explode pass with
+    * map-side combine; N and the df table broadcast back. The ln() is the
+    * only libm call — both engines compute it on identical doubles and the
+    * result is truncated, the same exposure udaf_geomean already carries. */
+  private def textTfidf(s: SparkSession, d: String): DataFrame = {
+    val toks = t(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val nDocs = t(s, d, "documents").agg(count(lit(1)).as("n_docs"))
+    val tf = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("n_w"))
+      .withColumn("doc_len", sum(col("n_w")).over(Window.partitionBy("doc_id")))
+    val df = toks.select("doc_id", "w").distinct()
+      .groupBy("w").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(df), "w").crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("w"),
+        trunc6((col("n_w").cast(DoubleType) / col("doc_len")) *
+          log(col("n_docs").cast(DoubleType) / col("df"))).as("tfidf"))
+    val rk = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("w"))
+    scored.withColumn("rnk", row_number().over(rk)).filter(col("rnk") <= 3)
+      .select("doc_id", "rnk", "w", "tfidf")
+      .orderBy("doc_id", "rnk")
+  }
+
+  private val oTextTfidf =
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |  n AS (SELECT count(*) AS n_docs FROM documents),
+       |  tf AS (SELECT doc_id, w, count(*) AS n_w FROM toks GROUP BY doc_id, w),
+       |  dl AS (SELECT doc_id, w, n_w, sum(n_w) OVER (PARTITION BY doc_id) AS doc_len FROM tf),
+       |  df AS (SELECT w, count(*) AS df FROM (SELECT DISTINCT doc_id, w FROM toks) GROUP BY w),
+       |  sc AS (SELECT doc_id, dl.w,
+       |      ${oTrunc6("(CAST(n_w AS DOUBLE) / doc_len) * ln(CAST(n_docs AS DOUBLE) / df)")} AS tfidf
+       |    FROM dl JOIN df ON dl.w = df.w, n),
+       |  rk AS (SELECT doc_id, w, tfidf, row_number() OVER (
+       |      PARTITION BY doc_id ORDER BY tfidf DESC, w) AS rnk FROM sc)
+       |SELECT doc_id, CAST(rnk AS INT) AS rnk, w, tfidf
+       |FROM rk WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
+
+  /** Embedding normalize + int8 quantization (the storage/compute shrink
+    * step before ANN indexing): per-vector L2 norm and max-|x| scale, each
+    * component floor(x/scale·127 + 0.5). Emitted as summary stats (sum /
+    * min / max of the quantized codes) — fully sensitive to any
+    * quantization bug, small enough to hash. Embarrassingly parallel,
+    * no shuffle before the final sort. */
+  private def embQuantize(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"),
+        x => x.cast(DoubleType)).as("v"))
+      .select(col("vec_id"),
+        trunc4(sqrt(aggregate(col("v"), lit(0.0d), (a, x) => a + x * x)))
+          .as("l2norm"),
+        aggregate(col("v"), lit(0.0d),
+          (a, x) => greatest(a, abs(x))).as("scale"))
+      .join(t(s, d, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"),
+          x => x.cast(DoubleType)).as("v")), "vec_id")
+      .select(col("vec_id"), col("l2norm"),
+        aggregate(transform(col("v"),
+            x => floor(x / col("scale") * 127 + 0.5).cast(LongType)),
+          lit(0L), (a, x) => a + x).as("q_sum"),
+        array_min(transform(col("v"),
+          x => floor(x / col("scale") * 127 + 0.5).cast(LongType))).as("q_min"),
+        array_max(transform(col("v"),
+          x => floor(x / col("scale") * 127 + 0.5).cast(LongType))).as("q_max"))
+      .orderBy("vec_id")
+
+  private val oEmbQuantize =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |  s AS (SELECT vec_id, v,
+       |      ${oTrunc4("sqrt(list_aggregate(list_transform(v, x -> x*x), 'sum'))")} AS l2norm,
+       |      list_aggregate(list_transform(v, x -> abs(x)), 'max') AS scale
+       |    FROM e)
+       |SELECT vec_id, l2norm,
+       |  CAST(list_aggregate(list_transform(v, x -> CAST(floor(x / scale * 127 + 0.5) AS BIGINT)), 'sum') AS BIGINT) AS q_sum,
+       |  CAST(list_aggregate(list_transform(v, x -> CAST(floor(x / scale * 127 + 0.5) AS BIGINT)), 'min') AS BIGINT) AS q_min,
+       |  CAST(list_aggregate(list_transform(v, x -> CAST(floor(x / scale * 127 + 0.5) AS BIGINT)), 'max') AS BIGINT) AS q_max
+       |FROM s ORDER BY vec_id""".stripMargin
+
+  val queries: Map[String, QFn] = Map(
+    "chp_features_label" -> chpFeaturesLabel _,
+    "text_tfidf"         -> textTfidf _,
+    "emb_quantize"       -> embQuantize _)
+
+  val oracles: Map[String, String] = Map(
+    "chp_features_label" -> oChpFeaturesLabel,
+    "text_tfidf"         -> oTextTfidf,
+    "emb_quantize"       -> oEmbQuantize)
+}
