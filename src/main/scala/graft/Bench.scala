@@ -33,16 +33,22 @@ object Bench {
     // footer caches — so per-query times measure the queries, not startup.
     spark.range(1000).selectExpr("sum(id)").collect()
     try noop("agg_group_q1") catch { case _: Throwable => }
+    // A failed query records -1 (visible marker), never a fake elapsed time.
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       val t0 = System.nanoTime()
-      try noop(name) catch { case _: Throwable => }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { noop(name); true } catch { case _: Throwable => false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal times keep the whole JSON line ~2.5 KB: rounds 1 and 2 both
+    // lost the driver-side parse because full-precision doubles pushed the
+    // line past the driver's stdout tail window.
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val errs = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val json = s"""{"metric":"total","value":${f3(total)},"unit":"sec"""" +
+      s""","queries":$qs,"errors":[${errs.mkString(",")}],"sf":"$sfDir"}"""
     Files.writeString(Paths.get("BENCH_LOCAL.json"), json + "\n")
     spark.stop()
     // Final line of stdout, post-shutdown: nothing can print after this.

@@ -62,7 +62,7 @@ object QFunctions extends QueryPack {
       |ORDER BY p_partkey""".stripMargin
 
   private def fnDatetime(s: SparkSession, d: String): DataFrame =
-    t(s, d, "orders").select(
+    t(s, d, "orders").orderBy("o_orderkey").select(
       col("o_orderkey"),
       year(col("o_orderdate")).as("y"),
       month(col("o_orderdate")).as("m"),
@@ -74,7 +74,6 @@ object QFunctions extends QueryPack {
         col("o_orderdate").cast(DateType)).as("days_to_99"),
       unix_timestamp(col("o_orderdate")).as("epoch_s"),
       date_format(col("o_orderdate"), "yyyy-MM-dd").as("ymd"))
-      .orderBy("o_orderkey")
 
   private val oFnDatetime =
     """SELECT o_orderkey,
@@ -92,7 +91,7 @@ object QFunctions extends QueryPack {
     * shortest-decimal repr, DuckDB the binary value — trunc4 (floor-based)
     * is the cross-engine-stable spelling (see Tables.trunc4). */
   private def fnMath(s: SparkSession, d: String): DataFrame =
-    t(s, d, "lineitem").select(
+    t(s, d, "lineitem").orderBy("l_orderkey", "l_linenumber").select(
       col("l_orderkey"), col("l_linenumber"),
       trunc4(sqrt(col("l_extendedprice"))).as("sq"),
       trunc6(log(col("l_extendedprice"))).as("lg"),
@@ -103,7 +102,6 @@ object QFunctions extends QueryPack {
       signum(col("l_discount") - 0.03).cast(IntegerType).as("sg"),
       floor(col("l_extendedprice")).as("fl"),
       ceil(col("l_extendedprice")).as("ce"))
-      .orderBy("l_orderkey", "l_linenumber")
 
   private val oFnMath =
     s"""SELECT l_orderkey, l_linenumber,
@@ -120,7 +118,7 @@ object QFunctions extends QueryPack {
 
   /** CASE WHEN churn-label shape + coalesce/nullif/greatest/least. */
   private def fnConditional(s: SparkSession, d: String): DataFrame =
-    t(s, d, "orders").select(
+    t(s, d, "orders").orderBy("o_orderkey").select(
       col("o_orderkey"),
       when(col("o_totalprice") > 300000.0, "high")
         .when(col("o_totalprice") > 100000.0, "mid")
@@ -128,7 +126,6 @@ object QFunctions extends QueryPack {
       coalesce(expr("nullif(o_orderstatus, 'O')"), lit("open")).as("st"),
       greatest(col("o_totalprice"), lit(150000.0)).as("hi"),
       least(col("o_totalprice"), lit(150000.0)).as("lo"))
-      .orderBy("o_orderkey")
 
   private val oFnConditional =
     """SELECT o_orderkey,
@@ -139,8 +136,13 @@ object QFunctions extends QueryPack {
       |  least(o_totalprice, 150000.0) AS lo
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  /** Sort-before-project: the range partitioner samples the sort keys by
+    * executing its child plan, so projecting first would run the parse/cast
+    * chain twice (sample pass + real pass) and shuffle the wide derived
+    * strings; sorting the raw scan first computes each expression once,
+    * after the exchange. Same applies to every expensive map-only query. */
   private def fnCastTypes(s: SparkSession, d: String): DataFrame =
-    t(s, d, "lineitem").select(
+    t(s, d, "lineitem").orderBy("l_orderkey", "l_linenumber").select(
       col("l_orderkey"), col("l_linenumber"),
       money(col("l_extendedprice")).cast(StringType).as("dec_str"),
       col("l_linenumber").cast(LongType).as("ln_big"),
@@ -148,7 +150,6 @@ object QFunctions extends QueryPack {
       to_timestamp(date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss"))
         .cast(TimestampNTZType).as("ts_back"),
       col("l_quantity").cast(IntegerType).as("qty_int"))
-      .orderBy("l_orderkey", "l_linenumber")
 
   private val oFnCastTypes =
     """SELECT l_orderkey, l_linenumber,
@@ -184,14 +185,13 @@ object QFunctions extends QueryPack {
   /** Map build + extract; output scalars only (map-typed parquet columns
     * don't hash-compare across engines — SURVEY §2.8). */
   private def fnMap(s: SparkSession, d: String): DataFrame =
-    t(s, d, "events")
+    t(s, d, "events").orderBy("event_id")
       .withColumn("m", map(lit("et"), col("event_type"),
         lit("uid"), col("user_id").cast(StringType)))
       .select(col("event_id"),
         element_at(col("m"), "et").as("m_et"),
         element_at(col("m"), "uid").as("m_uid"),
         size(col("m")).as("m_size"))
-      .orderBy("event_id")
 
   private val oFnMap =
     """WITH e AS (SELECT event_id,
@@ -202,10 +202,9 @@ object QFunctions extends QueryPack {
 
   /** The GA raw-JSON parse shape: extract a typed field from a JSON string. */
   private def fnJson(s: SparkSession, d: String): DataFrame =
-    t(s, d, "events").select(
+    t(s, d, "events").orderBy("event_id").select(
       col("event_id"),
       get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
-      .orderBy("event_id")
 
   private val oFnJson =
     """SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS k
@@ -230,9 +229,8 @@ object QFunctions extends QueryPack {
     * key exists to prove the extension point works. */
   private def udfClamp(s: SparkSession, d: String): DataFrame = {
     val clamp = udf((v: Double) => math.max(0.0, math.min(100.0, v)))
-    t(s, d, "events").select(
+    t(s, d, "events").orderBy("event_id").select(
       col("event_id"), clamp(col("value")).as("clamped"))
-      .orderBy("event_id")
   }
 
   private val oUdfClamp =

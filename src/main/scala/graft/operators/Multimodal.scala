@@ -32,7 +32,9 @@ object Multimodal {
   /** Parse a binary PPM (P6): magic, #-comments, width/height/maxval
     * tokens, single whitespace, then w·h·3 raw bytes. Returns
     * (width, height, mean brightness in [0,1]) or None if the payload is
-    * not a well-formed P6. */
+    * not a well-formed 8-bit P6 — including maxval > 255 (16-bit samples
+    * are 2 bytes each; reading them 1-byte would silently halve the pixel
+    * plane), a truncated pixel plane, or dims whose plane size overflows. */
   def decodePpm(p: Array[Byte]): Option[(Int, Int, Double)] = {
     var i = 0
     def skipWsAndComments(): Unit = {
@@ -53,21 +55,24 @@ object Multimodal {
     }
     if (p.length < 2 || p(0) != 'P' || p(1) != '6') return None
     i = 2
-    for {
+    val header = for {
       w <- readInt()
       h <- readInt()
       maxval <- readInt()
-      if w > 0 && h > 0 && maxval > 0 && maxval < 65536
+      if w > 0 && h > 0 && maxval > 0 && maxval <= 255
       if i < p.length && p(i).toChar.isWhitespace
-    } yield {
+    } yield (w, h, maxval)
+    header.flatMap { case (w, h, maxval) =>
       i += 1 // the single whitespace after maxval
-      val n = w * h * 3
-      require(p.length - i >= n,
-        s"ppm: truncated pixel plane (${p.length - i} of $n bytes)")
-      var acc = 0L
-      var j = i
-      while (j < i + n) { acc += (p(j) & 0xff); j += 1 }
-      (w, h, acc.toDouble / n / maxval)
+      val n = 3L * w * h // Long: 9-digit dims would overflow Int
+      if (n > Int.MaxValue || p.length - i < n) None // truncated → stub path
+      else {
+        var acc = 0L
+        var j = i
+        val end = i + n.toInt
+        while (j < end) { acc += (p(j) & 0xff); j += 1 }
+        Some((w, h, acc.toDouble / n / maxval))
+      }
     }
   }
 

@@ -104,8 +104,10 @@ object QPipeline extends QueryPack {
       .select(col("vec_id"),
         trunc4(sqrt(aggregate(col("v"), lit(0.0d), (a, x) => a + x * x)))
           .as("l2norm"),
-        aggregate(col("v"), lit(0.0d),
-          (a, x) => greatest(a, abs(x))).as("scale"))
+        // clamped: an all-zero embedding would give scale=0 -> x/0 = NaN,
+        // which Spark casts to 0L while DuckDB errors on CAST(floor(nan))
+        greatest(aggregate(col("v"), lit(0.0d),
+          (a, x) => greatest(a, abs(x))), lit(1e-300)).as("scale"))
       .join(t(s, d, "embeddings")
         .select(col("vec_id"), transform(col("embedding"),
           x => x.cast(DoubleType)).as("v")), "vec_id")
@@ -123,7 +125,7 @@ object QPipeline extends QueryPack {
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |  s AS (SELECT vec_id, v,
        |      ${oTrunc4("sqrt(list_aggregate(list_transform(v, x -> x*x), 'sum'))")} AS l2norm,
-       |      list_aggregate(list_transform(v, x -> abs(x)), 'max') AS scale
+       |      greatest(list_aggregate(list_transform(v, x -> abs(x)), 'max'), 1e-300) AS scale
        |    FROM e)
        |SELECT vec_id, l2norm,
        |  CAST(list_aggregate(list_transform(v, x -> CAST(floor(x / scale * 127 + 0.5) AS BIGINT)), 'sum') AS BIGINT) AS q_sum,

@@ -46,12 +46,13 @@ object QRelational extends QueryPack {
 
   // ---- §2.2 projections / filters ----
 
+  /** Sort-before-project (see QFunctions.fnCastTypes): the derived decimal
+    * math runs once, after the range exchange, not in the sampling pass. */
   private def projectArith(s: SparkSession, d: String): DataFrame =
-    t(s, d, "lineitem").select(
+    t(s, d, "lineitem").orderBy("l_orderkey", "l_linenumber").select(
       col("l_orderkey"), col("l_linenumber"),
       revenue.cast(DoubleType).as("disc_price"),
       charge.cast(DoubleType).as("charge_price"))
-      .orderBy("l_orderkey", "l_linenumber")
 
   private val oProjectArith =
     s"""SELECT l_orderkey, l_linenumber,

@@ -2,12 +2,14 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Time one query from SparkEntry twice in a warm session + dump its plan.
-  * Usage: runMain graft.tools.TimeOne <key> [sfDir] */
+/** Time queries from SparkEntry in one warm session (noop sink — same
+  * materialization as Bench) + dump the last one's plan.
+  * Usage: runMain graft.tools.TimeOne <key>[,key2,...] [sfDir] [--plan] */
 object TimeOne {
   def main(args: Array[String]): Unit = {
-    val key = args(0)
-    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val keys = args(0).split(",").toSeq
+    val sfDir = args.drop(1).find(!_.startsWith("--")).getOrElse("/root/testdata/sf0.1")
+    val showPlan = args.contains("--plan")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -18,13 +20,18 @@ object TimeOne {
     spark.sparkContext.setLogLevel("WARN")
     // warm the session on an unrelated tiny job
     spark.range(10).count()
-    val fn = graft.SparkEntry.queries(key)
-    for (i <- 1 to 3) {
-      val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
-      println(f"RUN$i $key rows=$n time=${(System.nanoTime() - t0) / 1e9}%.3f s")
+    def noop(key: String): Unit =
+      graft.SparkEntry.queries(key)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+    for (key <- keys) {
+      for (i <- 1 to 3) {
+        val t0 = System.nanoTime()
+        noop(key)
+        println(f"RUN$i $key time=${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
+      if (showPlan)
+        graft.SparkEntry.queries(key)(spark, sfDir).explain("formatted")
     }
-    fn(spark, sfDir).explain("formatted")
     spark.stop()
   }
 }

@@ -38,9 +38,18 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodePpm(commented) === Some((2, 1, 0.5)))
     // non-PPM magic -> None (falls back to the stub path)
     assert(Multimodal.decodePpm("JFIFxxxx".getBytes("US-ASCII")) === None)
-    // truncated pixel plane -> hard error, not silent stats
+    // truncated pixel plane -> None, so one bad payload can't fail the job
     val truncated = "P6\n2 1\n255\n".getBytes("US-ASCII") ++ Array[Byte](0, 0)
-    intercept[IllegalArgumentException](Multimodal.decodePpm(truncated))
+    assert(Multimodal.decodePpm(truncated) === None)
+    // 16-bit maxval -> None (we only read 1-byte samples; accepting it
+    // would compute brightness over half the pixel plane)
+    val deep = "P6\n1 1\n65535\n".getBytes("US-ASCII") ++
+      Array[Byte](0, 1, 0, 1, 0, 1)
+    assert(Multimodal.decodePpm(deep) === None)
+    // adversarial 9-digit dims must not overflow the plane size
+    val huge = "P6\n99999999 99999999\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](0, 0, 0)
+    assert(Multimodal.decodePpm(huge) === None)
   }
 
   test("synthesized PPM round-trips through the real decoder") {
