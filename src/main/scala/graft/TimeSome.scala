@@ -1,0 +1,21 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object TimeSome {
+  def main(args: Array[String]): Unit = {
+    val sfDir = "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    try SparkEntry.queries("agg_group_q1")(spark, sfDir).write.format("noop").mode("overwrite").save() catch { case _: Throwable => }
+    for (name <- args; _ <- 1 to 2) {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+      println(f"TIMED $name ${(System.nanoTime()-t0)/1e9}%.3f s")
+    }
+    spark.stop()
+  }
+}

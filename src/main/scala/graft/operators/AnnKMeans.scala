@@ -32,27 +32,35 @@ object AnnKMeans {
   private def cosine(a: String, b: String): Column =
     expr(s"cosine_sim($a, $b)")
 
-  /** Assign each vector (vec_id, v) to its nearest centroid (cell, cv).
-    * Broadcast join — the corpus side never shuffles; the per-vector argmin
-    * is a row_number window partitioned by vec_id. */
-  def assign(e: DataFrame, cent: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id").orderBy(col("score").desc, col("cell"))
-    e.join(broadcast(cent))
-      .select(col("vec_id"), col("v"), col("cell"),
-        trunc4(cosine("v", "cv")).as("score"))
-      .withColumn("r", row_number().over(w)).filter(col("r") === 1)
-      .select("vec_id", "v", "cell")
-  }
+  /** (score desc, cell asc) — identical ordering to the oracle's
+    * row_number() OVER (ORDER BY score DESC, cell). */
+  private val scoreDescCellAsc: (Column, Column) => Column = (l, r) =>
+    when(l("score") > r("score"), -1)
+      .when(l("score") < r("score"), 1)
+      .otherwise(l("cell") - r("cell"))
 
-  /** Top-`nprobe` cells per vector (same ranking as `assign`). */
-  def assignProbes(e: DataFrame, cent: DataFrame, nprobe: Int): DataFrame = {
-    val w = Window.partitionBy("vec_id").orderBy(col("score").desc, col("cell"))
+  /** Top-`nprobe` cells per vector. After the broadcast join every (vector,
+    * cell) score row sits in the vector's own map partition, so the
+    * groupBy's partial aggregate folds all k scores into one row map-side:
+    * the shuffle carries one (vec_id, v, k scores) row per vector — no
+    * corpus-wide sort. (The previous Window.partitionBy(vec_id) spelling
+    * shuffled AND sorted the whole corpus once per call, i.e. once per
+    * Lloyd iteration.) */
+  def assignProbes(e: DataFrame, cent: DataFrame, nprobe: Int): DataFrame =
     e.join(broadcast(cent))
-      .select(col("vec_id"), col("v"), col("cell"),
-        trunc4(cosine("v", "cv")).as("score"))
-      .withColumn("r", row_number().over(w)).filter(col("r") <= nprobe)
-      .select("vec_id", "v", "cell")
-  }
+      .select(col("vec_id"), col("v"),
+        struct(trunc4(cosine("v", "cv")).as("score"), col("cell").as("cell"))
+          .as("sc"))
+      .groupBy("vec_id")
+      .agg(first(col("v")).as("v"), collect_list(col("sc")).as("scs"))
+      .select(col("vec_id"), col("v"),
+        explode(slice(array_sort(col("scs"), scoreDescCellAsc), 1, nprobe))
+          .as("sc"))
+      .select(col("vec_id"), col("v"), col("sc.cell").as("cell"))
+
+  /** Assign each vector (vec_id, v) to its nearest centroid (cell, cv). */
+  def assign(e: DataFrame, cent: DataFrame): DataFrame =
+    assignProbes(e, cent, 1)
 
   /** k-means centroids after `iters` Lloyd iterations, materialized each
     * round (k rows of dim doubles) and re-broadcast. Requires

@@ -119,7 +119,11 @@ object QSim extends QueryPack {
   private def dedupEmbCosine(s: SparkSession, d: String): DataFrame = {
     graft.plans.CosineSim.register(s)
     graft.functions.VecCentroid.register(s)
+    // persisted: each Lloyd iteration + both probe branches re-scan e;
+    // caching the decoded vectors is the standard iterative-ML pattern
+    // (MLlib KMeans caches its input the same way)
     val e = embD(s, d).select("vec_id", "v")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cent = AnnKMeans.centroids(e, dedupCells, dedupIters)
     val probes = AnnKMeans.assignProbes(e, cent, dedupProbes)
     val a = probes.select(col("vec_id").as("a_id"), col("v").as("a_v"), col("cell"))
@@ -215,7 +219,10 @@ object QSim extends QueryPack {
   private def simAnnKmeans(s: SparkSession, d: String): DataFrame = {
     graft.plans.CosineSim.register(s)
     graft.functions.VecCentroid.register(s)
+    // persisted across the Lloyd iterations + final assignment (see
+    // dedupEmbCosine)
     val e = embD(s, d).select("vec_id", "v")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cent = AnnKMeans.centroids(e, kmCells, kmIters)
     val assigned = AnnKMeans.assign(e, cent)
     val q = e.filter(col("vec_id") < 20)

@@ -200,15 +200,25 @@ object QText extends QueryPack {
     * interprets its lambda per token (see TrigramShingles). */
   private def shingled(s: SparkSession, d: String): DataFrame = {
     graft.functions.TrigramShingles.register(s)
-    docsToks(s, d).filter(size(col("toks")) >= 3)
+    // repartition before shingling: the testdata parquet is one row group,
+    // so without it the entire shingle+signature map pipeline (8 md5s per
+    // shingle) runs inside the single scan task; one cheap shuffle of the
+    // raw text buys full-width parallelism for the hash work. On a real
+    // multi-file corpus the scan is already parallel and this coalesces to
+    // the same shape.
+    docsToks(s, d).repartition(col("doc_id"))
+      .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), expr("shingles3(toks)").as("shs"))
   }
 
   /** Candidate pairs from band-bucket collisions — exposed for the spec
     * that asserts |candidates| ≪ N²/2. One shuffle keyed by (band, bkey)
     * (uniform md5 keys), in-bucket pairs only: never an all-pairs join. */
-  private[graft] def lshCandidates(s: SparkSession, d: String): DataFrame = {
-    val ex = shingled(s, d).select(col("doc_id"), explode(col("shs")).as("sh"))
+  private[graft] def lshCandidates(s: SparkSession, d: String): DataFrame =
+    lshCandidatesFrom(shingled(s, d))
+
+  private def lshCandidatesFrom(sets: DataFrame): DataFrame = {
+    val ex = sets.select(col("doc_id"), explode(col("shs")).as("sh"))
       .select(col("doc_id") +: (0 until lshB).map { j =>
         md5(concat(lit(s"$j|"), col("sh")).cast(BinaryType)).as(s"h$j")
       }: _*)
@@ -241,10 +251,15 @@ object QText extends QueryPack {
     * exact shingle-Jaccard verification at 0.8. The 100 TB shape end to
     * end: shingle explode is map-side; the signature groupBy partially
     * aggregates k mins; bands shuffle b keys per doc; the candidate join
-    * is equi on (band, bkey); the verifier only ever sees in-bucket pairs. */
+    * is equi on (band, bkey); the verifier only ever sees in-bucket pairs.
+    *
+    * The shingle table feeds three consumers (the signature pipeline and
+    * both sides of the verify join), so it is persisted MEMORY_AND_DISK —
+    * the same reuse pattern a real pipeline gets by checkpointing the
+    * signature table; without it the tokenize+shingle scan runs 3×. */
   private def dedupLshPairs(s: SparkSession, d: String): DataFrame = {
     val sets = shingled(s, d)
-    val cand = lshCandidates(s, d)
+    val cand = lshCandidatesFrom(sets)
     val sa = sets.select(col("doc_id").as("a_id"), col("shs").as("a_s"))
     val sb = sets.select(col("doc_id").as("b_id"), col("shs").as("b_s"))
     cand.join(sa, "a_id").join(sb, "b_id")
