@@ -1,0 +1,292 @@
+package graft.operators
+
+import graft.QueryPack
+import graft.sources.Tables._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-3 coverage widening — the remaining training-data-pipeline and
+  * scale-technique surfaces flagged by VERDICT r1/r2:
+  *
+  *  - `dedup_simhash_pairs`: SimHash near-dup PAIRS via a banded Hamming
+  *    join (VERDICT r1: "Hamming-bucket join is the natural next step").
+  *  - `text_lang_detect`: per-document language ID by character-bigram
+  *    profile scoring (the n-gram heuristic over `documents`).
+  *  - `join_skew_salted`: explicit salt-replicate join rewrite — the
+  *    whale-key mitigation AQE skew-join generalizes; proven
+  *    result-identical to the plain join by its oracle.
+  *  - `upsert_latest`: re-ingest merge (MorphL re-ingests GA days):
+  *    latest-version-wins compaction via one window pass.
+  *  - `agg_distinct_rewrite`: exact COUNT(DISTINCT) as a two-phase
+  *    group-then-count — the skew-proof spelling of distinct counting.
+  *
+  * Scale notes accompany each operator. All hashing is md5 (portable
+  * across engines — SURVEY App. A r5); no all-pairs joins anywhere.
+  */
+object QRound3 extends QueryPack {
+
+  private def docsToks(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").withColumn("toks", split(col("text"), " "))
+
+  // ---- SimHash near-dup pairs via banded Hamming join ----
+
+  /** 60-bit SimHash (wider than text_simhash's 16-bit display sketch: on a
+    * homogeneous corpus 16 bits collide into ~2k distinct values and the
+    * pair set degenerates — probed). Bit b of each token's md5-derived
+    * 60-bit hash votes ±1; the per-doc sign vector packs into one BIGINT.
+    * Shuffle shape: explode is map-side, groupBy(doc_id) partially
+    * aggregates the 60 vote sums, so the shuffle carries 60 ints per doc,
+    * not the token stream. */
+  private val shBits = 60
+  private val shBands = 4
+  private val shBandBits = 15 // 4 × 15 = 60
+  private val shMaxHamming = 3
+
+  private def simhash60(s: SparkSession, d: String): DataFrame = {
+    val h = conv(substring(md5(col("word").cast(BinaryType)), 1, 15), 16, 10)
+      .cast(LongType)
+    val bitSums: Seq[Column] = (0 until shBits).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"s$b")
+    }
+    val packed = (0 until shBits).map { b =>
+      when(col(s"s$b") >= 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    // repartition: the testdata parquet is one row group; one cheap shuffle
+    // of the raw text buys full-width parallelism for the 60-bit hash work
+    // (no-op shape on a real multi-file corpus — see QText.shingled).
+    docsToks(s, d).repartition(col("doc_id"))
+      .select(col("doc_id"), explode(col("toks")).as("word"))
+      .withColumn("h", h)
+      .groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), packed.as("simhash"))
+  }
+
+  /** Banded rows: one (band, bkey) per doc per band. */
+  private def bandedSimhash(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"), col("simhash"),
+      explode(array((0 until shBands).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * shBandBits)
+            .bitwiseAND(lit((1L << shBandBits) - 1)).as("bkey"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.bkey"))
+
+  /** Distinct candidate pairs from band collisions, BEFORE the Hamming
+    * filter — exposed for the spec asserting |candidates| ≪ N²/2. */
+  private[graft] def simhashCandidates(s: SparkSession, d: String): DataFrame = {
+    val banded = bandedSimhash(simhash60(s, d))
+    banded.select(col("band"), col("bkey"), col("doc_id").as("a_id"))
+      .join(banded.select(col("band"), col("bkey"), col("doc_id").as("b_id")),
+        Seq("band", "bkey"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+  }
+
+  /** 60-bit signatures — exposed for the spec's brute-force recall check. */
+  private[graft] def simhashTable(s: SparkSession, d: String): DataFrame =
+    simhash60(s, d)
+
+  /** Near-dup pairs at Hamming ≤ 3 WITHOUT an all-pairs join: split the 60
+    * bits into 4 bands of 15; by pigeonhole any pair within distance 3
+    * leaves ≥ 1 band untouched, so grouping on exact band values has
+    * guaranteed recall (the oracle IS the all-pairs spelling — a missed
+    * pair breaks the hash). Candidate work is the in-bucket pairs of 4
+    * uniform md5-keyed shuffles; the exact bit_count(xor) filter runs only
+    * inside buckets. A pair colliding in several bands dedups via
+    * groupBy(a_id, b_id). */
+  private def dedupSimhashPairs(s: SparkSession, d: String): DataFrame = {
+    val banded = bandedSimhash(simhash60(s, d))
+    val aS = banded.select(col("band"), col("bkey"),
+      col("doc_id").as("a_id"), col("simhash").as("a_sh"))
+    val bS = banded.select(col("band"), col("bkey"),
+      col("doc_id").as("b_id"), col("simhash").as("b_sh"))
+    aS.join(bS, Seq("band", "bkey"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        expr("CAST(bit_count(a_sh ^ b_sh) AS INT)").as("hamming"))
+      .filter(col("hamming") <= shMaxHamming)
+      .groupBy("a_id", "b_id").agg(min(col("hamming")).as("hamming"))
+      .orderBy("a_id", "b_id")
+  }
+
+  private val oDedupSimhashPairs = {
+    val bitSums = (0 until shBits).map { b =>
+      s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b"
+    }.mkString(",\n    ")
+    val packed = (0 until shBits)
+      .map(b => s"(CASE WHEN s$b >= 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH w AS (SELECT doc_id,
+       |    CAST(concat('0x', substr(md5(word), 1, 15)) AS BIGINT) AS h
+       |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents)),
+       |  b AS (SELECT doc_id,
+       |    $bitSums
+       |  FROM w GROUP BY doc_id),
+       |  sh AS (SELECT doc_id, CAST($packed AS BIGINT) AS simhash FROM b)
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |FROM sh a JOIN sh b
+       |  ON a.doc_id < b.doc_id
+       |  AND bit_count(xor(a.simhash, b.simhash)) <= $shMaxHamming
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
+  // ---- language ID by character-bigram profile scoring ----
+
+  /** Fixed character-bigram profiles (the classic n-gram language-ID
+    * heuristic, e.g. Cavnar-Trenkle): score(lang) = 1000 × (profile-bigram
+    * occurrences) / text length; argmax with a fixed precedence tiebreak.
+    * Per-row and embarrassingly parallel — no shuffle at all before the
+    * deterministic output sort. On the synthetic corpus the argmax is
+    * discriminating (probed: en 425 / de 46 / es 15 / fr 14 at sf0.01). */
+  private val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("th", "he", "er", "an"),
+    "fr" -> Seq("le", "re", "es", "ue"),
+    "de" -> Seq("ch", "ei", "ge", "st"),
+    "es" -> Seq("la", "os", "ue", "ta"))
+
+  private def textLangDetect(s: SparkSession, d: String): DataFrame = {
+    val scored = langProfiles.foldLeft(t(s, d, "documents")) {
+      case (df, (lang, bgs)) =>
+        val cnt = bgs.map { bg =>
+          (length(col("text")) - length(expr(s"replace(text, '$bg', '')"))) / lit(2)
+        }.reduce(_ + _)
+        df.withColumn(s"sc_$lang", trunc4(cnt * lit(1000) / length(col("text"))))
+    }
+    scored.select(
+      col("doc_id"),
+      when(col("sc_en") >= col("sc_fr") && col("sc_en") >= col("sc_de")
+          && col("sc_en") >= col("sc_es"), "en")
+        .when(col("sc_fr") >= col("sc_de") && col("sc_fr") >= col("sc_es"), "fr")
+        .when(col("sc_de") >= col("sc_es"), "de")
+        .otherwise("es").as("pred_lang"),
+      col("sc_en"), col("sc_fr"), col("sc_de"), col("sc_es"))
+      .orderBy("doc_id")
+  }
+
+  private val oTextLangDetect = {
+    val scores = langProfiles.map { case (lang, bgs) =>
+      val cnt = bgs
+        .map(bg => s"(length(text) - length(replace(text, '$bg', ''))) / 2")
+        .mkString(" + ")
+      s"${oTrunc4(s"($cnt) * 1000 / length(text)")} AS sc_$lang"
+    }.mkString(",\n    ")
+    s"""WITH sc AS (SELECT doc_id,
+       |    $scores
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CASE
+       |    WHEN sc_en >= sc_fr AND sc_en >= sc_de AND sc_en >= sc_es THEN 'en'
+       |    WHEN sc_fr >= sc_de AND sc_fr >= sc_es THEN 'fr'
+       |    WHEN sc_de >= sc_es THEN 'de'
+       |    ELSE 'es' END AS pred_lang,
+       |  sc_en, sc_fr, sc_de, sc_es
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- salted join (whale-key skew mitigation) ----
+
+  /** Click×purchase pairs per user via an explicitly salted join: the
+    * purchase side takes salt = pmod(event_id, 8) (deterministic, uniform);
+    * the click side replicates each row across all 8 salts. The join key
+    * becomes (user_id, salt), splitting any whale user's rows over 8
+    * reducers — the classic large-large skew rewrite that AQE's skew-join
+    * automates for sort-merge plans. The oracle is the PLAIN unsalted join:
+    * the rewrite must be result-identical. Replication factor trades
+    * parallelism for shuffle volume; 8 is illustrative, a real pipeline
+    * sizes it to the observed whale/median ratio. */
+  private val saltN = 8
+
+  private def joinSkewSalted(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"))
+      .withColumn("salt", pmod(col("p_id"), lit(saltN)).cast(IntegerType))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("c_id"))
+      .withColumn("salt", explode(sequence(lit(0), lit(saltN - 1))))
+    p.join(c, Seq("user_id", "salt"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"), min(col("c_id")).as("first_click"))
+      .orderBy("user_id")
+  }
+
+  private val oJoinSkewSalted =
+    """SELECT p.user_id, count(*) AS n_pairs, min(c.event_id) AS first_click
+      |FROM (SELECT user_id, event_id FROM events WHERE event_type='purchase') p
+      |JOIN (SELECT user_id, event_id FROM events WHERE event_type='click') c
+      |  ON p.user_id = c.user_id
+      |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin
+
+  // ---- re-ingest upsert: latest version wins ----
+
+  /** MERGE-on-read compaction (MorphL re-ingests GA days; re-delivered
+    * events must replace, not duplicate). A re-ingest batch (here: the
+    * deterministic 10% slice event_id % 10 = 3, values restated ×2) unions
+    * with the base table tagged by version; latest-wins is one window pass
+    * partitioned by event_id — uniform keys, one shuffle, O(1) state per
+    * key. This is the standard Spark-without-table-format upsert; with
+    * daily partition pruning the window only ever re-reads the restated
+    * partitions. */
+  private def upsertLatest(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events").select("event_id", "event_type", "value")
+    val v1 = ev.withColumn("version", lit(1))
+    val v2 = ev.filter(pmod(col("event_id"), lit(10)) === 3)
+      .withColumn("value", col("value") * 2).withColumn("version", lit(2))
+    val w = Window.partitionBy("event_id").orderBy(col("version").desc)
+    v1.unionByName(v2)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum4(col("value")).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  private val oUpsertLatest =
+    s"""WITH v1 AS (SELECT event_id, event_type, value, 1 AS version FROM events),
+       |  v2 AS (SELECT event_id, event_type, value * 2 AS value, 2 AS version
+       |         FROM events WHERE event_id % 10 = 3),
+       |  u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2),
+       |  l AS (SELECT *, row_number() OVER (
+       |    PARTITION BY event_id ORDER BY version DESC) AS rn FROM u)
+       |SELECT event_type, count(*) AS n, ${oSum4("value")} AS sum_value
+       |FROM l WHERE rn = 1 GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---- two-phase exact distinct ----
+
+  /** Exact COUNT(DISTINCT user_id) per event_type spelled as
+    * dedup-then-count: the first aggregate dedups on the composite
+    * (event_type, user_id) key — partial aggregation dedups map-side and
+    * the shuffle spreads over the full composite key space, so one hot
+    * event_type cannot pin the job to one reducer the way the direct
+    * distinct-aggregate's per-group collection can. The second count is a
+    * near-free rollup. This is the skew-proof spelling of
+    * agg_count_distinct (same semantics, different plan). */
+  private def aggDistinctRewrite(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .select("event_type", "user_id").distinct()
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("event_type")
+
+  private val oAggDistinctRewrite =
+    """SELECT event_type, count(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val queries: Map[String, QFn] = Map(
+    "dedup_simhash_pairs"  -> dedupSimhashPairs _,
+    "text_lang_detect"     -> textLangDetect _,
+    "join_skew_salted"     -> joinSkewSalted _,
+    "upsert_latest"        -> upsertLatest _,
+    "agg_distinct_rewrite" -> aggDistinctRewrite _)
+
+  val oracles: Map[String, String] = Map(
+    "dedup_simhash_pairs"  -> oDedupSimhashPairs,
+    "text_lang_detect"     -> oTextLangDetect,
+    "join_skew_salted"     -> oJoinSkewSalted,
+    "upsert_latest"        -> oUpsertLatest,
+    "agg_distinct_rewrite" -> oAggDistinctRewrite)
+}

@@ -79,6 +79,28 @@ object QStreaming extends QueryPack {
     * express. Batch form emits open trailing sessions too, which makes it
     * fully DuckDB-oracle-able (gaps-and-islands, then each island split
     * into cap-sized chunks). */
+  /** Stream-stream interval join (click→purchase attribution): purchases
+    * joined to same-user clicks in the preceding hour. The transform is
+    * batch/stream shared; under streaming both sides carry watermarks and
+    * the time-bounded condition lets the state store evict clicks older
+    * than the interval (StreamingSpec drives it with two MemoryStreams).
+    * Scale: one shuffle per side on user_id, state bounded by
+    * watermark + 1h per user. */
+  private def streamStreamJoin(s: SparkSession, d: String): DataFrame =
+    StreamOps.clickPurchaseJoin(
+      t(s, d, "events"), t(s, d, "events"), watermarked = false)
+      .orderBy("p_id", "c_id")
+
+  private val oStreamStreamJoin =
+    """SELECT p.event_id AS p_id, c.event_id AS c_id,
+      |  CAST(p.ts AS TIMESTAMP) AS p_ts,
+      |  CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS secs_before
+      |FROM (SELECT * FROM events WHERE event_type='purchase') p
+      |JOIN (SELECT * FROM events WHERE event_type='click') c
+      |  ON p.user_id = c.user_id
+      |  AND c.ts > p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+      |ORDER BY p_id, c_id""".stripMargin
+
   private def streamSessionCustom(s: SparkSession, d: String): DataFrame =
     CustomSessions.sessionizeCapped(t(s, d, "events"),
       gapMinutes = 30, cap = 5, emitOpen = true)
@@ -104,6 +126,7 @@ object QStreaming extends QueryPack {
     "stream_session_window"  -> streamSessionWindow _,
     "stream_session_custom"  -> streamSessionCustom _,
     "stream_dedup_ids"       -> streamDedupIds _,
+    "stream_stream_join"     -> streamStreamJoin _,
     "stream_late_data"       -> streamLateData _)
 
   val oracles: Map[String, String] = Map(
@@ -111,7 +134,8 @@ object QStreaming extends QueryPack {
     "stream_sliding_agg"     -> oStreamSlidingAgg,
     "stream_session_window"  -> oStreamSessionWindow,
     "stream_session_custom"  -> oStreamSessionCustom,
-    "stream_dedup_ids"       -> oStreamDedupIds)
+    "stream_dedup_ids"       -> oStreamDedupIds,
+    "stream_stream_join"     -> oStreamStreamJoin)
 }
 
 /** Batch/stream-agnostic transforms: apply to a batch DataFrame for the
@@ -150,6 +174,28 @@ object StreamOps {
       .groupBy(window(col("ts"), "10 minutes").as("w"))
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("win_start"), col("n"))
+
+  /** Purchases ⋈ same-user clicks within the preceding hour. `purchases`
+    * and `clicks` may be the same DataFrame (batch) or two streams; with
+    * `watermarked = true` both sides get the watermarks Spark requires to
+    * bound stream-stream join state. */
+  def clickPurchaseJoin(purchases: DataFrame, clicks: DataFrame,
+      watermarked: Boolean): DataFrame = {
+    def wm(df: DataFrame): DataFrame =
+      if (watermarked) df.withWatermark("ts", "1 hour") else df
+    val p = wm(purchases).filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+    val c = wm(clicks).filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("c_id"),
+        col("ts").as("c_ts"))
+    p.join(c,
+        col("user_id") === col("c_user") &&
+          col("c_ts") > col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") <= col("p_ts"))
+      .select(col("p_id"), col("c_id"), col("p_ts"),
+        (unix_timestamp(col("p_ts")) - unix_timestamp(col("c_ts")))
+          .as("secs_before"))
+  }
 }
 
 /** Custom stateful sessionization — the `flatMapGroupsWithState` extension

@@ -1,0 +1,115 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamOps
+
+/** Round-3 operator invariants the DuckDB oracle cannot (or should not)
+  * express: banding recall vs brute force, rewrite-equivalence of the
+  * salted join and two-phase distinct, upsert effect size, and the
+  * stream-stream join's streaming/batch equivalence. */
+class Round3Spec extends SparkSpec {
+
+  test("simhash banding: exact recall vs brute-force all-pairs truth") {
+    val banded = SparkEntry.queries("dedup_simhash_pairs")(spark, sf)
+      .select("a_id", "b_id", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val sh = graft.operators.QRound3.simhashTable(spark, sf)
+    val brute = sh.as("a").join(sh.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        expr("CAST(bit_count(a.simhash ^ b.simhash) AS INT)").as("h"))
+      .filter(col("h") <= 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded === brute,
+      s"banding lost ${(brute -- banded).size} pairs / invented ${(banded -- brute).size}")
+    assert(brute.nonEmpty, "degenerate test: no near-dup pairs at all")
+  }
+
+  test("simhash banding: candidate count << N^2/2") {
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    val candidates =
+      graft.operators.QRound3.simhashCandidates(spark, sf).count()
+    assert(candidates < nDocs * (nDocs - 1) / 2 / 10,
+      s"candidates $candidates not << all-pairs ${nDocs * (nDocs - 1) / 2}")
+  }
+
+  test("lang detect is discriminating (argmax varies across docs)") {
+    val langs = SparkEntry.queries("text_lang_detect")(spark, sf)
+      .select("pred_lang").distinct().count()
+    assert(langs >= 2, s"only $langs predicted class(es) — non-discriminating")
+  }
+
+  test("salted join == plain unsalted join") {
+    val ev = graft.sources.Tables.t(spark, sf, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("c_id"))
+    val plain = p.join(c, Seq("user_id"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"), min(col("c_id")).as("first_click"))
+      .orderBy("user_id").collect()
+    val salted = SparkEntry.queries("join_skew_salted")(spark, sf).collect()
+    assert(salted.toSeq === plain.toSeq)
+  }
+
+  test("two-phase distinct == direct countDistinct") {
+    val ev = graft.sources.Tables.t(spark, sf, "events")
+    val direct = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("event_type").collect()
+    val rewritten =
+      SparkEntry.queries("agg_distinct_rewrite")(spark, sf).collect()
+    assert(rewritten.toSeq === direct.toSeq)
+  }
+
+  test("upsert: restated 10% slice takes effect, row count unchanged") {
+    val ev = graft.sources.Tables.t(spark, sf, "events")
+    val base = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n")).orderBy("event_type")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val up = SparkEntry.queries("upsert_latest")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // latest-wins: same cardinality as the base table (replace, not append)
+    up.foreach { case (et, n, _) => assert(n === base(et), s"$et cardinality") }
+    // restated values are strictly larger than the un-restated sum
+    val baseSum = ev.groupBy("event_type")
+      .agg(graft.sources.Tables.sum4(col("value")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    up.foreach { case (et, _, s) =>
+      assert(s > baseSum(et), s"$et: restatement had no effect")
+    }
+  }
+
+  test("stream-stream interval join: two MemoryStreams == batch") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    def ev(id: Long, t: String, typ: String, user: Long): Ev =
+      Ev(id, Timestamp.valueOf(t), user, typ, 1.0, "{}")
+    val clicks = Seq(
+      ev(1, "2024-01-01 10:00:00", "click", 7),
+      ev(2, "2024-01-01 10:40:00", "click", 7),
+      ev(3, "2024-01-01 08:00:00", "click", 7), // > 1h before: excluded
+      ev(4, "2024-01-01 10:30:00", "click", 9)) // other user: excluded
+    val purchases = Seq(
+      ev(10, "2024-01-01 10:45:00", "purchase", 7),
+      ev(11, "2024-01-01 12:00:00", "purchase", 7)) // no clicks in window
+    val msP = MemoryStream[Ev]; val msC = MemoryStream[Ev]
+    msP.addData(purchases); msC.addData(clicks)
+    val q = StreamOps
+      .clickPurchaseJoin(msP.toDF(), msC.toDF(), watermarked = true)
+      .writeStream.format("memory").queryName("ssj")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("ssj").orderBy("p_id", "c_id").collect()
+    val batch = StreamOps.clickPurchaseJoin(
+        (purchases ++ clicks).toDF(), (purchases ++ clicks).toDF(),
+        watermarked = false)
+      .orderBy("p_id", "c_id").collect()
+    assert(streamed.toSeq === batch.toSeq)
+    assert(streamed.map(r => (r.getLong(0), r.getLong(1))).toSeq
+      === Seq((10L, 1L), (10L, 2L)))
+  }
+}
