@@ -255,6 +255,52 @@ object QRound3 extends QueryPack {
        |SELECT event_type, count(*) AS n, ${oSum4("value")} AS sum_value
        |FROM l WHERE rn = 1 GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---- CSV / JSON source formats (roundtrip through the parquet truth) ----
+
+  /** CSV source surface: write `customer` out as headered CSV, read it back
+    * with an EXPLICIT schema (schema inference is a full extra pass over
+    * the data at 100 TB — never infer in production), aggregate. The
+    * oracle aggregates the original parquet, so any quoting/escaping/
+    * type-roundtrip defect in either direction breaks the hash. Doubles
+    * survive exactly: Spark writes Java's shortest-roundtrip repr. */
+  private def scanCsvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv_").toString
+    t(s, d, "customer").write.mode("overwrite")
+      .option("header", "true").csv(dir)
+    s.read
+      .schema("c_custkey BIGINT, c_name STRING, c_nationkey INT, " +
+        "c_acctbal DOUBLE, c_mktsegment STRING")
+      .option("header", "true").csv(dir)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), sum4(col("c_acctbal")).as("sum_bal"),
+        min(col("c_name")).as("first_name"))
+      .orderBy("c_mktsegment")
+  }
+
+  private val oScanCsvRoundtrip =
+    s"""SELECT c_mktsegment, count(*) AS n, ${oSum4("c_acctbal")} AS sum_bal,
+       |  min(c_name) AS first_name
+       |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** JSON-lines source surface: same roundtrip contract over `part`. */
+  private def scanJsonRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_json_").toString
+    t(s, d, "part").write.mode("overwrite").json(dir)
+    s.read
+      .schema("p_partkey BIGINT, p_name STRING, p_brand STRING, " +
+        "p_type STRING, p_size INT, p_retailprice DOUBLE")
+      .json(dir)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"), sum4(col("p_retailprice")).as("sum_price"),
+        max(col("p_size")).as("max_size"))
+      .orderBy("p_brand")
+  }
+
+  private val oScanJsonRoundtrip =
+    s"""SELECT p_brand, count(*) AS n, ${oSum4("p_retailprice")} AS sum_price,
+       |  max(p_size) AS max_size
+       |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
   // ---- two-phase exact distinct ----
 
   /** Exact COUNT(DISTINCT user_id) per event_type spelled as
@@ -281,12 +327,16 @@ object QRound3 extends QueryPack {
     "text_lang_detect"     -> textLangDetect _,
     "join_skew_salted"     -> joinSkewSalted _,
     "upsert_latest"        -> upsertLatest _,
-    "agg_distinct_rewrite" -> aggDistinctRewrite _)
+    "agg_distinct_rewrite" -> aggDistinctRewrite _,
+    "scan_csv_roundtrip"   -> scanCsvRoundtrip _,
+    "scan_json_roundtrip"  -> scanJsonRoundtrip _)
 
   val oracles: Map[String, String] = Map(
     "dedup_simhash_pairs"  -> oDedupSimhashPairs,
     "text_lang_detect"     -> oTextLangDetect,
     "join_skew_salted"     -> oJoinSkewSalted,
     "upsert_latest"        -> oUpsertLatest,
-    "agg_distinct_rewrite" -> oAggDistinctRewrite)
+    "agg_distinct_rewrite" -> oAggDistinctRewrite,
+    "scan_csv_roundtrip"   -> oScanCsvRoundtrip,
+    "scan_json_roundtrip"  -> oScanJsonRoundtrip)
 }

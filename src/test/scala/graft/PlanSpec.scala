@@ -53,4 +53,28 @@ class PlanSpec extends SparkSpec {
     val p = plan("limit_topk")
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("simhash pair mining never falls back to a cartesian/BNL join") {
+    val p = plan("dedup_simhash_pairs")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"BNLJ in:\n$p")
+  }
+
+  test("salted join keys on (user_id, salt), not a broadcast replicate") {
+    val p = plan("join_skew_salted")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    assert(p.contains("salt"), s"salt missing from join key in:\n$p")
+  }
+
+  test("lang detect plan is scan -> project -> sort (no shuffle before sort)") {
+    val p = plan("text_lang_detect")
+    assert(!p.contains("HashAggregate"), s"unexpected aggregate in:\n$p")
+    assert(!p.contains("Join"), s"unexpected join in:\n$p")
+  }
+
+  test("stream-stream join batch form is a single equi-join with range residual") {
+    val p = plan("stream_stream_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi fallback in:\n$p")
+  }
 }

@@ -83,6 +83,26 @@ class Round3Spec extends SparkSpec {
     }
   }
 
+  test("bucketed tables co-locate the join: no Exchange in the plan") {
+    val tbl = graft.sources.Tables.t(spark, sf, _: String)
+    tbl("orders").write.mode("overwrite")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("orders_b")
+    tbl("customer").write.mode("overwrite")
+      .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable("customer_b")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("orders_b").join(spark.table("customer_b"),
+        col("o_custkey") === col("c_custkey"))
+      val p = j.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        s"bucketed join still shuffles:\n$p")
+      val plain = tbl("orders").join(tbl("customer"),
+        col("o_custkey") === col("c_custkey")).count()
+      assert(j.count() === plain)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("stream-stream interval join: two MemoryStreams == batch") {
     import spark.implicits._
     implicit val sql = spark.sqlContext

@@ -11,6 +11,8 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
+    .config("spark.sql.warehouse.dir",
+      s"/tmp/graft_warehouse_${ProcessHandle.current().pid()}")
     .getOrCreate()
 
   val sf: String = "/root/testdata/sf0.001"
