@@ -76,6 +76,119 @@ object Multimodal {
     }
   }
 
+  // ---- multi-frame ("video") payloads: concatenated P6 frames ----
+
+  /** Parse one P6 frame starting at `start`; returns (w, h, pixel-byte sum,
+    * offset past the frame) or None. Shares the grammar with decodePpm but
+    * keeps the EXACT integer pixel sum so downstream statistics can defer
+    * the single lossy division to the very end (cross-engine hash safety).
+    */
+  private def decodeP6At(p: Array[Byte], start: Int): Option[(Int, Int, Long, Int)] = {
+    var i = start
+    def skipWsAndComments(): Unit = {
+      var more = true
+      while (more && i < p.length) {
+        val c = p(i).toChar
+        if (c == '#') { while (i < p.length && p(i) != '\n') i += 1 }
+        else if (c.isWhitespace) i += 1
+        else more = false
+      }
+    }
+    def readInt(): Option[Int] = {
+      skipWsAndComments()
+      val s = i
+      while (i < p.length && p(i) >= '0' && p(i) <= '9') i += 1
+      if (i == s || i - s > 9) None
+      else Some(new String(p, s, i - s, "US-ASCII").toInt)
+    }
+    if (p.length - start < 2 || p(start) != 'P' || p(start + 1) != '6') return None
+    i = start + 2
+    val header = for {
+      w <- readInt()
+      h <- readInt()
+      maxval <- readInt()
+      if w > 0 && h > 0 && maxval > 0 && maxval <= 255
+      if i < p.length && p(i).toChar.isWhitespace
+    } yield (w, h)
+    header.flatMap { case (w, h) =>
+      i += 1
+      val n = 3L * w * h
+      if (n > Int.MaxValue || p.length - i < n) None
+      else {
+        var acc = 0L
+        var j = i
+        val end = i + n.toInt
+        while (j < end) { acc += (p(j) & 0xff); j += 1 }
+        Some((w, h, acc, end))
+      }
+    }
+  }
+
+  /** All frames of a concatenated-P6 payload (w, h, pixel sum) in order;
+    * stops at the first malformed frame. */
+  def decodeFrames(p: Array[Byte]): Vector[(Int, Int, Long)] = {
+    val out = Vector.newBuilder[(Int, Int, Long)]
+    var off = 0
+    var ok = true
+    while (ok && off < p.length) decodeP6At(p, off) match {
+      case Some((w, h, sum, end)) => out += ((w, h, sum)); off = end
+      case None => ok = false
+    }
+    out.result()
+  }
+
+  /** Deterministic synthetic multi-frame payload: 2 + id%4 frames with
+    * per-video dims; pixel byte = (id·31 + f·13 + i·7) mod 256 — every
+    * byte reproducible, so the oracle can recompute frame statistics
+    * analytically from this formula. */
+  def synthVideo(id: Long): Array[Byte] = {
+    val w = 4 + (id % 5).toInt
+    val h = 3 + (id % 4).toInt
+    val nFrames = 2 + (id % 4).toInt
+    val bos = new java.io.ByteArrayOutputStream()
+    var f = 0
+    while (f < nFrames) {
+      bos.write(s"P6\n$w $h\n255\n".getBytes("US-ASCII"))
+      val px = new Array[Byte](w * h * 3)
+      var i = 0
+      while (i < px.length) {
+        px(i) = ((id * 31 + f * 13 + i * 7) % 256).toByte; i += 1
+      }
+      bos.write(px)
+      f += 1
+    }
+    bos.toByteArray
+  }
+
+  case class VideoFeatures(media_id: Long, n_frames: Int, n_sampled: Int,
+      brightness: Double)
+
+  /** Frame sampling: decode every `every`-th frame (0, every, 2·every, …),
+    * per-partition batches. Mean brightness over the sampled frames is
+    * computed from exact integer pixel sums with ONE final division —
+    * deterministic across partitionings and engines. */
+  def sampleFrames(media: Dataset[MediaRow], every: Int): Dataset[VideoFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val frames = decodeFrames(r.payload)
+      val sampled = frames.zipWithIndex.collect {
+        case (fr, idx) if idx % every == 0 => fr
+      }
+      val nPx = sampled.map { case (w, h, _) => 3L * w * h }.sum
+      val sum = sampled.map(_._3).sum
+      VideoFeatures(r.media_id, frames.size, sampled.size,
+        if (nPx == 0) 0.0 else sum.toDouble / (nPx * 255L))
+    })
+  }
+
+  /** Media lake of synthesized multi-frame payloads keyed by doc_id. */
+  def videosFromDocuments(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => MediaRow(id, synthVideo(id), "video")))
+  }
+
   /** Deterministic synthetic P6 payload (no codec libs in the container, so
     * the fixture generator lives here): dims derived from the id, pixel
     * bytes from a (id, offset) formula — every byte reproducible. */

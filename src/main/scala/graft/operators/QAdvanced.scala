@@ -82,13 +82,40 @@ object QAdvanced extends QueryPack {
        |  ${oTrunc4("CAST(SUM((doc_id*31 + i*7) % 256) AS DOUBLE)/(width*height*3)/255")} AS brightness
        |FROM px GROUP BY doc_id, width, height ORDER BY media_id""".stripMargin
 
+  /** Frame sampling over multi-frame ("video") payloads: decode every 2nd
+    * frame of each concatenated-P6 payload and report exact sampled-frame
+    * statistics. The oracle recomputes the same statistics analytically
+    * from the synthesis formula — a frame-boundary or sampling-stride bug
+    * shifts every downstream byte and breaks the hash. */
+  private def mmFrameSample(s: SparkSession, d: String): DataFrame =
+    Multimodal.sampleFrames(Multimodal.videosFromDocuments(s, d), every = 2)
+      .select(col("media_id"), col("n_frames"), col("n_sampled"),
+        trunc4(col("brightness")).as("brightness"))
+      .orderBy("media_id")
+
+  private val oMmFrameSample =
+    s"""WITH d AS (SELECT doc_id, CAST(4 + doc_id % 5 AS INT) AS w,
+       |             CAST(3 + doc_id % 4 AS INT) AS h,
+       |             CAST(2 + doc_id % 4 AS INT) AS nf FROM documents),
+       |  f AS (SELECT doc_id, w, h, nf,
+       |          unnest(generate_series(0, nf - 1)) AS fr FROM d),
+       |  sfr AS (SELECT * FROM f WHERE fr % 2 = 0),
+       |  px AS (SELECT doc_id, w, h, nf, fr,
+       |           unnest(generate_series(0, w*h*3 - 1)) AS i FROM sfr)
+       |SELECT doc_id AS media_id, nf AS n_frames,
+       |  CAST(count(DISTINCT fr) AS INT) AS n_sampled,
+       |  ${oTrunc4("CAST(SUM((doc_id*31 + fr*13 + i*7) % 256) AS DOUBLE) / (count(*) * 255)")} AS brightness
+       |FROM px GROUP BY doc_id, nf ORDER BY media_id""".stripMargin
+
   val queries: Map[String, QFn] = Map(
-    "udaf_geomean"   -> udafGeomean _,
-    "mm_binary_meta" -> mmBinaryMeta _,
-    "mm_decode_ppm"  -> mmDecodePpm _)
+    "udaf_geomean"    -> udafGeomean _,
+    "mm_binary_meta"  -> mmBinaryMeta _,
+    "mm_decode_ppm"   -> mmDecodePpm _,
+    "mm_frame_sample" -> mmFrameSample _)
 
   val oracles: Map[String, String] = Map(
-    "udaf_geomean"   -> oUdafGeomean,
-    "mm_binary_meta" -> oMmBinaryMeta,
-    "mm_decode_ppm"  -> oMmDecodePpm)
+    "udaf_geomean"    -> oUdafGeomean,
+    "mm_binary_meta"  -> oMmBinaryMeta,
+    "mm_decode_ppm"   -> oMmDecodePpm,
+    "mm_frame_sample" -> oMmFrameSample)
 }

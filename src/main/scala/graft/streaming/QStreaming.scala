@@ -101,6 +101,19 @@ object QStreaming extends QueryPack {
       |  AND c.ts > p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
       |ORDER BY p_id, c_id""".stripMargin
 
+  /** transformWithState surface (Spark 4 arbitrary state): per-user running
+    * purchase counter — see TwsRunning. Oracle: row_number over the same
+    * ordering. */
+  private def streamTwsRunning(s: SparkSession, d: String): DataFrame =
+    TwsRunning.runningPurchaseCount(t(s, d, "events"))
+      .orderBy("user_id", "ts")
+
+  private val oStreamTwsRunning =
+    """SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+      |  row_number() OVER (PARTITION BY user_id ORDER BY ts) AS run_n
+      |FROM events WHERE event_type = 'purchase'
+      |ORDER BY user_id, ts""".stripMargin
+
   private def streamSessionCustom(s: SparkSession, d: String): DataFrame =
     CustomSessions.sessionizeCapped(t(s, d, "events"),
       gapMinutes = 30, cap = 5, emitOpen = true)
@@ -127,6 +140,7 @@ object QStreaming extends QueryPack {
     "stream_session_custom"  -> streamSessionCustom _,
     "stream_dedup_ids"       -> streamDedupIds _,
     "stream_stream_join"     -> streamStreamJoin _,
+    "stream_tws_running"     -> streamTwsRunning _,
     "stream_late_data"       -> streamLateData _)
 
   val oracles: Map[String, String] = Map(
@@ -135,7 +149,8 @@ object QStreaming extends QueryPack {
     "stream_session_window"  -> oStreamSessionWindow,
     "stream_session_custom"  -> oStreamSessionCustom,
     "stream_dedup_ids"       -> oStreamDedupIds,
-    "stream_stream_join"     -> oStreamStreamJoin)
+    "stream_stream_join"     -> oStreamStreamJoin,
+    "stream_tws_running"     -> oStreamTwsRunning)
 }
 
 /** Batch/stream-agnostic transforms: apply to a batch DataFrame for the

@@ -103,6 +103,27 @@ class Round3Spec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("transformWithState running count: state persists across micro-batches") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    def ev(id: Long, t: String, user: Long): Ev =
+      Ev(id, Timestamp.valueOf(t), user, "purchase", 1.0, "{}")
+    val ms = MemoryStream[Ev]
+    val q = graft.streaming.TwsRunning.runningPurchaseCount(ms.toDF())
+      .writeStream.format("memory").queryName("tws")
+      .outputMode("append").start()
+    ms.addData(ev(1, "2024-01-01 10:00:00", 7), ev(2, "2024-01-01 10:05:00", 7))
+    q.processAllAvailable()
+    // second micro-batch: the counter must continue from state (3, 4), and
+    // a new user starts at 1
+    ms.addData(ev(3, "2024-01-01 10:10:00", 7), ev(4, "2024-01-01 10:15:00", 7),
+      ev(5, "2024-01-01 10:20:00", 9))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("tws").orderBy("user_id", "ts")
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.toSeq === Seq((7L, 1L), (7L, 2L), (7L, 3L), (7L, 4L), (9L, 1L)))
+  }
+
   test("stream-stream interval join: two MemoryStreams == batch") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
