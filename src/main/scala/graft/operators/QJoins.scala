@@ -204,7 +204,35 @@ object QJoins extends QueryPack {
       |ON p.user_id = c.user_id AND p.ts > c.ts
       |ORDER BY p.event_id""".stripMargin
 
+  /** The same as-of semantics as join_asof, computed by the custom
+    * AsofLookupExec operator (logical node + strategy + one-pass
+    * co-partitioned merge exec — see org.apache.spark.sql.graft.AsofLookup)
+    * instead of the union + running-max window trick. Same oracle SQL as
+    * join_asof modulo column names; Round3Spec additionally asserts the two
+    * spellings agree row for row and PlanSpec asserts the custom exec is in
+    * the plan. */
+  private def joinAsofCustom(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "events")
+    val p = e.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    org.apache.spark.sql.graft.AsofJoin
+      .lookup(p, c, "user_id", "ts", "c_user", "c_ts", "last_click_ts")
+      .orderBy("event_id")
+      .select("event_id", "user_id", "ts", "last_click_ts")
+  }
+
+  private val oJoinAsofCustom =
+    """SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts,
+      |  CAST(c.ts AS TIMESTAMP) AS last_click_ts
+      |FROM (SELECT * FROM events WHERE event_type='purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='click') c
+      |ON p.user_id = c.user_id AND p.ts > c.ts
+      |ORDER BY p.event_id""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "join_asof_custom"   -> joinAsofCustom _,
     "join_inner_hash"    -> joinInnerHash _,
     "join_broadcast_dim" -> joinBroadcastDim _,
     "join_left_outer"    -> joinLeftOuter _,
@@ -224,5 +252,6 @@ object QJoins extends QueryPack {
     "join_anti"          -> oJoinAnti,
     "join_cross"         -> oJoinCross,
     "join_theta_range"   -> oJoinThetaRange,
-    "join_asof"          -> oJoinAsof)
+    "join_asof"          -> oJoinAsof,
+    "join_asof_custom"   -> oJoinAsofCustom)
 }

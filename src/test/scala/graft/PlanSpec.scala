@@ -72,6 +72,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"unexpected join in:\n$p")
   }
 
+  test("custom as-of plans AsofLookupExec with no window or union") {
+    val p = plan("join_asof_custom")
+    assert(p.contains("AsofLookup"), s"custom exec missing from:\n$p")
+    assert(!p.contains("Window"), s"window fallback in:\n$p")
+    assert(!p.contains("Union"), s"union fallback in:\n$p")
+  }
+
   test("stream-stream join batch form is a single equi-join with range residual") {
     val p = plan("stream_stream_join")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

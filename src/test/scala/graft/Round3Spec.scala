@@ -83,6 +83,13 @@ class Round3Spec extends SparkSpec {
     }
   }
 
+  test("custom AsofLookupExec == window-trick as-of spelling") {
+    val viaExec = SparkEntry.queries("join_asof_custom")(spark, sf).collect()
+    val viaWindow = SparkEntry.queries("join_asof")(spark, sf).collect()
+    assert(viaExec.toSeq === viaWindow.toSeq)
+    assert(viaExec.nonEmpty)
+  }
+
   test("bucketed tables co-locate the join: no Exchange in the plan") {
     val tbl = graft.sources.Tables.t(spark, sf, _: String)
     tbl("orders").write.mode("overwrite")
