@@ -14,7 +14,11 @@ class HarnessSpec extends SparkSpec {
     "agg_group_q1", "agg_stats", "udaf_geomean", "emb_centroid",
     "dedup_lsh_pairs", "dedup_emb_cosine", "sim_ann_kmeans",
     "stream_session_custom", "agg_percentile", "win_theta_rewrite",
-    "gen_date_spine", "scan_sample_hash")
+    "gen_date_spine", "scan_sample_hash",
+    // round 3: banded Hamming join, salted-join rewrite, latest-wins
+    // window, TWS stateful fold, custom merge-pass as-of exec
+    "dedup_simhash_pairs", "join_skew_salted", "upsert_latest",
+    "stream_tws_running", "join_asof_custom", "mm_frame_sample")
 
   probeKeys.foreach { key =>
     test(s"$key: identical at shuffle.partitions 1 and 32") {
