@@ -72,6 +72,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"unexpected join in:\n$p")
   }
 
+  test("hive-partitioned write, then partition-pruned read") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_part_").toString
+    graft.sources.Tables.t(spark, sf, "orders")
+      .withColumn("status", col("o_orderstatus"))
+      .write.mode("overwrite").partitionBy("status").parquet(dir)
+    val scan = spark.read.parquet(dir).filter(col("status") === "F")
+    val p = scan.queryExecution.executedPlan.toString
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("status") && pf.contains("= F"),
+      s"no partition pruning in: $pf")
+    val expected = graft.sources.Tables.t(spark, sf, "orders")
+      .filter(col("o_orderstatus") === "F").count()
+    assert(scan.count() === expected)
+  }
+
   test("custom as-of plans AsofLookupExec with no window or union") {
     val p = plan("join_asof_custom")
     assert(p.contains("AsofLookup"), s"custom exec missing from:\n$p")
