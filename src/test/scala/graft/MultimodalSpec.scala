@@ -52,6 +52,28 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodePpm(huge) === None)
   }
 
+  test("frame decoder: counts, truncation stops cleanly, brightness exact") {
+    import graft.operators.Multimodal
+    val id = 7L
+    val video = Multimodal.synthVideo(id)
+    val frames = Multimodal.decodeFrames(video)
+    assert(frames.size === 2 + (id % 4).toInt)
+    assert(frames.forall { case (w, h, _) =>
+      w == 4 + (id % 5).toInt && h == 3 + (id % 4).toInt })
+    // per-frame pixel sums match the synthesis formula exactly
+    frames.zipWithIndex.foreach { case ((w, h, sum), f) =>
+      val expected = (0 until w * h * 3).map(i => (id * 31 + f * 13 + i * 7) % 256).sum
+      assert(sum === expected, s"frame $f")
+    }
+    // truncating mid-frame drops only the trailing partial frame
+    val truncated = Multimodal.decodeFrames(video.dropRight(5))
+    assert(truncated.size === frames.size - 1)
+    assert(truncated === frames.dropRight(1))
+    // garbage after valid frames stops the scan without throwing
+    val garbage = Multimodal.decodeFrames(video ++ Array[Byte]('X', 'Y'))
+    assert(garbage === frames)
+  }
+
   test("synthesized PPM round-trips through the real decoder") {
     val feats = Multimodal.decodeAll(Multimodal.mediaFromPpm(spark, sf))
       .collect().map(f => f.media_id -> f).toMap
