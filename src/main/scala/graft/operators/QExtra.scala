@@ -263,7 +263,24 @@ object QExtra extends QueryPack {
       |SELECT CAST(s.day AS TIMESTAMP) AS day, coalesce(c.cnt, 0) AS n_orders
       |FROM s LEFT JOIN c ON s.day = c.day ORDER BY day""".stripMargin
 
+  /** Re-aggregatable sketch lifecycle — the 100 TB rollup pattern: build
+    * one HLL sketch per (event_type, day) partition, then MERGE sketches
+    * (hll_union_agg) instead of rescanning raw data for the coarser
+    * grouping. Sketch building and union are order-independent (register
+    * maxima), so the result is partitioning-deterministic. No DuckDB
+    * oracle (sketch internals differ across engines); Round3Spec gates the
+    * estimate within 2% of exact and HarnessSpec gates determinism. */
+  private def aggSketchUnion(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"),
+        count(lit(1)).as("n_days"))
+      .orderBy("event_type")
+
   val queries: Map[String, QFn] = Map(
+    "agg_sketch_union"  -> aggSketchUnion _,
     "agg_pivot"         -> aggPivot _,
     "agg_unpivot"       -> aggUnpivot _,
     "agg_percentile"    -> aggPercentile _,

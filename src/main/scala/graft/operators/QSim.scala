@@ -257,17 +257,46 @@ object QSim extends QueryPack {
        |SELECT qid, CAST(rnk AS INT) AS rnk, vec_id, score
        |FROM rk WHERE rnk <= $kmTop ORDER BY qid, rnk""".stripMargin
 
+  // ---- self-measuring ANN quality: recall@10 as a query ----
+
+  /** Per-query-vector recall@10 of the IVF/k-means ANN against the exact
+    * brute-force baseline, computed IN the engine (the production pattern:
+    * ship the recall dashboard as a query, not a notebook). Both inputs are
+    * the already-declared pipelines; the semi join + count is exact. Every
+    * query vector always recalls itself (its own cell is its nearest
+    * centroid, which is always probed), so no qid drops out of the join. */
+  private def simAnnRecall(s: SparkSession, d: String): DataFrame = {
+    val ann = simAnnKmeans(s, d).select(col("qid"), col("vec_id"))
+    val truth = simCosineTopk(s, d).select(col("qid"), col("vec_id"))
+    truth.join(ann, Seq("qid", "vec_id"), "left_semi")
+      .groupBy("qid")
+      .agg(count(lit(1)).as("hits"))
+      .select(col("qid"), col("hits"),
+        trunc4(col("hits") / lit(10.0)).as("recall"))
+      .orderBy("qid")
+  }
+
+  private val oSimAnnRecall =
+    s"""SELECT t.qid, count(*) AS hits,
+       |  ${oTrunc4("count(*) / 10.0")} AS recall
+       |FROM ($oSimCosineTopk) t
+       |JOIN ($oSimAnnKmeans) a
+       |  ON t.qid = a.qid AND t.vec_id = a.vec_id
+       |GROUP BY t.qid ORDER BY t.qid""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "sim_cosine_topk"  -> simCosineTopk _,
     "emb_centroid"     -> embCentroid _,
     "dedup_emb_cosine" -> dedupEmbCosine _,
     "sim_ann_ivf"      -> simAnnIvf _,
-    "sim_ann_kmeans"   -> simAnnKmeans _)
+    "sim_ann_kmeans"   -> simAnnKmeans _,
+    "sim_ann_recall"   -> simAnnRecall _)
 
   val oracles: Map[String, String] = Map(
     "sim_cosine_topk"  -> oSimCosineTopk,
     "emb_centroid"     -> oEmbCentroid,
     "dedup_emb_cosine" -> oDedupEmbCosine,
     "sim_ann_ivf"      -> oSimAnnIvf,
-    "sim_ann_kmeans"   -> oSimAnnKmeans)
+    "sim_ann_kmeans"   -> oSimAnnKmeans,
+    "sim_ann_recall"   -> oSimAnnRecall)
 }

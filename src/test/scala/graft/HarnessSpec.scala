@@ -18,7 +18,8 @@ class HarnessSpec extends SparkSpec {
     // round 3: banded Hamming join, salted-join rewrite, latest-wins
     // window, TWS stateful fold, custom merge-pass as-of exec
     "dedup_simhash_pairs", "join_skew_salted", "upsert_latest",
-    "stream_tws_running", "join_asof_custom", "mm_frame_sample")
+    "stream_tws_running", "join_asof_custom", "mm_frame_sample",
+    "agg_sketch_union", "sim_ann_recall")
 
   probeKeys.foreach { key =>
     test(s"$key: identical at shuffle.partitions 1 and 32") {

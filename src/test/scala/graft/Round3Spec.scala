@@ -83,6 +83,29 @@ class Round3Spec extends SparkSpec {
     }
   }
 
+  test("merged daily HLL sketches land within 2% of exact distinct counts") {
+    val approx = SparkEntry.queries("agg_sketch_union")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.sources.Tables.t(spark, sf, "events")
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, ex) =>
+      assert(math.abs(approx(k) - ex).toDouble / ex <= 0.02,
+        s"$k: ${approx(k)} vs $ex")
+    }
+  }
+
+  test("ANN recall query: every query vector recalls itself, recall in (0,1]") {
+    val rows = SparkEntry.queries("sim_ann_recall")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length === 20)
+    rows.foreach { case (qid, hits, recall) =>
+      assert(hits >= 1 && hits <= 10, s"qid $qid hits $hits")
+      assert(recall > 0.0 && recall <= 1.0, s"qid $qid recall $recall")
+    }
+  }
+
   test("custom AsofLookupExec == window-trick as-of spelling") {
     val viaExec = SparkEntry.queries("join_asof_custom")(spark, sf).collect()
     val viaWindow = SparkEntry.queries("join_asof")(spark, sf).collect()
