@@ -189,6 +189,79 @@ object Multimodal {
       .mapPartitions(_.map(id => MediaRow(id, synthVideo(id), "video")))
   }
 
+  // ---- audio: minimal RIFF/WAVE PCM ----
+
+  case class AudioFeatures(media_id: Long, sample_rate: Int, n_samples: Int,
+      mean_abs: Double)
+
+  /** Parse a minimal RIFF/WAVE mono 16-bit PCM payload: RIFF/WAVE magics,
+    * "fmt " chunk (PCM, channels, rate, bits), "data" chunk, then exact
+    * integer |amplitude| sum over the little-endian samples. Returns None
+    * unless the payload is exactly the canonical 44-byte-header mono
+    * 16-bit layout synthWav emits (real decoders handle more chunk
+    * orders; the parse here is nevertheless a true byte-level parse — any
+    * offset/endianness bug changes mean_abs and breaks the oracle hash). */
+  def decodeWav(p: Array[Byte]): Option[AudioFeatures] = {
+    def ascii(off: Int, s: String): Boolean =
+      p.length >= off + s.length && s.indices.forall(i => p(off + i) == s(i).toByte)
+    def le16(off: Int): Int = (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8)
+    def le32(off: Int): Int = le16(off) | (le16(off + 2) << 16)
+    if (p.length < 44 || !ascii(0, "RIFF") || !ascii(8, "WAVE") ||
+      !ascii(12, "fmt ") || le32(16) != 16 || le16(20) != 1 /* PCM */ ||
+      le16(22) != 1 /* mono */ || le16(34) != 16 /* bits */ ||
+      !ascii(36, "data")) return None
+    val rate = le32(24)
+    val dataLen = le32(40)
+    if (dataLen < 0 || dataLen % 2 != 0 || p.length - 44 < dataLen) return None
+    val n = dataLen / 2
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val v = le16(44 + 2 * i).toShort.toInt // sign-extend
+      acc += math.abs(v)
+      i += 1
+    }
+    Some(AudioFeatures(-1L, rate, n,
+      if (n == 0) 0.0 else acc.toDouble / (n.toLong * 1024L)))
+  }
+
+  /** Deterministic synthetic WAV: mono 16-bit PCM, 8 kHz, 64 + id%64
+    * samples, sample[i] = (id·37 + i·11) mod 2048 − 1024. */
+  def synthWav(id: Long): Array[Byte] = {
+    val n = 64 + (id % 64).toInt
+    val dataLen = n * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(8000).putInt(8000 * 2) // rate, byte rate
+      .putShort(2).putShort(16) // block align, bits
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < n) {
+      buf.putShort((((id * 37 + i * 11) % 2048) - 1024).toShort); i += 1
+    }
+    buf.array()
+  }
+
+  /** Per-partition batched audio decode over synthesized WAV payloads. */
+  def decodeAudio(media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      decodeWav(r.payload).map(_.copy(media_id = r.media_id))
+    })
+  }
+
+  /** Audio lake of synthesized WAV payloads keyed by doc_id. */
+  def audioFromDocuments(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => MediaRow(id, synthWav(id), "wav")))
+  }
+
   /** Deterministic synthetic P6 payload (no codec libs in the container, so
     * the fixture generator lives here): dims derived from the id, pixel
     * bytes from a (id, offset) formula — every byte reproducible. */

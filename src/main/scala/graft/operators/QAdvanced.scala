@@ -107,15 +107,34 @@ object QAdvanced extends QueryPack {
        |  ${oTrunc4("CAST(SUM((doc_id*31 + fr*13 + i*7) % 256) AS DOUBLE) / (count(*) * 255)")} AS brightness
        |FROM px GROUP BY doc_id, nf ORDER BY media_id""".stripMargin
 
+  /** Audio modality: synthesized RIFF/WAVE PCM payloads parsed by a real
+    * byte-level decoder (magics, fmt/data chunks, little-endian sign-
+    * extended samples); mean |amplitude| from an exact integer sum with
+    * one final division. Oracle recomputes from the synthesis formula. */
+  private def mmAudioWav(s: SparkSession, d: String): DataFrame =
+    Multimodal.decodeAudio(Multimodal.audioFromDocuments(s, d))
+      .select(col("media_id"), col("sample_rate"), col("n_samples"),
+        trunc4(col("mean_abs")).as("mean_abs"))
+      .orderBy("media_id")
+
+  private val oMmAudioWav =
+    s"""WITH d AS (SELECT doc_id, CAST(64 + doc_id % 64 AS INT) AS n FROM documents),
+       |  sm AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM d)
+       |SELECT doc_id AS media_id, 8000 AS sample_rate, n AS n_samples,
+       |  ${oTrunc4("CAST(SUM(ABS((doc_id*37 + i*11) % 2048 - 1024)) AS DOUBLE) / (n * 1024)")} AS mean_abs
+       |FROM sm GROUP BY doc_id, n ORDER BY media_id""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "udaf_geomean"    -> udafGeomean _,
     "mm_binary_meta"  -> mmBinaryMeta _,
     "mm_decode_ppm"   -> mmDecodePpm _,
-    "mm_frame_sample" -> mmFrameSample _)
+    "mm_frame_sample" -> mmFrameSample _,
+    "mm_audio_wav"    -> mmAudioWav _)
 
   val oracles: Map[String, String] = Map(
     "udaf_geomean"    -> oUdafGeomean,
     "mm_binary_meta"  -> oMmBinaryMeta,
     "mm_decode_ppm"   -> oMmDecodePpm,
-    "mm_frame_sample" -> oMmFrameSample)
+    "mm_frame_sample" -> oMmFrameSample,
+    "mm_audio_wav"    -> oMmAudioWav)
 }

@@ -74,6 +74,23 @@ class MultimodalSpec extends SparkSpec {
     assert(garbage === frames)
   }
 
+  test("WAV decoder: header fields, exact amplitude, malformed -> None") {
+    import graft.operators.Multimodal
+    val id = 13L
+    val wav = Multimodal.synthWav(id)
+    val f = Multimodal.decodeWav(wav).get
+    assert(f.sample_rate === 8000)
+    assert(f.n_samples === 64 + (id % 64).toInt)
+    val expected = (0 until f.n_samples)
+      .map(i => math.abs((id * 37 + i * 11) % 2048 - 1024)).sum
+    assert(f.mean_abs === expected.toDouble / (f.n_samples.toLong * 1024L))
+    // corrupted magic, truncated data plane, odd data length -> None
+    val bad = wav.clone(); bad(0) = 'X'
+    assert(Multimodal.decodeWav(bad).isEmpty)
+    assert(Multimodal.decodeWav(wav.dropRight(3)).isEmpty)
+    assert(Multimodal.decodeWav(Array[Byte]()).isEmpty)
+  }
+
   test("synthesized PPM round-trips through the real decoder") {
     val feats = Multimodal.decodeAll(Multimodal.mediaFromPpm(spark, sf))
       .collect().map(f => f.media_id -> f).toMap
