@@ -99,6 +99,14 @@ object QRound3 extends QueryPack {
     * inside buckets. A pair colliding in several bands dedups via
     * groupBy(a_id, b_id). */
   private def dedupSimhashPairs(s: SparkSession, d: String): DataFrame = {
+    // Self-join on the banded table: the signature aggregate runs once per
+    // side, but each side pipelines scan→hash→band→join with no barrier —
+    // measured faster cold AND warm than either persisting the signature
+    // table (cache write serializes the pipeline) or bucket-local
+    // collect_list pair generation (interpreted nested HOF). At 100 TB the
+    // signature table would be written once (checkpoint/table) and both
+    // sides would read it — the LSH key (QText.dedupLshPairs) demonstrates
+    // that reuse pattern.
     val banded = bandedSimhash(simhash60(s, d))
     val aS = banded.select(col("band"), col("bkey"),
       col("doc_id").as("a_id"), col("simhash").as("a_sh"))

@@ -46,6 +46,14 @@ object TwsRunning {
   def runningPurchaseCount(events: DataFrame): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
+    // transformWithState requires the RocksDB state store (the HDFS-backed
+    // default lacks the column-family support TWS state uses) — fail fast
+    // with a actionable message instead of a deep executor stack trace.
+    require(spark.conf
+      .get("spark.sql.streaming.stateStore.providerClass", "")
+      .contains("RocksDBStateStoreProvider"),
+      "transformWithState needs spark.sql.streaming.stateStore.providerClass" +
+        " = org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     // Batch transformWithState still loads a real state store, whose
     // executors phone the driver-side StateStoreCoordinator RPC endpoint.
     // That endpoint is created eagerly by the StreamingQueryManager — which

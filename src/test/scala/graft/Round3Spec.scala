@@ -154,6 +154,41 @@ class Round3Spec extends SparkSpec {
     assert(got.toSeq === Seq((7L, 1L), (7L, 2L), (7L, 3L), (7L, 4L), (9L, 1L)))
   }
 
+  test("foreachBatch incremental upsert == batch latest-wins merge") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert_").toString
+    def ev(id: Long, t: String, v: Double): Ev =
+      Ev(id, Timestamp.valueOf(t), 1L, "purchase", v, "{}")
+    val ms = MemoryStream[Ev]
+    // foreachBatch: merge each micro-batch into the parquet state with
+    // latest-wins on event_id (the streaming sink side of upsert_latest)
+    val q = ms.toDF().writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val cur = try spark.read.parquet(s"$dir/state") catch {
+          case _: Throwable => batch.limit(0)
+        }
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_id").orderBy(col("ts").desc)
+        cur.unionByName(batch)
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .drop("rn")
+          .write.mode("overwrite").parquet(s"$dir/next")
+        spark.read.parquet(s"$dir/next")
+          .write.mode("overwrite").parquet(s"$dir/state")
+        ()
+    }.start()
+    ms.addData(ev(1, "2024-01-01 10:00:00", 5.0), ev(2, "2024-01-01 10:01:00", 7.0))
+    q.processAllAvailable()
+    // second batch restates event 1 with a later ts and adds event 3
+    ms.addData(ev(1, "2024-01-01 11:00:00", 50.0), ev(3, "2024-01-01 11:01:00", 9.0))
+    q.processAllAvailable(); q.stop()
+    val got = spark.read.parquet(s"$dir/state")
+      .select("event_id", "value").orderBy("event_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq === Seq((1L, 50.0), (2L, 7.0), (3L, 9.0)))
+  }
+
   test("stream-stream interval join: two MemoryStreams == batch") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
