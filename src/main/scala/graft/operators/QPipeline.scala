@@ -133,13 +133,80 @@ object QPipeline extends QueryPack {
        |  CAST(list_aggregate(list_transform(v, x -> CAST(floor(x / scale * 127 + 0.5) AS BIGINT)), 'max') AS BIGINT) AS q_max
        |FROM s ORDER BY vec_id""".stripMargin
 
+  /** Batch model scoring as a query (the serving side of MorphL's churn
+    * pipeline): a fixed linear engagement model over the declared feature
+    * set, clamped and deciled. Pure arithmetic — no transcendentals, so
+    * both engines compute bit-identical doubles (the expression tree is
+    * mirrored exactly); scoring is per-row over the feature aggregate.
+    * The decile is a GLOBAL ntile — inherently single-partition (global
+    * ranking); at 100 TB the production spelling is approx_percentile
+    * breakpoints broadcast back (the windowed form here keeps the oracle
+    * exact, and the window input is one row per user, already reduced). */
+  private def chpScoreLinear(s: SparkSession, d: String): DataFrame = {
+    val f = chpFeaturesLabel(s, d)
+    // weights sized so the score spreads over the corpus (probed: 1.0–3.5
+    // at sf0.01, clamp never binds on this data — it guards outliers)
+    val raw = ((lit(0.02) * col("n_clicks") + lit(0.1) * col("n_purchases"))
+      + lit(0.0002) * col("total_value")) - lit(0.2) * col("days_inactive")
+    val w = Window.orderBy(col("score").desc, col("user_id"))
+    f.select(col("user_id"), col("n_purchases"), col("total_value"),
+        trunc4(greatest(least(raw, lit(10.0)), lit(-10.0))).as("score"))
+      .withColumn("decile", ntile(10).over(w))
+      .select("user_id", "score", "decile")
+      .orderBy("user_id")
+  }
+
+  private val oChpScoreChain =
+    s"""WITH f AS ($oChpFeaturesLabel),
+       |  sc AS (SELECT user_id, n_purchases, total_value,
+       |    ${oTrunc4("greatest(least(((0.02 * n_clicks + 0.1 * n_purchases) " +
+                      "+ 0.0002 * total_value) - 0.2 * days_inactive, 10.0), -10.0)")} AS score
+       |  FROM f),
+       |  dc AS (SELECT user_id, n_purchases, total_value, score,
+       |    CAST(ntile(10) OVER (ORDER BY score DESC, user_id) AS INT) AS decile
+       |  FROM sc)""".stripMargin
+
+  private val oChpScoreLinear =
+    s"""$oChpScoreChain
+       |SELECT user_id, score, decile FROM dc ORDER BY user_id""".stripMargin
+
+  /** Model evaluation as a query: the decile lift/gains table — per score
+    * decile, user count and mean purchase/value (the standard churn-model
+    * evaluation artifact; a good model concentrates value in the top
+    * deciles). Composes the scoring query; one tiny aggregate. */
+  private def chpEvalLift(s: SparkSession, d: String): DataFrame = {
+    val f = chpFeaturesLabel(s, d)
+    val raw = ((lit(0.02) * col("n_clicks") + lit(0.1) * col("n_purchases"))
+      + lit(0.0002) * col("total_value")) - lit(0.2) * col("days_inactive")
+    val w = Window.orderBy(col("score").desc, col("user_id"))
+    f.select(col("user_id"), col("n_purchases"), col("total_value"),
+        trunc4(greatest(least(raw, lit(10.0)), lit(-10.0))).as("score"))
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_users"),
+        avg4(col("n_purchases")).as("avg_purchases"),
+        avg4(col("total_value")).as("avg_value"))
+      .orderBy("decile")
+  }
+
+  private val oChpEvalLift =
+    s"""$oChpScoreChain
+       |SELECT decile, count(*) AS n_users,
+       |  ${oAvg4("n_purchases")} AS avg_purchases,
+       |  ${oAvg4("total_value")} AS avg_value
+       |FROM dc GROUP BY decile ORDER BY decile""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "chp_features_label" -> chpFeaturesLabel _,
+    "chp_score_linear"   -> chpScoreLinear _,
+    "chp_eval_lift"      -> chpEvalLift _,
     "text_tfidf"         -> textTfidf _,
     "emb_quantize"       -> embQuantize _)
 
   val oracles: Map[String, String] = Map(
     "chp_features_label" -> oChpFeaturesLabel,
+    "chp_score_linear"   -> oChpScoreLinear,
+    "chp_eval_lift"      -> oChpEvalLift,
     "text_tfidf"         -> oTextTfidf,
     "emb_quantize"       -> oEmbQuantize)
 }
