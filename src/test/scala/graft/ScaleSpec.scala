@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Structural scale behavior (no timing assertions — counts only): when the
+  * corpus grows k×, the bucketed candidate generators must grow ~linearly
+  * (true near-dup pairs) while the all-pairs comparison space grows k²×.
+  * This is the property that separates "works on 60k rows" from "works at
+  * 100 TB": an operator whose candidate set tracks N² is dead at scale no
+  * matter how fast its kernel is.
+  *
+  * The 4× corpus is built by unioning perturbed copies (each copy gets a
+  * unique suffix token, so copies are near-dups of their original — Jaccard
+  * ≈ (s−1)/(s+1) for s-shingle docs — rather than exact dups), written to a
+  * temp dir so the declared pipelines run unmodified against it. */
+class ScaleSpec extends SparkSpec {
+
+  private lazy val x4dir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_x4_").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val copies = (0 until 4).map { k =>
+      docs.select(
+        (col("doc_id") + lit(k * 1000000)).as("doc_id"),
+        concat(col("text"), lit(s" copytok$k")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }
+    copies.reduce(_ unionByName _).coalesce(4)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("LSH candidates grow ~linearly under 4x corpus, never toward N^2") {
+    val n1 = spark.read.parquet(s"$sf/documents.parquet").count()
+    val c1 = graft.operators.QText.lshCandidates(spark, sf).count()
+    val c4 = graft.operators.QText.lshCandidates(spark, x4dir).count()
+    // replica clusters contribute C(4,2)=6 true pairs per original doc plus
+    // 4x the original pair set — a generous linear envelope:
+    val linearBound = 16 * c1 + 10 * n1
+    assert(c4 <= linearBound, s"c4=$c4 exceeds linear envelope $linearBound")
+    val allPairs4 = (4 * n1) * (4 * n1 - 1) / 2
+    assert(c4 < allPairs4 / 50,
+      s"c4=$c4 is not << all-pairs $allPairs4 — candidate set tracks N^2")
+  }
+
+  test("simhash band candidates stay << N^2 under 4x corpus") {
+    val n1 = spark.read.parquet(s"$sf/documents.parquet").count()
+    val c4 = graft.operators.QRound3.simhashCandidates(spark, x4dir).count()
+    val allPairs4 = (4 * n1) * (4 * n1 - 1) / 2
+    // replica clusters share near-identical sketches, so simhash buckets run
+    // larger than LSH's here (measured ~2.2% of all-pairs = 45× reduction);
+    // the structural claim is the N² rejection, not a specific constant
+    assert(c4 < allPairs4 / 20,
+      s"c4=$c4 is not << all-pairs $allPairs4")
+  }
+
+  test("banded simhash recall survives the 4x corpus (planted near-dups found)") {
+    // every (original, copy) pair differs by one trailing token — copies of
+    // doc d must appear among the Hamming<=3 pairs unless the suffix flips
+    // >3 sketch bits; sample a few originals and require their copy pairs
+    val pairs = SparkEntry.queries("dedup_simhash_pairs")(spark, x4dir)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = (0L until 20L).count { d =>
+      pairs.contains((d, d + 1000000)) || pairs.contains((d, d + 2000000))
+    }
+    assert(found >= 15,
+      s"only $found/20 sampled originals kept their perturbed copies at Hamming<=3")
+  }
+}
