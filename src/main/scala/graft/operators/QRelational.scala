@@ -331,6 +331,47 @@ object QRelational extends QueryPack {
       |EXCEPT SELECT o_custkey AS user_id FROM orders WHERE o_orderpriority='1-URGENT'
       |ORDER BY user_id""".stripMargin
 
+  /** Bag-semantics intersection: each user appears min(#purchases, #clicks)
+    * times (multiset cohort algebra — INTERSECT ALL). Duplicate output rows
+    * are identical, so the sorted emission is deterministic. */
+  private def setIntersectAll(s: SparkSession, d: String): DataFrame =
+    users(s, d, "purchase").intersectAll(users(s, d, "click"))
+      .orderBy("user_id")
+
+  private val oSetIntersectAll =
+    """SELECT user_id FROM events WHERE event_type='purchase'
+      |INTERSECT ALL SELECT user_id FROM events WHERE event_type='click'
+      |ORDER BY user_id""".stripMargin
+
+  /** Bag-semantics difference: purchases beyond the user's click count
+    * survive (EXCEPT ALL) — 293 rows at sf0.01, discriminating. */
+  private def setExceptAll(s: SparkSession, d: String): DataFrame =
+    users(s, d, "purchase").exceptAll(users(s, d, "click"))
+      .orderBy("user_id")
+
+  private val oSetExceptAll =
+    """SELECT user_id FROM events WHERE event_type='purchase'
+      |EXCEPT ALL SELECT user_id FROM events WHERE event_type='click'
+      |ORDER BY user_id""".stripMargin
+
+  /** arg-max/arg-min surface (max_by/min_by ⇄ DuckDB arg_max/arg_min):
+    * first/last event and last user per type, ordered by ts — which is
+    * globally unique at every sf (probed), so the arg is deterministic. */
+  private def aggArgMinmax(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .groupBy("event_type")
+      .agg(max_by(col("event_id"), col("ts")).as("last_event_id"),
+        min_by(col("event_id"), col("ts")).as("first_event_id"),
+        max_by(col("user_id"), col("ts")).as("last_user"))
+      .orderBy("event_type")
+
+  private val oAggArgMinmax =
+    """SELECT event_type,
+      |  arg_max(event_id, ts) AS last_event_id,
+      |  arg_min(event_id, ts) AS first_event_id,
+      |  arg_max(user_id, ts) AS last_user
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ---- wiring ----
 
   val queries: Map[String, QFn] = Map(
@@ -354,7 +395,10 @@ object QRelational extends QueryPack {
     "set_union_all"        -> setUnionAll _,
     "set_union_distinct"   -> setUnionDistinct _,
     "set_intersect"        -> setIntersect _,
-    "set_except"           -> setExcept _)
+    "set_except"           -> setExcept _,
+    "set_intersect_all"    -> setIntersectAll _,
+    "set_except_all"       -> setExceptAll _,
+    "agg_arg_minmax"       -> aggArgMinmax _)
 
   val oracles: Map[String, String] = Map(
     "scan_project_prune"   -> oScanProjectPrune,
@@ -376,5 +420,8 @@ object QRelational extends QueryPack {
     "set_union_all"        -> oSetUnionAll,
     "set_union_distinct"   -> oSetUnionDistinct,
     "set_intersect"        -> oSetIntersect,
-    "set_except"           -> oSetExcept)
+    "set_except"           -> oSetExcept,
+    "set_intersect_all"    -> oSetIntersectAll,
+    "set_except_all"       -> oSetExceptAll,
+    "agg_arg_minmax"       -> oAggArgMinmax)
 }
