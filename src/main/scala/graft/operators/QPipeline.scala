@@ -156,11 +156,15 @@ object QPipeline extends QueryPack {
       .orderBy("user_id")
   }
 
+  // literals written 2e-2 etc so DuckDB binds them as DOUBLE — a bare
+  // `0.02` parses as DECIMAL there, and mixed decimal/double arithmetic
+  // drifts one ulp from Spark's pure-double chain (caught at sf0.1: one
+  // row sat exactly on a trunc4 boundary)
   private val oChpScoreChain =
     s"""WITH f AS ($oChpFeaturesLabel),
        |  sc AS (SELECT user_id, n_purchases, total_value,
-       |    ${oTrunc4("greatest(least(((0.02 * n_clicks + 0.1 * n_purchases) " +
-                      "+ 0.0002 * total_value) - 0.2 * days_inactive, 10.0), -10.0)")} AS score
+       |    ${oTrunc4("greatest(least(((2e-2 * n_clicks + 1e-1 * n_purchases) " +
+                      "+ 2e-4 * total_value) - 2e-1 * days_inactive, 1e1), -1e1)")} AS score
        |  FROM f),
        |  dc AS (SELECT user_id, n_purchases, total_value, score,
        |    CAST(ntile(10) OVER (ORDER BY score DESC, user_id) AS INT) AS decile
