@@ -276,9 +276,11 @@ object QSim extends QueryPack {
       .orderBy("qid")
   }
 
+  // 1e1, not 10.0: a bare decimal literal makes DuckDB run a DECIMAL
+  // division chain where Spark runs double (see oChpScoreChain)
   private val oSimAnnRecall =
     s"""SELECT t.qid, count(*) AS hits,
-       |  ${oTrunc4("count(*) / 10.0")} AS recall
+       |  ${oTrunc4("count(*) / 1e1")} AS recall
        |FROM ($oSimCosineTopk) t
        |JOIN ($oSimAnnKmeans) a
        |  ON t.qid = a.qid AND t.vec_id = a.vec_id
