@@ -142,6 +142,26 @@ object QWindows extends QueryPack {
       |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** nth_value over the full frame: the customer's 2nd-earliest order
+    * (common "second purchase" cohort feature). Null for 1-order
+    * customers — exercises the function's null emission. */
+  private def winNthValue(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, d, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_ok"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  private val oWinNthValue =
+    """SELECT o_custkey, o_orderkey,
+      |  nth_value(o_orderkey, 2) OVER w AS second_ok
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   /** Top-3 orders per customer — rank-filter top-k per group. */
   private def topkPerGroup(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("o_custkey")
@@ -167,6 +187,7 @@ object QWindows extends QueryPack {
     "win_range_frame" -> winRangeFrame _,
     "win_ntile"       -> winNtile _,
     "win_first_last"  -> winFirstLast _,
+    "win_nth_value"   -> winNthValue _,
     "topk_per_group"  -> topkPerGroup _)
 
   val oracles: Map[String, String] = Map(
@@ -177,5 +198,6 @@ object QWindows extends QueryPack {
     "win_range_frame" -> oWinRangeFrame,
     "win_ntile"       -> oWinNtile,
     "win_first_last"  -> oWinFirstLast,
+    "win_nth_value"   -> oWinNthValue,
     "topk_per_group"  -> oTopkPerGroup)
 }

@@ -101,6 +101,25 @@ object QStreaming extends QueryPack {
       |  AND c.ts > p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
       |ORDER BY p_id, c_id""".stripMargin
 
+  /** LEFT OUTER stream-stream join: every purchase, with nulls for those
+    * that had no same-user click in the preceding hour. Under streaming
+    * the null-side rows can only be emitted once the watermark passes the
+    * join window (StreamingSpec asserts that emission); batch form is an
+    * ordinary left join — DuckDB-oracle-able. */
+  private def streamStreamLeftJoin(s: SparkSession, d: String): DataFrame =
+    StreamOps.clickPurchaseLeftJoin(
+      t(s, d, "events"), t(s, d, "events"), watermarked = false)
+      .orderBy("p_id", "c_id")
+
+  private val oStreamStreamLeftJoin =
+    """SELECT p.event_id AS p_id, c.event_id AS c_id,
+      |  CAST(p.ts AS TIMESTAMP) AS p_ts
+      |FROM (SELECT * FROM events WHERE event_type='purchase') p
+      |LEFT JOIN (SELECT * FROM events WHERE event_type='click') c
+      |  ON p.user_id = c.user_id
+      |  AND c.ts > p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+      |ORDER BY p_id, c_id""".stripMargin
+
   /** transformWithState surface (Spark 4 arbitrary state): per-user running
     * purchase counter — see TwsRunning. Oracle: row_number over the same
     * ordering. */
@@ -140,6 +159,7 @@ object QStreaming extends QueryPack {
     "stream_session_custom"  -> streamSessionCustom _,
     "stream_dedup_ids"       -> streamDedupIds _,
     "stream_stream_join"     -> streamStreamJoin _,
+    "stream_stream_left"     -> streamStreamLeftJoin _,
     "stream_tws_running"     -> streamTwsRunning _,
     "stream_late_data"       -> streamLateData _)
 
@@ -150,6 +170,7 @@ object QStreaming extends QueryPack {
     "stream_session_custom"  -> oStreamSessionCustom,
     "stream_dedup_ids"       -> oStreamDedupIds,
     "stream_stream_join"     -> oStreamStreamJoin,
+    "stream_stream_left"     -> oStreamStreamLeftJoin,
     "stream_tws_running"     -> oStreamTwsRunning)
 }
 
@@ -189,6 +210,26 @@ object StreamOps {
       .groupBy(window(col("ts"), "10 minutes").as("w"))
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("win_start"), col("n"))
+
+  /** LEFT OUTER variant of clickPurchaseJoin: unmatched purchases survive
+    * with null click columns. Streaming left-outer REQUIRES watermarks on
+    * both sides (null emission waits for the watermark). */
+  def clickPurchaseLeftJoin(purchases: DataFrame, clicks: DataFrame,
+      watermarked: Boolean): DataFrame = {
+    def wm(df: DataFrame): DataFrame =
+      if (watermarked) df.withWatermark("ts", "1 hour") else df
+    val p = wm(purchases).filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+    val c = wm(clicks).filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("c_id"),
+        col("ts").as("c_ts"))
+    p.join(c,
+        col("user_id") === col("c_user") &&
+          col("c_ts") > col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") <= col("p_ts"),
+        "left_outer")
+      .select(col("p_id"), col("c_id"), col("p_ts"))
+  }
 
   /** Purchases ⋈ same-user clicks within the preceding hour. `purchases`
     * and `clicks` may be the same DataFrame (batch) or two streams; with

@@ -189,6 +189,33 @@ class Round3Spec extends SparkSpec {
     assert(got.toSeq === Seq((1L, 50.0), (2L, 7.0), (3L, 9.0)))
   }
 
+  test("left-outer stream-stream join emits the null side after watermark") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    def ev(id: Long, t: String, typ: String, user: Long): Ev =
+      Ev(id, Timestamp.valueOf(t), user, typ, 1.0, "{}")
+    val msP = MemoryStream[Ev]; val msC = MemoryStream[Ev]
+    val q = StreamOps
+      .clickPurchaseLeftJoin(msP.toDF(), msC.toDF(), watermarked = true)
+      .writeStream.format("memory").queryName("sslj")
+      .outputMode("append").start()
+    // user 7's purchase has a click in-window; user 9's has none
+    msP.addData(ev(10, "2024-01-01 10:45:00", "purchase", 7),
+      ev(11, "2024-01-01 10:50:00", "purchase", 9))
+    msC.addData(ev(1, "2024-01-01 10:40:00", "click", 7))
+    q.processAllAvailable()
+    // null-side rows can't emit until the watermark passes the join window:
+    // advance both watermarks far beyond it
+    msP.addData(ev(90, "2024-01-01 20:00:00", "purchase", 99))
+    msC.addData(ev(91, "2024-01-01 20:00:00", "click", 99))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("sslj")
+      .filter(col("p_id").isin(10L, 11L)).orderBy("p_id")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    assert(got.toSeq === Seq((10L, 1L), (11L, -1L)),
+      "matched purchase joins its click; unmatched purchase emits null side")
+  }
+
   test("stream-stream interval join: two MemoryStreams == batch") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
