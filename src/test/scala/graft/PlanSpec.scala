@@ -96,8 +96,10 @@ class PlanSpec extends SparkSpec {
   }
 
   test("stream-stream join batch form is a single equi-join with range residual") {
-    val p = plan("stream_stream_join")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      s"non-equi fallback in:\n$p")
+    for (key <- Seq("stream_stream_join", "stream_stream_left")) {
+      val p = plan(key)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$key: non-equi fallback in:\n$p")
+    }
   }
 }
