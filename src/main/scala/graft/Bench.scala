@@ -62,7 +62,9 @@ object Bench {
     val budget = 1400
     val bySlowest = results.sortBy(-_._2)
     val keep = scala.collection.mutable.ArrayBuffer[(String, Double)]()
-    var len = 200 // envelope + omitted-fields slack
+    // envelope + omitted-fields slack + the errors array (ADVICE r3: a run
+    // with many failures must not push the line past the 2000-char tail)
+    var len = 200 + errs.map(_.length + 1).sum
     for ((k, v) <- bySlowest if len + k.length + 12 <= budget) {
       keep += ((k, v)); len += k.length + 12
     }

@@ -297,6 +297,29 @@ object QRound3 extends QueryPack {
 
   // ---- CSV / JSON source formats (roundtrip through the parquet truth) ----
 
+  /** Roundtrip staging dirs, memoized per (session, sfDir, format) so the
+    * eager write-out runs once per session instead of on every DataFrame
+    * construction (ADVICE r3: each bench/verify/test invocation leaked a
+    * fresh table copy). A shutdown hook removes the staged copies. */
+  private val stageDirs =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), String]()
+  private val stageCleanup: Unit = Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    stageDirs.values.forEach { root =>
+      import java.nio.file.{Files, Paths}
+      import scala.jdk.CollectionConverters._
+      val p = Paths.get(root)
+      if (Files.exists(p))
+        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    }))
+
+  private def staged(s: SparkSession, d: String, fmt: String)
+      (write: String => Unit): String =
+    stageDirs.computeIfAbsent((System.identityHashCode(s), d, fmt), { _ =>
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_${fmt}_").toString
+      write(dir)
+      dir
+    })
+
   /** CSV source surface: write `customer` out as headered CSV, read it back
     * with an EXPLICIT schema (schema inference is a full extra pass over
     * the data at 100 TB — never infer in production), aggregate. The
@@ -304,9 +327,10 @@ object QRound3 extends QueryPack {
     * type-roundtrip defect in either direction breaks the hash. Doubles
     * survive exactly: Spark writes Java's shortest-roundtrip repr. */
   private def scanCsvRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_csv_").toString
-    t(s, d, "customer").write.mode("overwrite")
-      .option("header", "true").csv(dir)
+    val dir = staged(s, d, "csv") { dir =>
+      t(s, d, "customer").write.mode("overwrite")
+        .option("header", "true").csv(dir)
+    }
     s.read
       .schema("c_custkey BIGINT, c_name STRING, c_nationkey INT, " +
         "c_acctbal DOUBLE, c_mktsegment STRING")
@@ -324,8 +348,9 @@ object QRound3 extends QueryPack {
 
   /** JSON-lines source surface: same roundtrip contract over `part`. */
   private def scanJsonRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_json_").toString
-    t(s, d, "part").write.mode("overwrite").json(dir)
+    val dir = staged(s, d, "json") { dir =>
+      t(s, d, "part").write.mode("overwrite").json(dir)
+    }
     s.read
       .schema("p_partkey BIGINT, p_name STRING, p_brand STRING, " +
         "p_type STRING, p_size INT, p_retailprice DOUBLE")

@@ -42,6 +42,21 @@ object QSim extends QueryPack {
     t(s, d, "embeddings")
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
 
+  /** Persisted (vec_id, v) decoded-vector table, memoized per
+    * (session, sfDir): the k-means consumers (dedupEmbCosine,
+    * simAnnKmeans, and simAnnRecall via simAnnKmeans) each re-scan it per
+    * Lloyd iteration, so caching is the standard iterative-ML pattern —
+    * but persisting anew on every call leaked one cache entry per call
+    * for the session lifetime (ADVICE r3). One shared entry per session
+    * is the intended semantics: later calls reuse the same hot cache. */
+  private val embCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+
+  private def embPersisted(s: SparkSession, d: String): DataFrame =
+    embCache.computeIfAbsent((System.identityHashCode(s), d), _ =>
+      embD(s, d).select("vec_id", "v")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   // ---- brute-force cosine top-k (the exact baseline) ----
 
   private def simCosineTopk(s: SparkSession, d: String): DataFrame = {
@@ -119,11 +134,9 @@ object QSim extends QueryPack {
   private def dedupEmbCosine(s: SparkSession, d: String): DataFrame = {
     graft.plans.CosineSim.register(s)
     graft.functions.VecCentroid.register(s)
-    // persisted: each Lloyd iteration + both probe branches re-scan e;
-    // caching the decoded vectors is the standard iterative-ML pattern
-    // (MLlib KMeans caches its input the same way)
-    val e = embD(s, d).select("vec_id", "v")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // each Lloyd iteration + both probe branches re-scan e — session-shared
+    // persisted instance (see embPersisted)
+    val e = embPersisted(s, d)
     val cent = AnnKMeans.centroids(e, dedupCells, dedupIters)
     val probes = AnnKMeans.assignProbes(e, cent, dedupProbes)
     val a = probes.select(col("vec_id").as("a_id"), col("v").as("a_v"), col("cell"))
@@ -219,10 +232,9 @@ object QSim extends QueryPack {
   private def simAnnKmeans(s: SparkSession, d: String): DataFrame = {
     graft.plans.CosineSim.register(s)
     graft.functions.VecCentroid.register(s)
-    // persisted across the Lloyd iterations + final assignment (see
-    // dedupEmbCosine)
-    val e = embD(s, d).select("vec_id", "v")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persisted across the Lloyd iterations + final assignment —
+    // session-shared instance (see embPersisted)
+    val e = embPersisted(s, d)
     val cent = AnnKMeans.centroids(e, kmCells, kmIters)
     val assigned = AnnKMeans.assign(e, cent)
     val q = e.filter(col("vec_id") < 20)

@@ -12,7 +12,7 @@ import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution,
 import org.apache.spark.sql.classic.{Dataset => ClassicDataset,
   SparkSession => ClassicSparkSession}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** AS-OF time lookup as a first-class Catalyst operator — the one relational
   * operator this engine needs that Spark genuinely lacks (SURVEY §2.3:
@@ -154,8 +154,14 @@ object AsofJoin {
     val lPlan = left.queryExecution.analyzed
     val rPlan = right.queryExecution.analyzed
     def attr(p: LogicalPlan, n: String): Attribute =
-      p.output.find(_.name == n).getOrElse(
-        throw new IllegalArgumentException(s"no column $n in ${p.output}"))
+      p.output.filter(_.name == n) match {
+        case Seq(a) => a
+        case Seq()  =>
+          throw new IllegalArgumentException(s"no column $n in ${p.output}")
+        case many   => // silently taking the first would bind the wrong side
+          throw new IllegalArgumentException(
+            s"ambiguous column $n: ${many.mkString(", ")}")
+      }
     val lk = attr(lPlan, leftKey)
     val rk = attr(rPlan, rightKey)
     val lt = attr(lPlan, leftTime)
@@ -164,6 +170,11 @@ object AsofJoin {
       s"as-of keys must be LongType, got ${lk.dataType}/${rk.dataType}")
     require(lt.dataType == rt.dataType,
       s"as-of time types differ: ${lt.dataType} vs ${rt.dataType}")
+    // the exec reads times via getLong: only Long-backed internal types are
+    // sound (timestamps are micros-as-long internally; Int/Date would
+    // misread)
+    require(Seq(LongType, TimestampType, TimestampNTZType).contains(lt.dataType),
+      s"as-of time must be Long-backed (LONG/TIMESTAMP/TIMESTAMP_NTZ), got ${lt.dataType}")
     val out = AttributeReference(as, rt.dataType, nullable = true)()
     ClassicDataset.ofRows(spark,
       AsofLookup(lPlan, rPlan, lk, lt, rk, rt, out))
