@@ -1,0 +1,309 @@
+package graft.operators
+
+import graft.QueryPack
+import graft.sources.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-4 coverage: the remaining pipeline stages a 100 TB training-data
+  * engine needs beyond individual operators.
+  *
+  *  - `dedup_cc_cluster`: connected components over the LSH near-dup pair
+  *    graph — the final stage of the dedup pipeline (pairs → clusters →
+  *    canonical-doc election). Iterative min-label propagation, the
+  *    standard distributed CC recipe (cf. "hash-to-min", Rastogi et al.).
+  *  - `chp_funnel_steps`: ordered funnel conversion (view → click →
+  *    signup → purchase) per user — MorphL-style behavioral analytics.
+  *  - `chp_retention_cohort`: monthly cohort retention matrix over orders.
+  *  - `profile_columns`: per-column data-quality profile (count / nulls /
+  *    distinct / min / max / sum) — the pre-flight audit every ingest runs.
+  *  - `sample_stratified_hash`: deterministic per-stratum hash sampling —
+  *    reproducible train/eval splits without RNG state.
+  *  - `join_interval_bucket`: point-in-interval join via time-bucketed
+  *    equi-keys — the scalable spelling of an interval join.
+  */
+object QRound4 extends QueryPack {
+
+  // ---- connected-components dedup clustering ----
+
+  /** Cluster the LSH near-duplicate pairs (QText.dedup_lsh_pairs, jaccard
+    * ≥ 0.8) into connected components and elect the minimum doc_id as each
+    * cluster's canonical document; singleton docs are their own cluster.
+    *
+    * Scale shape: min-label propagation — labels(v) := min(labels(v),
+    * min over neighbors' labels) — converges in diameter(G) rounds; near-dup
+    * components are near-cliques, so 2-3 rounds in practice. Each round is
+    * one equi-join (edges ⋈ labels on src) + one combine groupBy: both
+    * shuffle on uniform ids, no driver-side graph state. The fixpoint test
+    * rides on the label sum, which is strictly decreasing until converged
+    * (labels only ever decrease), so convergence detection costs one tiny
+    * aggregate per round, exactly like k-means' per-iteration centroid
+    * materialization (AnnKMeans.centroids). */
+  private def dedupCcCluster(s: SparkSession, d: String): DataFrame = {
+    val pairs = QText.queries("dedup_lsh_pairs")(s, d).select("a_id", "b_id")
+    val lab = ConnectedComponents.labels(
+      pairs.toDF("src", "dst"))
+    val comp = lab.withColumnRenamed("id", "doc_id")
+    val assigned = t(s, d, "documents").select("doc_id")
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lab"), col("doc_id")).as("cluster_id"))
+    assigned
+      .withColumn("n_cluster",
+        count(lit(1)).over(Window.partitionBy("cluster_id")))
+      .select(col("doc_id"), col("cluster_id"),
+        (col("cluster_id") === col("doc_id")).cast(IntegerType).as("is_canon"),
+        col("n_cluster"))
+      .orderBy("doc_id")
+  }
+
+  private val oDedupCcCluster = {
+    val oPairs = QText.oracles("dedup_lsh_pairs")
+    s"""WITH RECURSIVE pairs AS (SELECT a_id, b_id FROM ($oPairs)),
+       |  e AS (SELECT a_id AS src, b_id AS dst FROM pairs
+       |        UNION ALL SELECT b_id, a_id FROM pairs),
+       |  reach(src, dst) AS (
+       |    SELECT src, dst FROM e
+       |    UNION
+       |    SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+       |  comp AS (SELECT src AS doc_id, min(dst) AS mn FROM reach GROUP BY src),
+       |  m AS (SELECT d.doc_id,
+       |          coalesce(least(c.mn, d.doc_id), d.doc_id) AS cluster_id
+       |        FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id)
+       |SELECT doc_id, cluster_id,
+       |  CAST(cluster_id = doc_id AS INT) AS is_canon,
+       |  count(*) OVER (PARTITION BY cluster_id) AS n_cluster
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- ordered funnel conversion ----
+
+  /** Per-user ordered funnel: first view, first click within 48 h AFTER
+    * that view, first signup within 48 h after that click, first purchase
+    * within 48 h after that signup (the conversion window makes depth
+    * discriminating — unbounded, every user converts on this data).
+    * Each stage is one filtered aggregate joined on user_id — at scale all
+    * four stage tables shuffle on the same uniform user_id key (AQE
+    * coalesces the tiny ones), and no window-over-everything is needed.
+    * depth = number of stages reached, in order. */
+  private def chpFunnelSteps(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events").select("user_id", "event_type", "ts")
+    def stage(typ: String, prev: DataFrame, prevCol: String, as: String) =
+      ev.filter(col("event_type") === typ)
+        .join(prev.select(col("user_id"), col(prevCol)), "user_id")
+        .filter(col("ts") > col(prevCol) &&
+          col("ts") < col(prevCol) + expr("INTERVAL 48 HOUR"))
+        .groupBy("user_id").agg(min("ts").as(as))
+    val t1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t_view"))
+    val t2 = stage("click", t1, "t_view", "t_click")
+    val t3 = stage("signup", t2, "t_click", "t_signup")
+    val t4 = stage("purchase", t3, "t_signup", "t_purchase")
+    ev.select("user_id").distinct()
+      .join(t1, Seq("user_id"), "left")
+      .join(t2, Seq("user_id"), "left")
+      .join(t3, Seq("user_id"), "left")
+      .join(t4, Seq("user_id"), "left")
+      .select(col("user_id"), col("t_view"), col("t_click"),
+        col("t_signup"), col("t_purchase"),
+        (col("t_view").isNotNull.cast(IntegerType) +
+         col("t_click").isNotNull.cast(IntegerType) +
+         col("t_signup").isNotNull.cast(IntegerType) +
+         col("t_purchase").isNotNull.cast(IntegerType)).as("depth"))
+      .orderBy("user_id")
+  }
+
+  private val oChpFunnelSteps =
+    """WITH t1 AS (SELECT user_id, min(ts) AS t_view FROM events
+      |            WHERE event_type = 'view' GROUP BY user_id),
+      |  t2 AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e
+      |         JOIN t1 ON e.user_id = t1.user_id
+      |         WHERE e.event_type = 'click' AND e.ts > t1.t_view
+      |           AND e.ts < t1.t_view + INTERVAL 48 HOUR
+      |         GROUP BY e.user_id),
+      |  t3 AS (SELECT e.user_id, min(e.ts) AS t_signup FROM events e
+      |         JOIN t2 ON e.user_id = t2.user_id
+      |         WHERE e.event_type = 'signup' AND e.ts > t2.t_click
+      |           AND e.ts < t2.t_click + INTERVAL 48 HOUR
+      |         GROUP BY e.user_id),
+      |  t4 AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
+      |         JOIN t3 ON e.user_id = t3.user_id
+      |         WHERE e.event_type = 'purchase' AND e.ts > t3.t_signup
+      |           AND e.ts < t3.t_signup + INTERVAL 48 HOUR
+      |         GROUP BY e.user_id),
+      |  u AS (SELECT DISTINCT user_id FROM events)
+      |SELECT u.user_id, t1.t_view, t2.t_click, t3.t_signup, t4.t_purchase,
+      |  CAST(t1.user_id IS NOT NULL AS INT) + CAST(t2.user_id IS NOT NULL AS INT)
+      |  + CAST(t3.user_id IS NOT NULL AS INT) + CAST(t4.user_id IS NOT NULL AS INT)
+      |  AS depth
+      |FROM u LEFT JOIN t1 ON u.user_id = t1.user_id
+      |  LEFT JOIN t2 ON u.user_id = t2.user_id
+      |  LEFT JOIN t3 ON u.user_id = t3.user_id
+      |  LEFT JOIN t4 ON u.user_id = t4.user_id
+      |ORDER BY u.user_id""".stripMargin
+
+  // ---- monthly cohort retention ----
+
+  /** Cohort = a customer's first order month (as year*12+month-1); each
+    * order contributes to (cohort, month offset). One aggregate to find
+    * cohorts, one broadcast-able join back (the per-customer first-month
+    * table is |customers| rows — tiny next to the orders fact), one final
+    * aggregate. The classic retention matrix, unpivoted to rows. */
+  private def chpRetentionCohort(s: SparkSession, d: String): DataFrame = {
+    val o = t(s, d, "orders").select(
+      col("o_custkey"),
+      (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1).as("ym"),
+      col("o_totalprice"))
+    val firstYm = o.groupBy("o_custkey").agg(min("ym").as("cohort_ym"))
+    o.join(firstYm, "o_custkey")
+      .groupBy(col("cohort_ym"), (col("ym") - col("cohort_ym")).as("offset_m"))
+      .agg(count_distinct(col("o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"),
+        sum4(col("o_totalprice")).as("sum_price"))
+      .orderBy("cohort_ym", "offset_m")
+  }
+
+  private val oChpRetentionCohort =
+    s"""WITH o AS (SELECT o_custkey,
+       |    year(o_orderdate)*12 + month(o_orderdate) - 1 AS ym, o_totalprice
+       |  FROM orders),
+       |  f AS (SELECT o_custkey, min(ym) AS cohort_ym FROM o GROUP BY o_custkey)
+       |SELECT CAST(f.cohort_ym AS INT) AS cohort_ym,
+       |  CAST(o.ym - f.cohort_ym AS INT) AS offset_m,
+       |  count(DISTINCT o.o_custkey) AS n_customers,
+       |  count(*) AS n_orders,
+       |  ${oSum4("o.o_totalprice")} AS sum_price
+       |FROM o JOIN f ON o.o_custkey = f.o_custkey
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---- per-column data profiling ----
+
+  /** Column profile of lineitem's measures: row count, null count, exact
+    * distinct count, min/max, exact decimal sum. One stack (map-side
+    * unpivot — no shuffle to reshape) then one aggregate per column name.
+    * The count(DISTINCT) is per-group two-phase under the hood; with only
+    * 4 groups the distinct shuffle spreads over (col_name, val) composite
+    * keys, so one wide column cannot hot-spot a reducer. */
+  private def profileColumns(s: SparkSession, d: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val stackExpr = cols.map(c => s"'$c', $c").mkString(s"stack(${cols.size}, ", ", ", ")")
+    t(s, d, "lineitem")
+      .select(expr(s"$stackExpr AS (col_name, val)"))
+      .groupBy("col_name")
+      .agg(count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col("val"))).as("n_null"),
+        count_distinct(col("val")).as("n_distinct"),
+        min(col("val")).as("v_min"),
+        max(col("val")).as("v_max"),
+        sum4(col("val")).as("v_sum"))
+      .orderBy("col_name")
+  }
+
+  private val oProfileColumns = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val unions = cols.map(c => s"SELECT '$c' AS col_name, $c AS val FROM lineitem")
+      .mkString("\n  UNION ALL ")
+    s"""WITH u AS ($unions)
+       |SELECT col_name, count(*) AS n_rows,
+       |  count(*) - count(val) AS n_null,
+       |  count(DISTINCT val) AS n_distinct,
+       |  min(val) AS v_min, max(val) AS v_max,
+       |  ${oSum4("val")} AS v_sum
+       |FROM u GROUP BY col_name ORDER BY col_name""".stripMargin
+  }
+
+  // ---- deterministic stratified hash sampling ----
+
+  /** Reproducible ~10% sample per stratum (order priority) with NO RNG:
+    * keep rows whose md5(o_orderkey) mod 10 == 0. Unlike seeded sample(),
+    * the decision is a pure row function — stable across partitioning,
+    * retries, and engines (the oracle recomputes it exactly). Per stratum:
+    * true count, sample count, sampled sum, true sum, realized rate. */
+  private def sampleStratifiedHash(s: SparkSession, d: String): DataFrame = {
+    val h = conv(substring(md5(col("o_orderkey").cast(StringType)
+      .cast(BinaryType)), 1, 8), 16, 10).cast(LongType) % 10
+    t(s, d, "orders")
+      .withColumn("keep", h === 0)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_total"),
+        sum(col("keep").cast(LongType)).as("n_sample"),
+        sum(when(col("keep"), dec4(col("o_totalprice")))).cast(DoubleType)
+          .as("sum_sample"),
+        sum4(col("o_totalprice")).as("sum_total"))
+      .withColumn("rate", trunc4(col("n_sample").cast(DoubleType) / col("n_total")))
+      .orderBy("o_orderpriority")
+  }
+
+  private val oSampleStratifiedHash =
+    s"""WITH o AS (SELECT *,
+       |    CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+       |      AS BIGINT) % 10 = 0 AS keep
+       |  FROM orders)
+       |SELECT o_orderpriority, count(*) AS n_total,
+       |  CAST(SUM(CAST(keep AS BIGINT)) AS BIGINT) AS n_sample,
+       |  CAST(SUM(CASE WHEN keep THEN CAST(o_totalprice AS DECIMAL(18,4)) END)
+       |    AS DOUBLE) AS sum_sample,
+       |  ${oSum4("o_totalprice")} AS sum_total,
+       |  ${oTrunc4("CAST(SUM(CAST(keep AS BIGINT)) AS DOUBLE) / count(*)")} AS rate
+       |FROM o GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---- point-in-interval join via bucketed equi-keys ----
+
+  /** Clicks landing inside any (same-user) 1-hour post-purchase window.
+    * The naive spelling is a range-only theta join; the scalable spelling
+    * bucketizes time: each 1-hour window covers ≤ 2 hour buckets
+    * (sequence + explode — bounded 2× blowup of the SMALL interval side),
+    * each point maps to exactly 1 bucket, and the join becomes pure equi
+    * on (user_id, bucket) with the exact range as a cheap residual. Equal
+    * semantics, but shuffle keys are now fine-grained and uniform — no
+    * 25-way parallelism ceiling, no per-key O(G²). A click inside two
+    * overlapping windows pairs once per window but lives in one bucket, so
+    * no bucket-induced duplicates exist. */
+  private def joinIntervalBucket(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+    val win = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"),
+        col("ts").as("w_start"),
+        (col("ts") + expr("INTERVAL 1 HOUR")).as("w_end"))
+      .withColumn("bucket", explode(sequence(
+        date_trunc("HOUR", col("w_start")), date_trunc("HOUR", col("w_end")),
+        expr("INTERVAL 1 HOUR"))))
+    val pts = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("c_id"), col("ts").as("c_ts"))
+      .withColumn("bucket", date_trunc("HOUR", col("c_ts")))
+    win.join(pts, Seq("user_id", "bucket"))
+      .filter(col("c_ts") > col("w_start") && col("c_ts") < col("w_end"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        count_distinct(col("c_id")).as("n_clicks"),
+        count_distinct(col("p_id")).as("n_windows_hit"))
+      .orderBy("user_id")
+  }
+
+  private val oJoinIntervalBucket =
+    """SELECT p.user_id, count(*) AS n_pairs,
+      |  count(DISTINCT c.event_id) AS n_clicks,
+      |  count(DISTINCT p.event_id) AS n_windows_hit
+      |FROM events p JOIN events c
+      |  ON p.user_id = c.user_id
+      |  AND p.event_type = 'purchase' AND c.event_type = 'click'
+      |  AND c.ts > p.ts AND c.ts < p.ts + INTERVAL 1 HOUR
+      |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin
+
+  val queries: Map[String, QFn] = Map(
+    "dedup_cc_cluster"       -> dedupCcCluster _,
+    "chp_funnel_steps"       -> chpFunnelSteps _,
+    "chp_retention_cohort"   -> chpRetentionCohort _,
+    "profile_columns"        -> profileColumns _,
+    "sample_stratified_hash" -> sampleStratifiedHash _,
+    "join_interval_bucket"   -> joinIntervalBucket _)
+
+  val oracles: Map[String, String] = Map(
+    "dedup_cc_cluster"       -> oDedupCcCluster,
+    "chp_funnel_steps"       -> oChpFunnelSteps,
+    "chp_retention_cohort"   -> oChpRetentionCohort,
+    "profile_columns"        -> oProfileColumns,
+    "sample_stratified_hash" -> oSampleStratifiedHash,
+    "join_interval_bucket"   -> oJoinIntervalBucket)
+}
