@@ -248,6 +248,60 @@ object QRound4 extends QueryPack {
        |  ${oTrunc4("CAST(SUM(CAST(keep AS BIGINT)) AS DOUBLE) / count(*)")} AS rate
        |FROM o GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ---- deterministic correlation via exact moments ----
+
+  /** Pearson correlation of quantity vs extended price per return flag,
+    * computed from EXACT decimal moment sums (Σx, Σy, Σxy, Σx², Σy² — the
+    * inputs are true 2-dp values, so the 4-dp products are exact and the
+    * decimal sums are order-independent), then one fixed scalar double
+    * formula. The native `corr()` streams double accumulators whose
+    * reduce order varies with partitioning — not hash-stable across
+    * engines or cluster sizes; this spelling is bit-deterministic at any
+    * parallelism: the only doubles are post-aggregation scalars, and both
+    * engines run the identical IEEE op sequence on them. One partial-
+    * aggregable pass, same cost class as the plain sums. */
+  private def aggCorrMoments(s: SparkSession, d: String): DataFrame = {
+    val x = col("l_quantity")
+    val y = col("l_extendedprice")
+    t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(dec4(x)).as("sx"), sum(dec4(y)).as("sy"),
+        sum(dec4(x) * dec4(y)).as("sxy"),
+        sum(dec4(x) * dec4(x)).as("sxx"),
+        sum(dec4(y) * dec4(y)).as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        trunc6(
+          (col("n").cast(DoubleType) * col("sxy").cast(DoubleType)
+            - col("sx").cast(DoubleType) * col("sy").cast(DoubleType))
+          / sqrt(col("n").cast(DoubleType) * col("sxx").cast(DoubleType)
+            - col("sx").cast(DoubleType) * col("sx").cast(DoubleType))
+          / sqrt(col("n").cast(DoubleType) * col("syy").cast(DoubleType)
+            - col("sy").cast(DoubleType) * col("sy").cast(DoubleType)))
+          .as("corr_qty_price"))
+      .orderBy("l_returnflag")
+  }
+
+  private val oAggCorrMoments = {
+    def d4(c: String) = s"CAST($c AS DECIMAL(18,4))"
+    // products cast at DECIMAL(19,4): forces DuckDB onto int128 storage
+    // (its (18,4)×(18,4) multiply overflows int64); the values are
+    // identical exact decimals either way, matching Spark's (37,8)
+    def d4w(c: String) = s"CAST($c AS DECIMAL(19,4))"
+    s"""WITH m AS (SELECT l_returnflag, count(*) AS n,
+       |    CAST(SUM(${d4("l_quantity")}) AS DOUBLE) AS sx,
+       |    CAST(SUM(${d4("l_extendedprice")}) AS DOUBLE) AS sy,
+       |    CAST(SUM(${d4w("l_quantity")} * ${d4w("l_extendedprice")}) AS DOUBLE) AS sxy,
+       |    CAST(SUM(${d4w("l_quantity")} * ${d4w("l_quantity")}) AS DOUBLE) AS sxx,
+       |    CAST(SUM(${d4w("l_extendedprice")} * ${d4w("l_extendedprice")}) AS DOUBLE) AS syy
+       |  FROM lineitem GROUP BY l_returnflag)
+       |SELECT l_returnflag, n,
+       |  ${oTrunc6("(CAST(n AS DOUBLE) * sxy - sx * sy) " +
+                    "/ sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) " +
+                    "/ sqrt(CAST(n AS DOUBLE) * syy - sy * sy)")} AS corr_qty_price
+       |FROM m ORDER BY l_returnflag""".stripMargin
+  }
+
   // ---- point-in-interval join via bucketed equi-keys ----
 
   /** Clicks landing inside any (same-user) 1-hour post-purchase window.
@@ -297,6 +351,7 @@ object QRound4 extends QueryPack {
     "chp_retention_cohort"   -> chpRetentionCohort _,
     "profile_columns"        -> profileColumns _,
     "sample_stratified_hash" -> sampleStratifiedHash _,
+    "agg_corr_moments"       -> aggCorrMoments _,
     "join_interval_bucket"   -> joinIntervalBucket _)
 
   val oracles: Map[String, String] = Map(
@@ -305,5 +360,6 @@ object QRound4 extends QueryPack {
     "chp_retention_cohort"   -> oChpRetentionCohort,
     "profile_columns"        -> oProfileColumns,
     "sample_stratified_hash" -> oSampleStratifiedHash,
+    "agg_corr_moments"       -> oAggCorrMoments,
     "join_interval_bucket"   -> oJoinIntervalBucket)
 }

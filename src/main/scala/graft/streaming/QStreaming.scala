@@ -152,7 +152,27 @@ object QStreaming extends QueryPack {
       |  CAST(max(ts) AS TIMESTAMP) AS s_end, count(*) AS n
       |FROM s GROUP BY user_id, grp, sub ORDER BY user_id, s_start""".stripMargin
 
+  /** Chained stateful aggregation (Spark 3.4+/4 multi-stateful-operator
+    * support): hourly per-type counts re-aggregated into daily rollups —
+    * both aggregates are streaming-stateful in one query (the second
+    * windows over `window_time` of the first). Batch form is the plain
+    * two-level rollup, fully oracle-able; StreamingSpec drives the
+    * watermarked append-mode stream and asserts closed windows match. */
+  private def streamChainedAgg(s: SparkSession, d: String): DataFrame =
+    StreamOps.chainedAgg(t(s, d, "events"), watermarked = false)
+      .orderBy("day_start", "event_type")
+
+  private val oStreamChainedAgg =
+    """WITH h AS (SELECT date_trunc('hour', ts) AS h_start, event_type,
+      |    count(*) AS n_hour
+      |  FROM events GROUP BY 1, 2)
+      |SELECT CAST(date_trunc('day', h_start) AS TIMESTAMP) AS day_start,
+      |  event_type, CAST(SUM(n_hour) AS BIGINT) AS n_day,
+      |  max(n_hour) AS max_hourly, count(*) AS n_hours
+      |FROM h GROUP BY 1, 2 ORDER BY day_start, event_type""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "stream_chained_agg"     -> streamChainedAgg _,
     "stream_tumbling_agg"    -> streamTumblingAgg _,
     "stream_sliding_agg"     -> streamSlidingAgg _,
     "stream_session_window"  -> streamSessionWindow _,
@@ -164,6 +184,7 @@ object QStreaming extends QueryPack {
     "stream_late_data"       -> streamLateData _)
 
   val oracles: Map[String, String] = Map(
+    "stream_chained_agg"     -> oStreamChainedAgg,
     "stream_tumbling_agg"    -> oStreamTumblingAgg,
     "stream_sliding_agg"     -> oStreamSlidingAgg,
     "stream_session_window"  -> oStreamSessionWindow,
@@ -185,6 +206,22 @@ object StreamOps {
       .agg(count(lit(1)).as("n"), sum4(col("value")).as("sum_value"))
       .select(col("w.start").as("hour_start"), col("event_type"),
         col("n"), col("sum_value"))
+
+  /** Two chained windowed aggregates — hourly counts, then daily rollup of
+    * the hourly rows. `window_time` (window end − 1 µs) is the documented
+    * event-time handle for re-windowing an aggregated stream; identical
+    * semantics in batch. Shuffle shape: partial+final per level, the second
+    * level sees only #hours × #types rows. */
+  def chainedAgg(events: DataFrame, watermarked: Boolean): DataFrame = {
+    val in = if (watermarked) events.withWatermark("ts", "10 minutes") else events
+    in.groupBy(window(col("ts"), "1 hour").as("w1"), col("event_type"))
+      .agg(count(lit(1)).as("n_hour"))
+      .groupBy(window(window_time(col("w1")), "1 day").as("w2"), col("event_type"))
+      .agg(sum(col("n_hour")).as("n_day"), max(col("n_hour")).as("max_hourly"),
+        count(lit(1)).as("n_hours"))
+      .select(col("w2.start").as("day_start"), col("event_type"),
+        col("n_day"), col("max_hourly"), col("n_hours"))
+  }
 
   def slidingAgg(events: DataFrame): DataFrame =
     events

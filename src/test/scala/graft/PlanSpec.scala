@@ -102,4 +102,32 @@ class PlanSpec extends SparkSpec {
         s"$key: non-equi fallback in:\n$p")
     }
   }
+
+  test("interval-bucket join is equi on (user_id, bucket) — no range-only theta") {
+    val p = plan("join_interval_bucket")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi fallback in:\n$p")
+    assert(p.contains("bucket"), s"bucket key missing from join in:\n$p")
+  }
+
+  test("funnel stage joins never fall back to non-equi") {
+    val p = plan("chp_funnel_steps")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi fallback in:\n$p")
+  }
+
+  test("column profile unpivots map-side: one Generate, no pre-agg shuffle of width") {
+    val p = plan("profile_columns")
+    // stack() lowers to Expand/Generate BELOW the aggregate: exactly one
+    // exchange pair (partial -> final agg), no join, no extra reshape shuffle
+    assert(!p.contains("Join"), s"unexpected join in:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"no partial+final aggregate pair in:\n$p")
+  }
+
+  test("stratified hash sample is a single-pass aggregate (no sample/RNG op)") {
+    val p = plan("sample_stratified_hash")
+    assert(!p.contains("Sample"), s"RNG Sample operator in:\n$p")
+    assert(!p.contains("Join"), s"unexpected join in:\n$p")
+  }
 }

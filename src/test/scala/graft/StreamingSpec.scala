@@ -117,6 +117,31 @@ class StreamingSpec extends SparkSpec {
     assert(rows(0).getLong(3) === 2L) // the closed 2-event session
   }
 
+  test("chained stateful aggs: closed daily windows match batch") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val data = Seq(
+      ev(1, "2024-01-01 10:05:00"), ev(2, "2024-01-01 10:06:00"),
+      ev(3, "2024-01-01 11:05:00"), ev(4, "2024-01-02 09:00:00"))
+    val ms = MemoryStream[Ev]
+    val q = StreamOps.chainedAgg(ms.toDF(), watermarked = true)
+      .writeStream.format("memory").queryName("chained")
+      .outputMode("append").start()
+    ms.addData(data)
+    q.processAllAvailable()
+    // sentinel far ahead: watermark passes Jan 1+2, closing both days
+    ms.addData(ev(5, "2024-01-05 00:00:00"))
+    q.processAllAvailable(); q.stop()
+    val closed = spark.table("chained")
+      .filter(col("day_start") < lit(java.sql.Timestamp.valueOf("2024-01-03 00:00:00")))
+      .orderBy("day_start", "event_type").collect()
+    val batch = StreamOps.chainedAgg(data.toDF(), watermarked = false)
+      .orderBy("day_start", "event_type").collect()
+    assert(closed.toSeq === batch.toSeq)
+    assert(batch.length === 2) // one row per day
+    assert(batch.head.getLong(2) === 3L && batch.head.getLong(3) === 2L)
+  }
+
   test("streaming dedup removes duplicate event ids") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
