@@ -124,6 +124,45 @@ object Multimodal {
     }
   }
 
+  /** Nearest-neighbor 2× downsample statistics: keep pixels at even
+    * (row, col), report resized dims + exact sampled-pixel sum. The
+    * sampling is pure index arithmetic over the raw plane — no resampled
+    * image is materialized, which is exactly what a feature-extraction
+    * pipeline wants (the resize output feeds statistics, not storage).
+    * Returns (resized w, resized h, sampled-channel sum). */
+  def resizeHalfStats(p: Array[Byte]): Option[(Int, Int, Long)] =
+    decodeP6At(p, 0).map { case (w, h, _, end) =>
+      val dataStart = end - 3 * w * h
+      val rw = (w + 1) / 2
+      val rh = (h + 1) / 2
+      var acc = 0L
+      var r = 0
+      while (r < h) {
+        var c = 0
+        while (c < w) {
+          val base = dataStart + (r * w + c) * 3
+          acc += (p(base) & 0xff) + (p(base + 1) & 0xff) + (p(base + 2) & 0xff)
+          c += 2
+        }
+        r += 2
+      }
+      (rw, rh, acc)
+    }
+
+  case class ResizedFeatures(media_id: Long, rw: Int, rh: Int,
+      brightness: Double)
+
+  /** Partition-batched decode+resize over a PPM media lake. */
+  def resizeAll(media: Dataset[MediaRow]): Dataset[ResizedFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      resizeHalfStats(r.payload).map { case (rw, rh, acc) =>
+        ResizedFeatures(r.media_id, rw, rh,
+          acc.toDouble / (rw.toLong * rh * 3) / 255.0)
+      }
+    })
+  }
+
   /** All frames of a concatenated-P6 payload (w, h, pixel sum) in order;
     * stops at the first malformed frame. */
   def decodeFrames(p: Array[Byte]): Vector[(Int, Int, Long)] = {

@@ -124,10 +124,38 @@ object QAdvanced extends QueryPack {
        |  ${oTrunc4("CAST(SUM(ABS((doc_id*37 + i*11) % 2048 - 1024)) AS DOUBLE) / (n * 1024)")} AS mean_abs
        |FROM sm GROUP BY doc_id, n ORDER BY media_id""".stripMargin
 
+  /** Resize (nearest-neighbor 2× downsample) as a feature-extraction
+    * stage: decode the P6 plane, keep even (row, col) pixels via pure
+    * index arithmetic (no resampled image materialized), report resized
+    * dims + sampled-pixel brightness. Oracle recomputes the sampled-pixel
+    * statistics analytically from the synthesis formula — an off-by-one in
+    * the sampling grid or row stride shifts bytes and breaks the hash. */
+  private def mmResizePpm(s: SparkSession, d: String): DataFrame =
+    Multimodal.resizeAll(Multimodal.mediaFromPpm(s, d))
+      .select(col("media_id"), col("rw"), col("rh"),
+        trunc4(col("brightness")).as("brightness"))
+      .orderBy("media_id")
+
+  private val oMmResizePpm =
+    s"""WITH d AS (SELECT doc_id, CAST(4 + doc_id % 5 AS INT) AS w,
+       |             CAST(3 + doc_id % 4 AS INT) AS h FROM documents),
+       |  rr AS (SELECT doc_id, w, h,
+       |           unnest(generate_series(0, h - 1, 2)) AS r FROM d),
+       |  cc AS (SELECT doc_id, w, h, r,
+       |           unnest(generate_series(0, w - 1, 2)) AS c FROM rr),
+       |  px AS (SELECT doc_id, w, h,
+       |           unnest(generate_series(0, 2)) AS ch, r, c FROM cc)
+       |SELECT doc_id AS media_id,
+       |  CAST((w + 1) // 2 AS INT) AS rw, CAST((h + 1) // 2 AS INT) AS rh,
+       |  ${oTrunc4("CAST(SUM((doc_id*31 + ((r*w + c)*3 + ch)*7) % 256) AS DOUBLE)" +
+                    " / (((w + 1) // 2) * ((h + 1) // 2) * 3) / 255")} AS brightness
+       |FROM px GROUP BY doc_id, w, h ORDER BY media_id""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "udaf_geomean"    -> udafGeomean _,
     "mm_binary_meta"  -> mmBinaryMeta _,
     "mm_decode_ppm"   -> mmDecodePpm _,
+    "mm_resize_ppm"   -> mmResizePpm _,
     "mm_frame_sample" -> mmFrameSample _,
     "mm_audio_wav"    -> mmAudioWav _)
 
@@ -135,6 +163,7 @@ object QAdvanced extends QueryPack {
     "udaf_geomean"    -> oUdafGeomean,
     "mm_binary_meta"  -> oMmBinaryMeta,
     "mm_decode_ppm"   -> oMmDecodePpm,
+    "mm_resize_ppm"   -> oMmResizePpm,
     "mm_frame_sample" -> oMmFrameSample,
     "mm_audio_wav"    -> oMmAudioWav)
 }

@@ -366,6 +366,26 @@ object QRound3 extends QueryPack {
        |  max(p_size) AS max_size
        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
+  /** ORC source surface: same roundtrip contract over `supplier`. Unlike
+    * CSV/JSON, ORC carries its own typed schema + column statistics, so
+    * the read needs no explicit schema and gets pushdown/pruning like
+    * parquet. */
+  private def scanOrcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = staged(s, d, "orc") { dir =>
+      t(s, d, "supplier").write.mode("overwrite").orc(dir)
+    }
+    s.read.orc(dir)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n"), sum4(col("s_acctbal")).as("sum_bal"),
+        min(col("s_name")).as("first_name"))
+      .orderBy("s_nationkey")
+  }
+
+  private val oScanOrcRoundtrip =
+    s"""SELECT s_nationkey, count(*) AS n, ${oSum4("s_acctbal")} AS sum_bal,
+       |  min(s_name) AS first_name
+       |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+
   // ---- two-phase exact distinct ----
 
   /** Exact COUNT(DISTINCT user_id) per event_type spelled as
@@ -395,6 +415,7 @@ object QRound3 extends QueryPack {
     "agg_distinct_rewrite" -> aggDistinctRewrite _,
     "scan_csv_roundtrip"   -> scanCsvRoundtrip _,
     "scan_json_roundtrip"  -> scanJsonRoundtrip _,
+    "scan_orc_roundtrip"   -> scanOrcRoundtrip _,
     "text_stopword_filter" -> textStopwordFilter _)
 
   val oracles: Map[String, String] = Map(
@@ -405,5 +426,6 @@ object QRound3 extends QueryPack {
     "agg_distinct_rewrite" -> oAggDistinctRewrite,
     "scan_csv_roundtrip"   -> oScanCsvRoundtrip,
     "scan_json_roundtrip"  -> oScanJsonRoundtrip,
+    "scan_orc_roundtrip"   -> oScanOrcRoundtrip,
     "text_stopword_filter" -> oTextStopwordFilter)
 }

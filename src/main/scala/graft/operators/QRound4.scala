@@ -248,6 +248,55 @@ object QRound4 extends QueryPack {
        |  ${oTrunc4("CAST(SUM(CAST(keep AS BIGINT)) AS DOUBLE) / count(*)")} AS rate
        |FROM o GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ---- time-series gap fill (forward fill over a date spine) ----
+
+  /** Per-user daily purchase value, gap-filled: build the (user × day)
+    * grid over the observed global date range, left-join the observed
+    * daily sums, forward-fill missing days from the last observed value
+    * (`last(..., ignoreNulls)` over a rows-unbounded-preceding frame —
+    * nulls remain before a user's first observation). The standard
+    * time-series regularization step before any windowed feature.
+    * Scale shape: the spine is tiny (days) and broadcast into the grid
+    * cross join; the fill is one window pass partitioned on uniform
+    * user_id — never a self-join per gap. */
+  private def tsFillForward(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+    val daily = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), date_trunc("DAY", col("ts")).as("day"))
+      .agg(sum4(col("value")).as("v_obs"))
+    val spine = ev.agg(date_trunc("DAY", min(col("ts"))).as("lo"),
+        date_trunc("DAY", max(col("ts"))).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("INTERVAL 1 DAY"))).as("day"))
+    val grid = ev.select("user_id").distinct().crossJoin(broadcast(spine))
+    val w = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        col("v_obs").isNotNull.cast(IntegerType).as("is_observed"),
+        last(col("v_obs"), ignoreNulls = true).over(w).as("v_filled"))
+      .orderBy("user_id", "day")
+  }
+
+  private val oTsFillForward =
+    s"""WITH daily AS (SELECT user_id, date_trunc('day', ts) AS day,
+       |    ${oSum4("value")} AS v_obs
+       |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+       |  b AS (SELECT date_trunc('day', min(ts)) AS lo,
+       |          date_trunc('day', max(ts)) AS hi FROM events),
+       |  spine AS (SELECT unnest(generate_series((SELECT lo FROM b),
+       |    (SELECT hi FROM b), INTERVAL 1 DAY)) AS day),
+       |  grid AS (SELECT u.user_id, CAST(s.day AS TIMESTAMP) AS day
+       |    FROM (SELECT DISTINCT user_id FROM events) u, spine s)
+       |SELECT g.user_id, g.day,
+       |  CAST(d.v_obs IS NOT NULL AS INT) AS is_observed,
+       |  last_value(d.v_obs IGNORE NULLS) OVER (
+       |    PARTITION BY g.user_id ORDER BY g.day
+       |    ROWS UNBOUNDED PRECEDING) AS v_filled
+       |FROM grid g LEFT JOIN daily d
+       |  ON g.user_id = d.user_id AND g.day = d.day
+       |ORDER BY g.user_id, g.day""".stripMargin
+
   // ---- deterministic correlation via exact moments ----
 
   /** Pearson correlation of quantity vs extended price per return flag,
@@ -352,6 +401,7 @@ object QRound4 extends QueryPack {
     "profile_columns"        -> profileColumns _,
     "sample_stratified_hash" -> sampleStratifiedHash _,
     "agg_corr_moments"       -> aggCorrMoments _,
+    "ts_fill_forward"        -> tsFillForward _,
     "join_interval_bucket"   -> joinIntervalBucket _)
 
   val oracles: Map[String, String] = Map(
@@ -361,5 +411,6 @@ object QRound4 extends QueryPack {
     "profile_columns"        -> oProfileColumns,
     "sample_stratified_hash" -> oSampleStratifiedHash,
     "agg_corr_moments"       -> oAggCorrMoments,
+    "ts_fill_forward"        -> oTsFillForward,
     "join_interval_bucket"   -> oJoinIntervalBucket)
 }

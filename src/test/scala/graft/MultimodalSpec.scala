@@ -91,6 +91,20 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeWav(Array[Byte]()).isEmpty)
   }
 
+  test("resize half: exact sampling grid on hand-built odd/even images") {
+    // 3x2 image, pixel bytes 0..17: sampled pixels are (r,c) in
+    // {0}×{0,2} -> bytes 0,1,2 and 6,7,8 -> sum 24; resized dims 2x1
+    val px = (0 until 18).map(_.toByte).toArray
+    val img = "P6\n3 2\n255\n".getBytes("US-ASCII") ++ px
+    assert(Multimodal.resizeHalfStats(img) === Some((2, 1, 24L)))
+    // 1x1 image: single pixel survives
+    val one = "P6\n1 1\n255\n".getBytes("US-ASCII") ++ Array[Byte](10, 20, 30)
+    assert(Multimodal.resizeHalfStats(one) === Some((1, 1, 60L)))
+    // malformed: not P6 / truncated plane
+    assert(Multimodal.resizeHalfStats("P5\n1 1\n255\n".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.resizeHalfStats(img.dropRight(2)).isEmpty)
+  }
+
   test("synthesized PPM round-trips through the real decoder") {
     val feats = Multimodal.decodeAll(Multimodal.mediaFromPpm(spark, sf))
       .collect().map(f => f.media_id -> f).toMap
