@@ -19,7 +19,11 @@ class HarnessSpec extends SparkSpec {
     // window, TWS stateful fold, custom merge-pass as-of exec
     "dedup_simhash_pairs", "join_skew_salted", "upsert_latest",
     "stream_tws_running", "join_asof_custom", "mm_frame_sample",
-    "agg_sketch_union", "sim_ann_recall")
+    "agg_sketch_union", "sim_ann_recall",
+    // round 4: iterative CC fixpoint, exact-moment corr, window fill,
+    // chained stateful agg, hash sampling
+    "dedup_cc_cluster", "agg_corr_moments", "ts_fill_forward",
+    "stream_chained_agg", "sample_stratified_hash", "join_interval_bucket")
 
   probeKeys.foreach { key =>
     test(s"$key: identical at shuffle.partitions 1 and 32") {

@@ -53,6 +53,24 @@ class ScaleSpec extends SparkSpec {
       s"c4=$c4 is not << all-pairs $allPairs4")
   }
 
+  test("cc clustering converges and respects every LSH edge under 4x corpus") {
+    // the replicated corpus multiplies the near-dup graph (replica families
+    // are near-cliques) — CC must still converge inside its round cap and
+    // place both endpoints of EVERY LSH pair in the same cluster, with the
+    // cluster labeled by its minimum member
+    val cl = SparkEntry.queries("dedup_cc_cluster")(spark, x4dir)
+      .select("doc_id", "cluster_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = SparkEntry.queries("dedup_lsh_pairs")(spark, x4dir)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "no near-dup pairs on the replicated corpus")
+    pairs.foreach { case (a, b) =>
+      assert(cl(a) === cl(b), s"edge ($a,$b) split across clusters")
+      assert(cl(a) <= a && cl(a) <= b, s"cluster label not a component minimum")
+    }
+  }
+
   test("banded simhash recall survives the 4x corpus (planted near-dups found)") {
     // every (original, copy) pair differs by one trailing token — copies of
     // doc d must appear among the Hamming<=3 pairs unless the suffix flips
