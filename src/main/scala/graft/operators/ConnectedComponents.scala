@@ -31,9 +31,13 @@ object ConnectedComponents {
     * singletons back (their label is their own id). */
   def labels(edgesIn: DataFrame, maxRounds: Int = 20): DataFrame = {
     val lvl = StorageLevel.MEMORY_AND_DISK
-    val edges = edgesIn.select(col("src"), col("dst"))
-      .union(edgesIn.select(col("dst").as("src"), col("src").as("dst")))
-      .persist(lvl)
+    // materialize the (possibly expensive — e.g. a full LSH pipeline) edge
+    // source ONCE before fan-out: both union branches and every propagation
+    // round then read the cache instead of recomputing the source
+    val half = edgesIn.select(col("src"), col("dst")).persist(lvl)
+    half.count()
+    val edges = half
+      .union(half.select(col("dst").as("src"), col("src").as("dst")))
     var lab = edges.select(col("src").as("id")).distinct()
       .withColumn("lab", col("id")).persist(lvl)
     var prevSum = -1L
@@ -51,7 +55,7 @@ object ConnectedComponents {
       lab = next
       rounds += 1
     }
-    edges.unpersist()
+    half.unpersist()
     lab
   }
 }
