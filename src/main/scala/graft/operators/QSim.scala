@@ -269,6 +269,51 @@ object QSim extends QueryPack {
        |SELECT qid, CAST(rnk AS INT) AS rnk, vec_id, score
        |FROM rk WHERE rnk <= $kmTop ORDER BY qid, rnk""".stripMargin
 
+  // ---- kNN JOIN: top-k neighbors for EVERY vector, cell-bucketed ----
+
+  private val knnK = 3
+
+  /** Similarity JOIN (vs sim_ann_kmeans's query-set search): every vector's
+    * top-3 nearest same-cell neighbors. The all-pairs spelling is N²/2
+    * kernel calls; bucketing by the computed k-means cell bounds the pair
+    * space to Σ|cell|² ≈ N²/k while keeping the join pure equi on `cell` —
+    * the standard blocked-kNN-join recipe (same cells as sim_ann_kmeans,
+    * so the routing model is built once conceptually; a vector alone in
+    * its cell yields no rows, deterministically on both engines). */
+  private def simKnnJoin(s: SparkSession, d: String): DataFrame = {
+    graft.plans.CosineSim.register(s)
+    graft.functions.VecCentroid.register(s)
+    val e = embPersisted(s, d)
+    val cent = AnnKMeans.centroids(e, kmCells, kmIters)
+    val assigned = AnnKMeans.assign(e, cent)
+    val a = assigned.select(col("cell"), col("vec_id"), col("v"))
+    val b = assigned.select(col("cell"), col("vec_id").as("nbr_id"),
+      col("v").as("nv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("score").desc, col("nbr_id"))
+    a.join(b, Seq("cell")).filter(col("vec_id") =!= col("nbr_id"))
+      .select(col("vec_id"), col("nbr_id"), trunc4(cosine("v", "nv")).as("score"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= knnK)
+      .select("vec_id", "rnk", "nbr_id", "score")
+      .orderBy("vec_id", "rnk")
+  }
+
+  private val oSimKnnJoin =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |${AnnKMeans.oCentroidChain(kmCells, kmIters, 64)}
+       |assigned AS (SELECT vec_id, v, cell FROM (
+       |  SELECT e.vec_id, e.v, c.cell, row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY ${oTrunc4("list_cosine_similarity(e.v, c.cv)")} DESC, c.cell) AS r
+       |  FROM e, c$kmIters c) WHERE r = 1),
+       |pairs AS (SELECT a.vec_id, b.vec_id AS nbr_id,
+       |    ${oTrunc4("list_cosine_similarity(a.v, b.v)")} AS score
+       |  FROM assigned a JOIN assigned b
+       |    ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+       |rk AS (SELECT vec_id, nbr_id, score, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY score DESC, nbr_id) AS rnk FROM pairs)
+       |SELECT vec_id, CAST(rnk AS INT) AS rnk, nbr_id, score
+       |FROM rk WHERE rnk <= $knnK ORDER BY vec_id, rnk""".stripMargin
+
   // ---- self-measuring ANN quality: recall@10 as a query ----
 
   /** Per-query-vector recall@10 of the IVF/k-means ANN against the exact
@@ -304,6 +349,7 @@ object QSim extends QueryPack {
     "dedup_emb_cosine" -> dedupEmbCosine _,
     "sim_ann_ivf"      -> simAnnIvf _,
     "sim_ann_kmeans"   -> simAnnKmeans _,
+    "sim_knn_join"     -> simKnnJoin _,
     "sim_ann_recall"   -> simAnnRecall _)
 
   val oracles: Map[String, String] = Map(
@@ -312,5 +358,6 @@ object QSim extends QueryPack {
     "dedup_emb_cosine" -> oDedupEmbCosine,
     "sim_ann_ivf"      -> oSimAnnIvf,
     "sim_ann_kmeans"   -> oSimAnnKmeans,
+    "sim_knn_join"     -> oSimKnnJoin,
     "sim_ann_recall"   -> oSimAnnRecall)
 }
