@@ -289,6 +289,56 @@ object QRound4 extends QueryPack {
        |  ${oTrunc4("CAST(n_docs - n_unique AS DOUBLE) / n_docs")} AS dup_ratio
        |FROM g ORDER BY lang, source""".stripMargin
 
+  // ---- composed corpus-cleaning pipeline (quality gate → dedup → stats) ----
+
+  /** The end-to-end shape every training-corpus build runs, composed as ONE
+    * query: quality gate (length + token-count thresholds) → canonical-
+    * fingerprint dedup (min doc_id survives per fingerprint, globally) →
+    * per-(lang, source) retention funnel (n_in → n_quality → n_final with
+    * kept ratio). Every stage is map-side or one uniform-key shuffle
+    * (fingerprint row_number, group counts); the three stage-counts join
+    * back on the tiny (lang, source) key. */
+  private def pipelineCorpusClean(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+      .withColumn("n_toks", size(split(col("text"), " ")))
+    val quality = docs.filter(col("n_chars") >= 150 && col("n_toks") >= 30)
+    val fp = quality.withColumn("fp",
+      md5(array_join(array_sort(array_distinct(split(col("text"), " "))), " ")
+        .cast(BinaryType)))
+    val wFp = Window.partitionBy("fp").orderBy("doc_id")
+    val kept = fp.withColumn("rn", row_number().over(wFp))
+      .filter(col("rn") === 1)
+    val s1 = docs.groupBy("lang", "source").agg(count(lit(1)).as("n_in"))
+    val s2 = quality.groupBy("lang", "source").agg(count(lit(1)).as("n_quality"))
+    val s3 = kept.groupBy("lang", "source").agg(count(lit(1)).as("n_final"))
+    s1.join(s2, Seq("lang", "source"), "left")
+      .join(s3, Seq("lang", "source"), "left")
+      .select(col("lang"), col("source"), col("n_in"),
+        coalesce(col("n_quality"), lit(0L)).as("n_quality"),
+        coalesce(col("n_final"), lit(0L)).as("n_final"),
+        trunc4(coalesce(col("n_final"), lit(0L)).cast(DoubleType) / col("n_in"))
+          .as("kept_ratio"))
+      .orderBy("lang", "source")
+  }
+
+  private val oPipelineCorpusClean =
+    s"""WITH d AS (SELECT *, CAST(len(string_split(text,' ')) AS INT) AS n_toks,
+       |    md5(array_to_string(list_sort(list_distinct(string_split(text,' '))), ' ')) AS fp
+       |  FROM documents),
+       |  q AS (SELECT * FROM d WHERE n_chars >= 150 AND n_toks >= 30),
+       |  k AS (SELECT * FROM (SELECT *, row_number() OVER (
+       |      PARTITION BY fp ORDER BY doc_id) AS rn FROM q) WHERE rn = 1),
+       |  s1 AS (SELECT lang, source, count(*) AS n_in FROM d GROUP BY 1, 2),
+       |  s2 AS (SELECT lang, source, count(*) AS n_quality FROM q GROUP BY 1, 2),
+       |  s3 AS (SELECT lang, source, count(*) AS n_final FROM k GROUP BY 1, 2)
+       |SELECT s1.lang, s1.source, s1.n_in,
+       |  coalesce(s2.n_quality, 0) AS n_quality,
+       |  coalesce(s3.n_final, 0) AS n_final,
+       |  ${oTrunc4("CAST(coalesce(s3.n_final, 0) AS DOUBLE) / s1.n_in")} AS kept_ratio
+       |FROM s1 LEFT JOIN s2 ON s1.lang = s2.lang AND s1.source = s2.source
+       |  LEFT JOIN s3 ON s1.lang = s3.lang AND s1.source = s3.source
+       |ORDER BY s1.lang, s1.source""".stripMargin
+
   // ---- time-series gap fill (forward fill over a date spine) ----
 
   /** Per-user daily purchase value, gap-filled: build the (user × day)
@@ -440,6 +490,7 @@ object QRound4 extends QueryPack {
     "chp_funnel_steps"       -> chpFunnelSteps _,
     "chp_retention_cohort"   -> chpRetentionCohort _,
     "dedup_summary_fingerprint"    -> dedupSummaryExact _,
+    "pipeline_corpus_clean"  -> pipelineCorpusClean _,
     "profile_columns"        -> profileColumns _,
     "sample_stratified_hash" -> sampleStratifiedHash _,
     "agg_corr_moments"       -> aggCorrMoments _,
@@ -451,6 +502,7 @@ object QRound4 extends QueryPack {
     "chp_funnel_steps"       -> oChpFunnelSteps,
     "chp_retention_cohort"   -> oChpRetentionCohort,
     "dedup_summary_fingerprint"    -> oDedupSummaryExact,
+    "pipeline_corpus_clean"  -> oPipelineCorpusClean,
     "profile_columns"        -> oProfileColumns,
     "sample_stratified_hash" -> oSampleStratifiedHash,
     "agg_corr_moments"       -> oAggCorrMoments,
