@@ -76,6 +76,64 @@ object DecoderProps extends Properties("graft.pure") {
     }
   }
 
+  /** The resize kernel against a brute-force reimplementation on arbitrary
+    * (not just synthesized) images: dims are ceil-halved and the sampled
+    * sum is exactly the even-(row, col) channel sum. */
+  property("resize half: dims ceil-halve, sampled sum matches brute force") = {
+    val dims = for {
+      w <- Gen.chooseNum(1, 9); h <- Gen.chooseNum(1, 9)
+      px <- Gen.listOfN(w * h * 3, Gen.chooseNum(0, 255))
+    } yield (w, h, px)
+    forAll(dims) { case (w, h, px) =>
+      val img = s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++ px.map(_.toByte)
+      val expected = (for {
+        r <- 0 until h by 2; c <- 0 until w by 2; ch <- 0 until 3
+      } yield px((r * w + c) * 3 + ch).toLong).sum
+      Multimodal.resizeHalfStats(img)
+        .contains(((w + 1) / 2, (h + 1) / 2, expected))
+    }
+  }
+
+  /** Min-label propagation's fixpoint is the true component minimum: on
+    * random small graphs the distributed recurrence (computed here as the
+    * pure sequential fixpoint) must agree with union-find. */
+  property("cc min-label fixpoint == union-find components") = {
+    val graphs = for {
+      n <- Gen.chooseNum(2, 12)
+      m <- Gen.chooseNum(0, 14)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.chooseNum(0, n - 1); b <- Gen.chooseNum(0, n - 1)
+      } yield (a.toLong, b.toLong))
+    } yield es.filter(e => e._1 != e._2)
+    forAll(graphs) { es =>
+      val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+      // sequential twin of ConnectedComponents.labels' recurrence
+      var lab = nodes.map(v => v -> v).toMap
+      var changed = true
+      while (changed) {
+        val next = nodes.map { v =>
+          val nbr = es.collect {
+            case (a, b) if a == v => lab(b)
+            case (a, b) if b == v => lab(a)
+          }
+          v -> (nbr :+ lab(v)).min
+        }.toMap
+        changed = next != lab
+        lab = next
+      }
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      Prop(nodes.forall(v => lab(v) == find(v)))
+    }
+  }
+
   /** MinHash's order-invariance (what makes the signature partitioning- and
     * shuffle-order-proof): min over seeded digests is commutative. */
   property("minhash signature is invariant under token permutation") = {
