@@ -143,6 +143,35 @@ object QRound4 extends QueryPack {
       |  LEFT JOIN t4 ON u.user_id = t4.user_id
       |ORDER BY u.user_id""".stripMargin
 
+  // ---- action-sequence mining (behavioral n-grams) ----
+
+  /** Consecutive action pairs per user (event-type bigrams over the
+    * ts-ordered stream) counted corpus-wide, with distinct-user support —
+    * the classic behavioral-sequence feature (what did users do right
+    * before purchasing?). One window pass partitioned on uniform user_id,
+    * then a 25-key aggregate; no self-join against the stream. */
+  private def chpActionBigrams(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t(s, d, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"),
+        count_distinct(col("user_id")).as("n_users"))
+      .orderBy("from_type", "to_type")
+  }
+
+  private val oChpActionBigrams =
+    """WITH s AS (SELECT user_id, event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS next_type
+      |  FROM events)
+      |SELECT event_type AS from_type, next_type AS to_type,
+      |  count(*) AS n, count(DISTINCT user_id) AS n_users
+      |FROM s WHERE next_type IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin
+
   // ---- monthly cohort retention ----
 
   /** Cohort = a customer's first order month (as year*12+month-1); each
@@ -489,6 +518,7 @@ object QRound4 extends QueryPack {
     "dedup_cc_cluster"       -> dedupCcCluster _,
     "chp_funnel_steps"       -> chpFunnelSteps _,
     "chp_retention_cohort"   -> chpRetentionCohort _,
+    "chp_action_bigrams"     -> chpActionBigrams _,
     "dedup_summary_fingerprint"    -> dedupSummaryExact _,
     "pipeline_corpus_clean"  -> pipelineCorpusClean _,
     "profile_columns"        -> profileColumns _,
@@ -501,6 +531,7 @@ object QRound4 extends QueryPack {
     "dedup_cc_cluster"       -> oDedupCcCluster,
     "chp_funnel_steps"       -> oChpFunnelSteps,
     "chp_retention_cohort"   -> oChpRetentionCohort,
+    "chp_action_bigrams"     -> oChpActionBigrams,
     "dedup_summary_fingerprint"    -> oDedupSummaryExact,
     "pipeline_corpus_clean"  -> oPipelineCorpusClean,
     "profile_columns"        -> oProfileColumns,
