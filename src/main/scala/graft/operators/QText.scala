@@ -254,11 +254,21 @@ object QText extends QueryPack {
     * is equi on (band, bkey); the verifier only ever sees in-bucket pairs.
     *
     * The shingle table feeds three consumers (the signature pipeline and
-    * both sides of the verify join), so it is persisted MEMORY_AND_DISK —
-    * the same reuse pattern a real pipeline gets by checkpointing the
-    * signature table; without it the tokenize+shingle scan runs 3×. */
+    * both sides of the verify join), so it is persisted MEMORY_AND_DISK and
+    * memoized per (session, sfDir) — the same reuse pattern a real pipeline
+    * gets by checkpointing the signature table; without it the
+    * tokenize+shingle scan runs 3× (and once more per dedup_cc_cluster
+    * call, which consumes these pairs as its edge source). */
+  private val shingleCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+
+  private def shingledPersisted(s: SparkSession, d: String): DataFrame =
+    shingleCache.computeIfAbsent((System.identityHashCode(s), d), _ =>
+      shingled(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   private def dedupLshPairs(s: SparkSession, d: String): DataFrame = {
-    val sets = shingled(s, d)
+    val sets = shingledPersisted(s, d)
     val cand = lshCandidatesFrom(sets)
     val sa = sets.select(col("doc_id").as("a_id"), col("shs").as("a_s"))
     val sb = sets.select(col("doc_id").as("b_id"), col("shs").as("b_s"))
