@@ -269,6 +269,29 @@ object QSim extends QueryPack {
        |SELECT qid, CAST(rnk AS INT) AS rnk, vec_id, score
        |FROM rk WHERE rnk <= $kmTop ORDER BY qid, rnk""".stripMargin
 
+  // ---- embedding L2-norm histogram (vector data-quality audit) ----
+
+  /** Distribution of vector L2 norms in 0.1-wide buckets — the standard
+    * embedding-corpus sanity audit (collapsed/exploded norms signal a bad
+    * encoder run). Per-row HOF arithmetic (aggregate over the array —
+    * sequential fold, same order as DuckDB's list_sum, so the doubles are
+    * bit-identical), then a tiny bucket-count aggregate. Zero shuffles
+    * before the final 30-ish-row aggregation. */
+  private def embNormHist(s: SparkSession, d: String): DataFrame =
+    embD(s, d)
+      .select(sqrt(aggregate(col("v"), lit(0.0d),
+        (acc, x) => acc + x * x)).as("norm"))
+      .select(floor(col("norm") * 10).cast(IntegerType).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+
+  private val oEmbNormHist =
+    """WITH n AS (SELECT sqrt(list_sum(list_transform(
+      |    CAST(embedding AS DOUBLE[]), x -> x*x))) AS norm FROM embeddings)
+      |SELECT CAST(floor(norm * 10) AS INT) AS bucket, count(*) AS n
+      |FROM n GROUP BY bucket ORDER BY bucket""".stripMargin
+
   // ---- kNN JOIN: top-k neighbors for EVERY vector, cell-bucketed ----
 
   private val knnK = 3
@@ -350,6 +373,7 @@ object QSim extends QueryPack {
     "sim_ann_ivf"      -> simAnnIvf _,
     "sim_ann_kmeans"   -> simAnnKmeans _,
     "sim_knn_join"     -> simKnnJoin _,
+    "emb_norm_hist"    -> embNormHist _,
     "sim_ann_recall"   -> simAnnRecall _)
 
   val oracles: Map[String, String] = Map(
@@ -359,5 +383,6 @@ object QSim extends QueryPack {
     "sim_ann_ivf"      -> oSimAnnIvf,
     "sim_ann_kmeans"   -> oSimAnnKmeans,
     "sim_knn_join"     -> oSimKnnJoin,
+    "emb_norm_hist"    -> oEmbNormHist,
     "sim_ann_recall"   -> oSimAnnRecall)
 }
