@@ -92,8 +92,9 @@ object QRound4 extends QueryPack {
 
   /** Per-user ordered funnel: first view, first click within 48 h AFTER
     * that view, first signup within 48 h after that click, first purchase
-    * within 48 h after that signup (the conversion window makes depth
-    * discriminating — unbounded, every user converts on this data).
+    * within 48 h after that signup. The 48 h conversion window is what
+    * makes depth discriminating — with no window, every user on this data
+    * eventually converts (probed: depth 4 for all 150 users).
     * Each stage is one filtered aggregate joined on user_id — at scale all
     * four stage tables shuffle on the same uniform user_id key (AQE
     * coalesces the tiny ones), and no window-over-everything is needed.
@@ -294,6 +295,36 @@ object QRound4 extends QueryPack {
        |  ${oSum4("o_totalprice")} AS sum_total,
        |  ${oTrunc4("CAST(SUM(CAST(keep AS BIGINT)) AS DOUBLE) / count(*)")} AS rate
        |FROM o GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---- SCD type-2 interval build (versioned history) ----
+
+  /** Slowly-changing-dimension type-2 build: each purchase event is a new
+    * version of its user's value; emit validity intervals
+    * [valid_from, valid_to) via one `lead` window pass (open interval +
+    * is_current flag on the latest). The warehouse-standard versioned-
+    * history shape next to `upsert_latest`'s latest-wins compaction.
+    * One shuffle on uniform user_id; no self-join against history. */
+  private def upsertScd2(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    t(s, d, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("valid_from"),
+        col("event_id"), col("value"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .select(col("user_id"), col("valid_from"), col("valid_to"),
+        col("value"),
+        col("valid_to").isNull.cast(IntegerType).as("is_current"))
+      .orderBy("user_id", "valid_from")
+  }
+
+  private val oUpsertScd2 =
+    """SELECT user_id, ts AS valid_from,
+      |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+      |  value,
+      |  CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |    IS NULL AS INT) AS is_current
+      |FROM events WHERE event_type = 'purchase'
+      |ORDER BY user_id, valid_from""".stripMargin
 
   // ---- corpus dedup-rate report ----
 
@@ -530,6 +561,7 @@ object QRound4 extends QueryPack {
     "chp_funnel_steps"       -> chpFunnelSteps _,
     "chp_retention_cohort"   -> chpRetentionCohort _,
     "chp_action_bigrams"     -> chpActionBigrams _,
+    "upsert_scd2"            -> upsertScd2 _,
     "dedup_summary_fingerprint"    -> dedupSummaryExact _,
     "pipeline_corpus_clean"  -> pipelineCorpusClean _,
     "profile_columns"        -> profileColumns _,
@@ -543,6 +575,7 @@ object QRound4 extends QueryPack {
     "chp_funnel_steps"       -> oChpFunnelSteps,
     "chp_retention_cohort"   -> oChpRetentionCohort,
     "chp_action_bigrams"     -> oChpActionBigrams,
+    "upsert_scd2"            -> oUpsertScd2,
     "dedup_summary_fingerprint"    -> oDedupSummaryExact,
     "pipeline_corpus_clean"  -> oPipelineCorpusClean,
     "profile_columns"        -> oProfileColumns,
