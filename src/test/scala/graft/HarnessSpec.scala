@@ -23,7 +23,8 @@ class HarnessSpec extends SparkSpec {
     // round 4: iterative CC fixpoint, exact-moment corr, window fill,
     // chained stateful agg, hash sampling
     "dedup_cc_cluster", "agg_corr_moments", "ts_fill_forward",
-    "stream_chained_agg", "sample_stratified_hash", "join_interval_bucket")
+    "stream_chained_agg", "sample_stratified_hash", "join_interval_bucket",
+    "upsert_scd2", "emb_norm_hist", "sim_knn_join", "pipeline_corpus_clean")
 
   probeKeys.foreach { key =>
     test(s"$key: identical at shuffle.partitions 1 and 32") {
