@@ -105,6 +105,31 @@ class Round4Spec extends SparkSpec {
     }
   }
 
+  test("scd2: per-user intervals chain without gaps; exactly one current") {
+    val rows = SparkEntry.queries("upsert_scd2")(spark, sf).collect()
+    rows.groupBy(_.getLong(0)).foreach { case (user, versions) =>
+      // output is ordered by valid_from: each valid_to must equal the next
+      // version's valid_from (contiguous history), last one open+current
+      versions.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.get(2) === b.get(1), s"gap in user $user history")
+          assert(a.getInt(4) === 0)
+        case _ =>
+      }
+      assert(versions.last.get(2) == null && versions.last.getInt(4) === 1,
+        s"user $user: last version must be open and current")
+      assert(versions.count(_.getInt(4) == 1) === 1)
+    }
+    assert(rows.nonEmpty)
+  }
+
+  test("retention cohort: matrix conserves the orders fact table") {
+    val rows = SparkEntry.queries("chp_retention_cohort")(spark, sf).collect()
+    val totalOrders = graft.sources.Tables.t(spark, sf, "orders").count()
+    assert(rows.map(_.getLong(3)).sum === totalOrders,
+      "n_orders across the matrix must sum to the fact table")
+  }
+
   test("retention cohort: offset 0 exists for every cohort and dominates") {
     val rows = SparkEntry.queries("chp_retention_cohort")(spark, sf).collect()
     val byCohort = rows.groupBy(_.getInt(0))
