@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.sources.Tables._
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic seeded k-means over an embedding column, shared by the
@@ -67,10 +66,20 @@ object AnnKMeans {
     * CosineSim.register + VecCentroid.register on the session. */
   def centroids(e: DataFrame, k: Int, iters: Int): DataFrame = {
     val spark = e.sparkSession
-    var cent = e.orderBy("vec_id").limit(k)
-      .withColumn("cell",
-        (row_number().over(Window.orderBy("vec_id")) - 1).cast("int"))
-      .select("cell", "v").withColumnRenamed("v", "cv")
+    import spark.implicits._
+    // seed init: the k lowest-vec_id vectors, cell = rank among the seeds.
+    // TakeOrdered gives the k rows; the cell index is assigned driver-side
+    // (k rows of model state — the same materialization the Lloyd loop
+    // below does), NOT via a global row_number window: an unpartitioned
+    // window funnels its whole input through one task, and PlanSpec now
+    // rejects that shape anywhere in the inventory.
+    var cent = spark.createDataFrame(
+      e.orderBy("vec_id").limit(k).select("vec_id", "v")
+        .collect()
+        .map(r => (r.getAs[Number]("vec_id").longValue, r.getSeq[Double](1)))
+        .sortBy(_._1).zipWithIndex
+        .map { case ((_, v), i) => (i, v) }.toIndexedSeq)
+      .toDF("cell", "cv")
     for (_ <- 1 to iters) {
       val next = assign(e, cent)
         .groupBy("cell").agg(expr("vec_centroid(v)").as("cv"))

@@ -56,6 +56,12 @@ object ConnectedComponents {
       rounds += 1
     }
     half.unpersist()
+    // ADVICE r4: exiting on the round cap would hand callers partially
+    // propagated (wrong) labels with no signal — fail loudly instead.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge within $maxRounds rounds " +
+          "(component diameter exceeds the cap); raise maxRounds")
     lab
   }
 }

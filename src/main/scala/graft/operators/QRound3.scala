@@ -297,12 +297,14 @@ object QRound3 extends QueryPack {
 
   // ---- CSV / JSON source formats (roundtrip through the parquet truth) ----
 
-  /** Roundtrip staging dirs, memoized per (session, sfDir, format) so the
-    * eager write-out runs once per session instead of on every DataFrame
-    * construction (ADVICE r3: each bench/verify/test invocation leaked a
-    * fresh table copy). A shutdown hook removes the staged copies. */
-  private val stageDirs =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), String]()
+  /** Roundtrip staging dirs, memoized per (sfDir, format): the staged copy
+    * is a pure function of the source table, independent of which session
+    * wrote it (ADVICE r3: per-call staging leaked a fresh table copy;
+    * ADVICE r4: identityHashCode session keys can collide, and the staged
+    * bytes don't depend on the session anyway). A shutdown hook removes
+    * the staged copies. */
+  private[graft] val stageDirs =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
   private val stageCleanup: Unit = Runtime.getRuntime.addShutdownHook(new Thread(() =>
     stageDirs.values.forEach { root =>
       import java.nio.file.{Files, Paths}
@@ -312,9 +314,9 @@ object QRound3 extends QueryPack {
         Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
     }))
 
-  private def staged(s: SparkSession, d: String, fmt: String)
+  private[graft] def staged(s: SparkSession, d: String, fmt: String)
       (write: String => Unit): String =
-    stageDirs.computeIfAbsent((System.identityHashCode(s), d, fmt), { _ =>
+    stageDirs.computeIfAbsent((d, fmt), { _ =>
       val dir = java.nio.file.Files.createTempDirectory(s"graft_${fmt}_").toString
       write(dir)
       dir

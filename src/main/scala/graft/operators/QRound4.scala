@@ -42,14 +42,11 @@ object QRound4 extends QueryPack {
     * aggregate per round, exactly like k-means' per-iteration centroid
     * materialization (AnnKMeans.centroids). */
   /** Converged CC labels over the LSH pair graph, memoized per
-    * (session, sfDir): the propagation loop leaves its result persisted
-    * (it is model state, like k-means centroids) — one shared entry per
-    * session instead of one leaked cache entry per call. */
-  private val ccCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
-
+    * (session, sfDir) via graft.Memo: the propagation loop leaves its
+    * result persisted (it is model state, like k-means centroids) — one
+    * shared entry per session instead of one leaked cache entry per call. */
   private def ccLabels(s: SparkSession, d: String): DataFrame =
-    ccCache.computeIfAbsent((System.identityHashCode(s), d), _ =>
+    graft.Memo.memo(s, "cc", d)(
       ConnectedComponents.labels(
         QText.queries("dedup_lsh_pairs")(s, d)
           .select(col("a_id").as("src"), col("b_id").as("dst"))))
@@ -221,11 +218,12 @@ object QRound4 extends QueryPack {
   // ---- per-column data profiling ----
 
   /** Column profile of lineitem's measures: row count, null count, exact
-    * distinct count, min/max, exact decimal sum. One stack (map-side
-    * unpivot — no shuffle to reshape) then one aggregate per column name.
-    * The count(DISTINCT) is per-group two-phase under the hood; with only
-    * 4 groups the distinct shuffle spreads over (col_name, val) composite
-    * keys, so one wide column cannot hot-spot a reducer. */
+    * distinct count, min/max, exact decimal sum — spelled as one aggregate
+    * branch per column, unioned (NOT a stack/unpivot: the inline comment
+    * below records the measured reason). Each branch is an independent
+    * single-column scan + global aggregate; the branches' distinct
+    * shuffles stay per-column, so one wide column cannot hot-spot a
+    * reducer shared with the others. */
   private def profileColumns(s: SparkSession, d: String): DataFrame = {
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
     val li = t(s, d, "lineitem")

@@ -259,11 +259,8 @@ object QText extends QueryPack {
     * gets by checkpointing the signature table; without it the
     * tokenize+shingle scan runs 3× (and once more per dedup_cc_cluster
     * call, which consumes these pairs as its edge source). */
-  private val shingleCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
-
-  private def shingledPersisted(s: SparkSession, d: String): DataFrame =
-    shingleCache.computeIfAbsent((System.identityHashCode(s), d), _ =>
+  private[graft] def shingledPersisted(s: SparkSession, d: String): DataFrame =
+    graft.Memo.memo(s, "shingles", d)(
       shingled(s, d)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 

@@ -116,10 +116,10 @@ class PlanSpec extends SparkSpec {
       s"non-equi fallback in:\n$p")
   }
 
-  test("column profile unpivots map-side: one Generate, no pre-agg shuffle of width") {
+  test("column profile: per-column agg branches unioned, no join or reshape") {
     val p = plan("profile_columns")
-    // stack() lowers to Expand/Generate BELOW the aggregate: exactly one
-    // exchange pair (partial -> final agg), no join, no extra reshape shuffle
+    // union-of-branches spelling: each branch is scan -> partial/final agg
+    // on a single pruned column; no join, no stack/Expand reshape shuffle
     assert(!p.contains("Join"), s"unexpected join in:\n$p")
     assert("HashAggregate".r.findAllIn(p).size >= 2,
       s"no partial+final aggregate pair in:\n$p")
@@ -129,5 +129,20 @@ class PlanSpec extends SparkSpec {
     val p = plan("sample_stratified_hash")
     assert(!p.contains("Sample"), s"RNG Sample operator in:\n$p")
     assert(!p.contains("Join"), s"unexpected join in:\n$p")
+  }
+
+  test("no unpartitioned window anywhere in the declared inventory") {
+    // VERDICT r4: an unpartitioned Window (e.g. a global ntile) funnels
+    // EVERY input row through one task — the one plan shape that cannot
+    // survive a 100x scale-up. Checked on the optimized logical plan (the
+    // physical plan hides inside AdaptiveSparkPlanExec under AQE). This
+    // also guards future keys: any global ranking must be spelled as
+    // bounded-histogram/breakpoint broadcast instead.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { key =>
+      val lp = SparkEntry.queries(key)(spark, sf).queryExecution.optimizedPlan
+      lp.collect { case w: LWindow if w.partitionSpec.isEmpty => w }.nonEmpty
+    }
+    assert(offenders.isEmpty, s"global single-partition window in: $offenders")
   }
 }
