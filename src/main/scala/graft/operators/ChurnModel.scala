@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference's headline capability: a TRAINED churn classifier over the
+  * behavioral feature set (MorphL trains churn models with Spark MLlib on
+  * engineered user features; SURVEY §1/Appendix B). This is the MLlib
+  * pipeline — VectorAssembler → LogisticRegression — run as a library
+  * component, with a deterministic hash train/test split and an AUC +
+  * confusion-matrix evaluation emitted as a one-row DataFrame.
+  *
+  * Determinism: no RNG anywhere — the split is a pure row hash (same
+  * md5 idiom as `sample_stratified_hash`), LR starts from the zero vector
+  * and L-BFGS on a fixed dataset is deterministic; outputs are truncated
+  * (trunc4/trunc6) so the last-ulp of floating-point aggregation order
+  * cannot flip a value. Gated by scalatest (two runs → identical row;
+  * AUC sanity bounds) rather than a DuckDB oracle: the training loop is
+  * not SQL-expressible. The downstream scoring of the FITTED weights is
+  * SQL-expressible and oracle-checked — see QRound5.chp_model_confusion.
+  *
+  * Scale shape (100 TB): the feature table is one shuffle on user_id
+  * (QPipeline.chpFeaturesLabel); each L-BFGS iteration is one
+  * treeAggregate over the training rows (gradient = model-state-sized,
+  * k+1 doubles); nothing ever collects row data to the driver. This is
+  * exactly how MLlib LR runs on a 1000-executor cluster.
+  */
+object ChurnModel {
+
+  /** Feature columns. `days_inactive` is deliberately EXCLUDED: the label
+    * is defined as days_inactive > 7, so using it would be label leakage
+    * (the model would learn the threshold, AUC 1.0, and nothing else). */
+  val featureCols: Seq[String] = Seq("n_events", "n_clicks", "n_purchases", "total_value")
+
+  /** Deterministic 80/20 split: md5(user_id) % 5 == 0 → test fold. The
+    * same no-RNG hash-split idiom as sample_stratified_hash — stable
+    * across partitioning, retries, and engines. */
+  def withSplit(features: DataFrame): DataFrame = {
+    val h = conv(substring(md5(col("user_id").cast(StringType)
+      .cast(BinaryType)), 1, 8), 16, 10).cast(LongType) % 5
+    features.withColumn("is_test", h === 0)
+  }
+
+  /** Training label: inactive for >= 1 full day. The declared
+    * `churn_label` (7-day horizon — MorphL's production rule) is
+    * degenerate on this synthetic corpus: every user is active within ~3
+    * days, so 7-day churn is identically 0 and unlearnable. The 1-day
+    * horizon is the same business definition at the corpus' real activity
+    * cadence (~10% positives at sf0.01/sf0.1). */
+  def label1d(features: DataFrame): DataFrame =
+    features.withColumn("label",
+      when(col("days_inactive") >= 1, 1.0d).otherwise(0.0d))
+
+  /** Train on the 80% fold, evaluate on the 20% fold; one output row:
+    * (n_train, n_test, auc, tp, fp, tn, fn, w_*, intercept). The fitted
+    * coefficients are part of the output so the frozen deployed weights
+    * in QRound5 are reproducible from the declared query alone. */
+  def trainEval(s: SparkSession, features: DataFrame): DataFrame = {
+    val fl = withSplit(label1d(features))
+    val va = new VectorAssembler()
+      .setInputCols(featureCols.toArray).setOutputCol("fv")
+    val train = va.transform(fl.filter(!col("is_test")))
+    val test = va.transform(fl.filter(col("is_test")))
+    val lr = new LogisticRegression()
+      .setFeaturesCol("fv").setLabelCol("label")
+      .setMaxIter(25).setTol(1e-8)
+      .setRegParam(1e-2).setElasticNetParam(0.0)
+      .setStandardization(true)
+      // binomial even if a tiny fold degenerates to one class (family
+      // "auto" would fit a 1-column multinomial and break the evaluator)
+      .setFamily("binomial")
+    val model = lr.fit(train)
+    val pred = model.transform(test)
+    val auc = new BinaryClassificationEvaluator()
+      .setLabelCol("label").setRawPredictionCol("rawPrediction")
+      .setMetricName("areaUnderROC")
+      .evaluate(pred)
+    val Array(cm) = pred.agg(
+      sum(when(col("label") === 1.0 && col("prediction") === 1.0, 1L)
+        .otherwise(0L)).as("tp"),
+      sum(when(col("label") === 0.0 && col("prediction") === 1.0, 1L)
+        .otherwise(0L)).as("fp"),
+      sum(when(col("label") === 0.0 && col("prediction") === 0.0, 1L)
+        .otherwise(0L)).as("tn"),
+      sum(when(col("label") === 1.0 && col("prediction") === 0.0, 1L)
+        .otherwise(0L)).as("fn")).collect()
+    val nTrain = train.count()
+    val nTest = test.count()
+    def t6(x: Double): Double = math.floor(x * 1e6) / 1e6
+    val w = model.coefficients.toArray
+    import s.implicits._
+    Seq((nTrain, nTest, math.floor(auc * 1e4) / 1e4,
+        cm.getLong(0), cm.getLong(1), cm.getLong(2), cm.getLong(3),
+        t6(w(0)), t6(w(1)), t6(w(2)), t6(w(3)), t6(model.intercept)))
+      .toDF("n_train", "n_test", "auc", "tp", "fp", "tn", "fn",
+        "w_n_events", "w_n_clicks", "w_n_purchases", "w_total_value",
+        "intercept")
+  }
+}

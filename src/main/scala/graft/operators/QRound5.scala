@@ -1,0 +1,177 @@
+package graft.operators
+
+import graft.QueryPack
+import graft.sources.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-5 coverage: the storage-layout operators that make the 100 TB
+  * posture concrete in the driver-checked inventory, plus the model layer
+  * (the reference's headline trained-churn-classifier capability).
+  *
+  *  - `scan_partition_prune`: hive-partitioned write + partition-pruned
+  *    read — the mechanism that turns a full-table scan into reading only
+  *    the matching partition directories.
+  *  - `join_bucket_colocated`: both join sides pre-bucketed on the join
+  *    key — the join runs with NO shuffle of either fact (the layout
+  *    investment a warehouse makes for its hottest join key).
+  *  - `chp_train_auc`: MLlib LogisticRegression trained on the churn
+  *    features (ChurnModel) — no-oracle by design (training is not SQL);
+  *    scalatest-gated (determinism + AUC bounds + confusion conservation).
+  *  - `chp_model_confusion`: batch scoring of the FITTED, frozen weights
+  *    (train once / deploy weights — the production lifecycle), expressed
+  *    as pure arithmetic so DuckDB verifies it exactly.
+  */
+object QRound5 extends QueryPack {
+
+  // ---- hive-partitioned layout + partition-pruned scan ----
+
+  /** Write orders hive-partitioned by order month to a staged dir (once
+    * per sfDir — the layout is a pure function of the table), then read
+    * it back with a month predicate. The predicate lands in the scan's
+    * PartitionFilters (PlanSpec-gated): only 3 of 12 month directories
+    * are listed and read — at 100 TB this is the difference between
+    * scanning the lake and scanning a quarter. The oracle aggregates the
+    * unpartitioned parquet truth under the same predicate, so any row
+    * lost or duplicated by the layout roundtrip breaks the hash. */
+  private def scanPartitionPrune(s: SparkSession, d: String): DataFrame = {
+    val dir = QRound3.staged(s, d, "pmonth") { dir =>
+      t(s, d, "orders")
+        .withColumn("o_month", month(col("o_orderdate")))
+        .write.mode("overwrite").partitionBy("o_month").parquet(dir)
+    }
+    s.read.parquet(dir)
+      .filter(col("o_month").isin(3, 4, 5))
+      .groupBy("o_month", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum4(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_month", "o_orderpriority")
+  }
+
+  private val oScanPartitionPrune =
+    s"""SELECT CAST(month(o_orderdate) AS INT) AS o_month, o_orderpriority,
+       |  count(*) AS n, ${oSum4("o_totalprice")} AS sum_price
+       |FROM orders WHERE month(o_orderdate) IN (3, 4, 5)
+       |GROUP BY 1, 2 ORDER BY o_month, o_orderpriority""".stripMargin
+
+  // ---- bucketed co-located join ----
+
+  private val bktCounter = new java.util.concurrent.atomic.AtomicInteger()
+
+  /** Join over two tables bucketed on the join key (8 buckets on custkey;
+    * at 100 TB you size buckets so each is an executor-memory-friendly
+    * split — hundreds to thousands). Because both sides' bucketing
+    * matches the join key, the SortMergeJoin consumes the bucketed files
+    * directly: NO shuffle of either table (PlanSpec asserts no
+    * hashpartitioning Exchange with broadcast disabled). The staged
+    * bucketed tables are memoized per session; the external files land in
+    * a temp dir. Oracle: the same join over the parquet truth. */
+  private def joinBucketColocated(s: SparkSession, d: String): DataFrame = {
+    val joined = graft.Memo.memo(s, "bktjoin", d) {
+      val n = bktCounter.incrementAndGet()
+      val dir = java.nio.file.Files.createTempDirectory("graft_bkt_").toString
+      val ot = s"graft_orders_b$n"
+      val ct = s"graft_customer_b$n"
+      t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode("overwrite").option("path", s"$dir/o")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(ot)
+      t(s, d, "customer").select("c_custkey", "c_mktsegment")
+        .write.mode("overwrite").option("path", s"$dir/c")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(ct)
+      s.table(ot).join(s.table(ct), col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "o_custkey", "c_mktsegment", "o_totalprice")
+    }
+    joined.orderBy("o_orderkey")
+  }
+
+  private val oJoinBucketColocated =
+    """SELECT o_orderkey, o_custkey, c_mktsegment, o_totalprice
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---- trained churn model (MLlib) ----
+
+  /** Train + evaluate the churn classifier (ChurnModel): one row with
+    * split sizes, AUC, the 0.5-threshold confusion matrix, and the fitted
+    * coefficients. No oracle (training is not SQL-expressible) — gated by
+    * Round5Spec: two runs bit-identical, AUC within (0.5, 1], confusion
+    * counts conserve n_test. */
+  private def chpTrainAuc(s: SparkSession, d: String): DataFrame =
+    ChurnModel.trainEval(s, QPipeline.queries("chp_features_label")(s, d))
+
+  /** Batch scoring of the DEPLOYED model: the coefficients below were
+    * fitted by `chp_train_auc` at sf0.01 (the verify scale) and frozen —
+    * the train-once / score-many lifecycle of a production model. The
+    * operating point is the positive base rate (p = 0.1 — standard for
+    * imbalanced churn; 0.5 predicts all-negative here), and thresholding
+    * the sigmoid at p is identical to thresholding the margin at
+    * ln(p/(1-p)), so scoring stays pure arithmetic (no transcendental in
+    * either engine) and DuckDB reproduces the confusion matrix exactly.
+    * One shuffle (the feature aggregate), then a 4-row aggregate. */
+  private def chpModelConfusion(s: SparkSession, d: String): DataFrame = {
+    val f = QPipeline.queries("chp_features_label")(s, d)
+    val margin = lit(Frozen.intercept) +
+      lit(Frozen.wEvents) * col("n_events") +
+      lit(Frozen.wClicks) * col("n_clicks") +
+      lit(Frozen.wPurchases) * col("n_purchases") +
+      lit(Frozen.wValue) * col("total_value")
+    f.select(
+        // the model's label horizon (ChurnModel.label1d): 1 day, not the
+        // degenerate-on-this-corpus 7-day churn_label
+        (col("days_inactive") >= 1).cast(IntegerType).as("true_label"),
+        margin.as("z"))
+      .select(col("true_label"),
+        (col("z") > lit(Frozen.threshold)).cast(IntegerType).as("pred_label"))
+      .groupBy("true_label", "pred_label")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("true_label", "pred_label")
+  }
+
+  /** Frozen deployed weights — the output row of chp_train_auc at sf0.01
+    * (the verify scale), truncated to 6 dp: the exact values the declared
+    * training query emits, re-derivable by running it. */
+  private object Frozen {
+    val wEvents    = 0.035546
+    val wClicks    = -0.202035
+    val wPurchases = -0.112347
+    val wValue     = -0.000034
+    val intercept  = -0.509843
+    /** Margin threshold for the p = 0.1 operating point:
+      * trunc6(ln(0.1/0.9)) — frozen as a literal so neither engine
+      * evaluates a transcendental at query time. */
+    val threshold  = -2.197225
+  }
+
+  private def sci(x: Double): String = {
+    // oracle literal rule (SURVEY App. A): fractional literals must be
+    // written in scientific notation so DuckDB binds them as DOUBLE, not
+    // DECIMAL — mixed decimal/double arithmetic drifts one ulp
+    val s = java.lang.Double.toString(x)
+    if (s.contains("E") || s.contains("e")) s.replace("E", "e") else s + "e0"
+  }
+
+  private val oChpModelConfusion = {
+    val fl = QPipeline.oracles("chp_features_label")
+    s"""WITH f AS ($fl),
+       |  sc AS (SELECT CAST(days_inactive >= 1 AS INT) AS true_label,
+       |    CAST((${sci(Frozen.intercept)}
+       |      + ${sci(Frozen.wEvents)} * n_events
+       |      + ${sci(Frozen.wClicks)} * n_clicks
+       |      + ${sci(Frozen.wPurchases)} * n_purchases
+       |      + ${sci(Frozen.wValue)} * total_value) > ${sci(Frozen.threshold)} AS INT) AS pred_label
+       |  FROM f)
+       |SELECT true_label, pred_label, count(*) AS n_users
+       |FROM sc GROUP BY 1, 2 ORDER BY true_label, pred_label""".stripMargin
+  }
+
+  val queries: Map[String, QFn] = Map(
+    "scan_partition_prune"  -> scanPartitionPrune _,
+    "join_bucket_colocated" -> joinBucketColocated _,
+    "chp_train_auc"         -> chpTrainAuc _,
+    "chp_model_confusion"   -> chpModelConfusion _)
+
+  val oracles: Map[String, String] = Map(
+    "scan_partition_prune"  -> oScanPartitionPrune,
+    "join_bucket_colocated" -> oJoinBucketColocated,
+    "chp_model_confusion"   -> oChpModelConfusion)
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-5 gates: trained churn model (no-oracle key — this IS its
+  * correctness gate) and the storage-layout keys' plan shapes. */
+class Round5Spec extends SparkSpec {
+
+  // sf0.001 has only 15 users (a 3-user test fold); train at sf0.01 where
+  // the split is 121/29 and the gates are meaningful
+  private val sfTrain = "/root/testdata/sf0.01"
+
+  test("chp_train_auc: deterministic — two runs emit the identical row") {
+    val a = SparkEntry.queries("chp_train_auc")(spark, sfTrain)
+      .collect().map(_.toString).toSeq
+    val b = SparkEntry.queries("chp_train_auc")(spark, sfTrain)
+      .collect().map(_.toString).toSeq
+    assert(a === b, "training is not deterministic")
+  }
+
+  test("chp_train_auc: AUC bounded, confusion conserves the test fold") {
+    val r = SparkEntry.queries("chp_train_auc")(spark, sfTrain).collect()(0)
+    val auc = r.getAs[Double]("auc")
+    assert(auc >= 0.0 && auc <= 1.0, s"AUC out of range: $auc")
+    val n = Seq("tp", "fp", "tn", "fn").map(r.getAs[Long]).sum
+    assert(n === r.getAs[Long]("n_test"),
+      s"confusion cells don't conserve n_test: $r")
+    assert(r.getAs[Long]("n_train") + r.getAs[Long]("n_test") === 150L)
+  }
+
+  test("chp_train_auc: fitted model is nontrivial (some nonzero weight)") {
+    val r = SparkEntry.queries("chp_train_auc")(spark, sfTrain).collect()(0)
+    val ws = Seq("w_n_events", "w_n_clicks", "w_n_purchases", "w_total_value")
+      .map(r.getAs[Double])
+    assert(ws.exists(w => math.abs(w) > 1e-9), s"all-zero coefficients: $r")
+  }
+
+  test("chp_model_confusion: frozen weights reproduce training-scale counts") {
+    // at the training scale (sf0.01) the deployed model's confusion over
+    // ALL users must see both predicted classes at the p=0.1 operating
+    // point (probed: 50 of 150 users score above threshold)
+    val rows = SparkEntry.queries("chp_model_confusion")(spark, sfTrain)
+      .collect()
+    val preds = rows.map(_.getAs[Int]("pred_label")).distinct.sorted
+    assert(preds === Array(0, 1), s"degenerate predictions: ${rows.toSeq}")
+    val total = rows.map(_.getAs[Long]("n_users")).sum
+    assert(total === 150L)
+  }
+
+  test("scan_partition_prune: month predicate reaches PartitionFilters") {
+    val p = SparkEntry.queries("scan_partition_prune")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("o_month"), s"no partition filter on o_month in:\n$p")
+    // and the month IN-list must sit in PartitionFilters (pruning happens
+    // at file listing), not degrade to a post-scan row Filter
+    assert(pf.contains("IN"), s"month IN-list not in PartitionFilters: $pf")
+  }
+
+  test("join_bucket_colocated: no shuffle of either side (bucket co-location)") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // fresh construction under the no-broadcast conf; drop the final
+      // orderBy's range exchange by planning the un-sorted join the key
+      // memoized (the orderBy exchange is presentation, not the join)
+      val df = SparkEntry.queries("join_bucket_colocated")(spark, sf)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), s"not a sort-merge join:\n$p")
+      assert(!p.contains("hashpartitioning"),
+        s"bucketed join still shuffles a side:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
