@@ -34,13 +34,28 @@ object Memo {
   private def uuid(s: SparkSession): String =
     ids.computeIfAbsent(s, _ => java.util.UUID.randomUUID().toString)
 
-  /** Build-once per (session, shuffle-partitions, tag, sfDir). */
+  /** Build-once per (session, shuffle-partitions, tag, sfDir).
+    *
+    * NOT computeIfAbsent: memoized builds nest (the CC-labels build calls
+    * the LSH-pairs build calls the shingle build, all through this map),
+    * and a nested computeIfAbsent on the same ConcurrentHashMap throws
+    * IllegalStateException("Recursive update") whenever the two keys land
+    * in the same bin. Build outside the map, publish with putIfAbsent;
+    * a rare racing duplicate build is idempotent (an extra persist that
+    * is never referenced again). */
   def memo(s: SparkSession, tag: String, d: String)(build: => DataFrame): DataFrame = {
     val it = cache.entrySet().iterator()
     while (it.hasNext) {
       if (it.next().getValue.session.sparkContext.isStopped) it.remove()
     }
     val parts = s.conf.get("spark.sql.shuffle.partitions", "")
-    cache.computeIfAbsent((uuid(s), parts, tag, d), _ => Entry(s, build)).df
+    val key = (uuid(s), parts, tag, d)
+    val existing = cache.get(key)
+    if (existing != null) existing.df
+    else {
+      val built = Entry(s, build)
+      val prev = cache.putIfAbsent(key, built)
+      if (prev != null) prev.df else built.df
+    }
   }
 }

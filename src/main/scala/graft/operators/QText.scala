@@ -264,20 +264,32 @@ object QText extends QueryPack {
       shingled(s, d)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
-  private def dedupLshPairs(s: SparkSession, d: String): DataFrame = {
-    val sets = shingledPersisted(s, d)
-    val cand = lshCandidatesFrom(sets)
-    val sa = sets.select(col("doc_id").as("a_id"), col("shs").as("a_s"))
-    val sb = sets.select(col("doc_id").as("b_id"), col("shs").as("b_s"))
-    cand.join(sa, "a_id").join(sb, "b_id")
-      .select(col("a_id"), col("b_id"),
-        trunc4(
-          size(array_intersect(col("a_s"), col("b_s"))).cast(DoubleType) /
-          size(array_distinct(concat(col("a_s"), col("b_s")))).cast(DoubleType)
-        ).as("jaccard"))
-      .filter(col("jaccard") >= 0.8)
-      .orderBy("a_id", "b_id")
-  }
+  /** Verified near-dup pairs, memoized + lineage-truncated
+    * (localCheckpoint): the pair table is the shared input of the declared
+    * pairs key AND the CC clustering stage (QRound4.ccLabels) — snapshotting
+    * it between stages is exactly what a production dedup pipeline does,
+    * and the table is tiny (one row per verified near-dup pair), so the
+    * checkpoint costs one materialization of the signature pipeline and
+    * every later consumer pays a leaf-scan, not an 8-md5s-per-shingle
+    * recompute. */
+  private[graft] def lshPairsPersisted(s: SparkSession, d: String): DataFrame =
+    graft.Memo.memo(s, "lshpairs", d) {
+      val sets = shingledPersisted(s, d)
+      val cand = lshCandidatesFrom(sets)
+      val sa = sets.select(col("doc_id").as("a_id"), col("shs").as("a_s"))
+      val sb = sets.select(col("doc_id").as("b_id"), col("shs").as("b_s"))
+      cand.join(sa, "a_id").join(sb, "b_id")
+        .select(col("a_id"), col("b_id"),
+          trunc4(
+            size(array_intersect(col("a_s"), col("b_s"))).cast(DoubleType) /
+            size(array_distinct(concat(col("a_s"), col("b_s")))).cast(DoubleType)
+          ).as("jaccard"))
+        .filter(col("jaccard") >= 0.8)
+        .localCheckpoint()
+    }
+
+  private def dedupLshPairs(s: SparkSession, d: String): DataFrame =
+    lshPairsPersisted(s, d).orderBy("a_id", "b_id")
 
   private val oDedupLshPairs: String = {
     val mins = (for (j <- 0 until lshB; c <- 0 until lshR) yield

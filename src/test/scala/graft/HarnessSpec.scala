@@ -24,7 +24,13 @@ class HarnessSpec extends SparkSpec {
     // chained stateful agg, hash sampling
     "dedup_cc_cluster", "agg_corr_moments", "ts_fill_forward",
     "stream_chained_agg", "sample_stratified_hash", "join_interval_bucket",
-    "upsert_scd2", "emb_norm_hist", "sim_knn_join", "pipeline_corpus_clean")
+    "upsert_scd2", "emb_norm_hist", "sim_knn_join", "pipeline_corpus_clean",
+    // round 5: histogram-broadcast decile, partitioned-layout roundtrip,
+    // frozen-weight model scoring (chp_train_auc is excluded: L-BFGS
+    // gradient treeAggregate order is partition-dependent in the last ulp
+    // by design — its determinism gate is same-session re-run, Round5Spec)
+    "chp_score_linear", "chp_eval_lift", "scan_partition_prune",
+    "chp_model_confusion")
 
   probeKeys.foreach { key =>
     test(s"$key: identical at shuffle.partitions 1 and 32") {

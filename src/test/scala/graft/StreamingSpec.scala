@@ -142,6 +142,42 @@ class StreamingSpec extends SparkSpec {
     assert(batch.head.getLong(2) === 3L && batch.head.getLong(3) === 2L)
   }
 
+  test("file-source stream end-to-end: tumbling agg over staged JSON == batch") {
+    // the first thing a production pipeline does: readStream from a real
+    // file source (not MemoryStream) with an explicit schema, a bounded
+    // trigger, and multiple micro-batches (maxFilesPerTrigger) — then the
+    // result must equal the batch form over the same files (VERDICT r4 §3)
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_src_")
+    try {
+      graft.sources.Tables.t(spark, sf, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .repartition(6) // several json files -> several micro-batches
+        .write.mode("overwrite").json(dir.toString)
+      val schema = "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE"
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2")
+        .json(dir.toString)
+      val q = StreamOps.tumblingAgg(src)
+        .writeStream.format("memory").queryName("filetumb")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(180000), "file-source stream did not finish")
+      val streamed = spark.table("filetumb")
+        .orderBy("hour_start", "event_type").collect()
+      val batch = StreamOps.tumblingAgg(
+          spark.read.schema(schema).json(dir.toString))
+        .orderBy("hour_start", "event_type").collect()
+      assert(streamed.nonEmpty, "empty streaming result")
+      assert(streamed.toSeq === batch.toSeq)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("streaming dedup removes duplicate event ids") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
