@@ -89,6 +89,37 @@ object QRound5 extends QueryPack {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |ORDER BY o_orderkey""".stripMargin
 
+  // ---- serving-side point lookup ----
+
+  /** MorphL's serving surface (§3.1 entry point 3 — the one lifecycle
+    * stage with no analogue until now): the scored-user table laid out for
+    * key reads — bucketed AND sorted by user_id — then a point lookup of a
+    * handful of ids. Bucket pruning turns the read into the matching
+    * bucket files only (`SelectedBucketsCount` in the scan,
+    * Round5Spec-gated); within a bucket the sorted layout gives parquet
+    * row-group stat skipping. This is the batch-engine twin of the
+    * reference's key-indexed serving reads: at 100 TB a point read must
+    * touch O(ids) buckets, never the table. */
+  private def servePointLookup(s: SparkSession, d: String): DataFrame = {
+    val tbl = graft.Memo.memo(s, "servetbl", d) {
+      val n = bktCounter.incrementAndGet()
+      val dir = java.nio.file.Files.createTempDirectory("graft_serve_").toString
+      val name = s"graft_scores_b$n"
+      QPipeline.queries("chp_score_linear")(s, d)
+        .write.mode("overwrite").option("path", s"$dir/t")
+        .bucketBy(8, "user_id").sortBy("user_id").saveAsTable(name)
+      s.table(name)
+    }
+    tbl.filter(col("user_id").isin(3, 7, 11))
+      .orderBy("user_id")
+  }
+
+  private val oServePointLookup = {
+    val scored = QPipeline.oracles("chp_score_linear")
+    s"""SELECT * FROM ($scored) WHERE user_id IN (3, 7, 11)
+       |ORDER BY user_id""".stripMargin
+  }
+
   // ---- trained churn model (MLlib) ----
 
   /** Train + evaluate the churn classifier (ChurnModel): one row with
@@ -167,11 +198,13 @@ object QRound5 extends QueryPack {
   val queries: Map[String, QFn] = Map(
     "scan_partition_prune"  -> scanPartitionPrune _,
     "join_bucket_colocated" -> joinBucketColocated _,
+    "serve_point_lookup"    -> servePointLookup _,
     "chp_train_auc"         -> chpTrainAuc _,
     "chp_model_confusion"   -> chpModelConfusion _)
 
   val oracles: Map[String, String] = Map(
     "scan_partition_prune"  -> oScanPartitionPrune,
     "join_bucket_colocated" -> oJoinBucketColocated,
+    "serve_point_lookup"    -> oServePointLookup,
     "chp_model_confusion"   -> oChpModelConfusion)
 }

@@ -57,6 +57,28 @@ class Round5Spec extends SparkSpec {
     assert(pf.contains("IN"), s"month IN-list not in PartitionFilters: $pf")
   }
 
+  test("serve_point_lookup: bucket pruning reads a strict subset of buckets") {
+    // the auto-bucketed-scan heuristic only keeps bucketed reading when a
+    // join/agg wants the hash distribution; force the bucketed path the
+    // way a serving deployment would, then the IN-list must prune buckets
+    val conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(conf, "true")
+    try {
+      spark.conf.set(conf, "false")
+      val p = SparkEntry.queries("serve_point_lookup")(spark, sf)
+        .queryExecution.executedPlan.toString
+      val re = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      re.findFirstMatchIn(p) match {
+        case Some(m) =>
+          assert(m.group(1).toInt < m.group(2).toInt,
+            s"lookup scans every bucket: ${m.matched}\n$p")
+          assert(m.group(1).toInt <= 3, // 3 ids -> at most 3 buckets
+            s"more buckets than lookup keys: ${m.matched}")
+        case None => fail(s"no bucket pruning in plan:\n$p")
+      }
+    } finally spark.conf.set(conf, prev)
+  }
+
   test("join_bucket_colocated: no shuffle of either side (bucket co-location)") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
     try {
