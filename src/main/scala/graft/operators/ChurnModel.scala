@@ -60,7 +60,13 @@ object ChurnModel {
     * coefficients are part of the output so the frozen deployed weights
     * in QRound5 are reproducible from the declared query alone. */
   def trainEval(s: SparkSession, features: DataFrame): DataFrame = {
-    val fl = withSplit(label1d(features))
+    // right-size before the iterative phase: the per-user feature table is
+    // tiny relative to the cluster (one row per user), and L-BFGS runs one
+    // treeAggregate JOB per iteration — at 32 near-empty partitions the
+    // scheduling overhead dominates 25×. Eight partitions keeps the
+    // aggregate parallel while cutting per-iteration task count 4×; on a
+    // real cluster this is the right-sizing AQE applies to shuffle stages.
+    val fl = withSplit(label1d(features)).coalesce(8)
     val va = new VectorAssembler()
       .setInputCols(featureCols.toArray).setOutputCol("fv")
     val train = va.transform(fl.filter(!col("is_test")))
