@@ -89,6 +89,100 @@ object QRound5 extends QueryPack {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |ORDER BY o_orderkey""".stripMargin
 
+  // ---- dynamic partition pruning (runtime pruning via a join) ----
+
+  /** Dynamic partition pruning: the month-partitioned orders fact joined
+    * against a runtime-computed dimension — "months busier than the
+    * average month" (count above the mean) — a predicate NO static
+    * optimizer can fold, so the partition list is only known after the
+    * dim side runs. Spark injects a dynamicpruningexpression on the
+    * fact's partition column (Round5Spec-gated): the fact scan lists and
+    * reads ONLY the qualifying month directories. This is the second half
+    * of the pruning story next to `scan_partition_prune`'s static
+    * IN-list — at 100 TB it's what keeps "join facts to a filtered dim"
+    * from scanning the lake. Oracle: same dim + join over the
+    * unpartitioned truth. */
+  private def joinDppPrune(s: SparkSession, d: String): DataFrame = {
+    val dir = QRound3.staged(s, d, "pmonth") { dir =>
+      t(s, d, "orders")
+        .withColumn("o_month", month(col("o_orderdate")))
+        .write.mode("overwrite").partitionBy("o_month").parquet(dir)
+    }
+    val fact = s.read.parquet(dir)
+    val byMonth = t(s, d, "orders")
+      .groupBy(month(col("o_orderdate")).as("o_month"))
+      .agg(count(lit(1)).as("n_month"))
+    // threshold resolved driver-side (one ≤12-row aggregate — the same
+    // two-pass breakpoint pattern as the decile histogram): Spark's
+    // PartitionPruning rule only fires on a LIKELY-SELECTIVE dim filter,
+    // i.e. attribute-vs-literal — an attribute-vs-attribute compare
+    // against a crossed-in aggregate doesn't qualify
+    val avgN = byMonth.agg(avg(col("n_month"))).head.getDouble(0)
+    val busy = byMonth.filter(col("n_month") > lit(avgN))
+    fact.join(broadcast(busy), "o_month")
+      .groupBy("o_month")
+      .agg(count(lit(1)).as("n"), sum4(col("o_totalprice")).as("sum_price"),
+        first(col("n_month")).as("n_month"))
+      .orderBy("o_month")
+  }
+
+  private val oJoinDppPrune =
+    s"""WITH m AS (SELECT CAST(month(o_orderdate) AS INT) AS o_month,
+       |    count(*) AS n_month FROM orders GROUP BY 1),
+       |  a AS (SELECT avg(n_month) AS avg_n FROM m),
+       |  busy AS (SELECT o_month, n_month FROM m, a WHERE n_month > avg_n)
+       |SELECT busy.o_month, count(*) AS n,
+       |  ${oSum4("o_totalprice")} AS sum_price,
+       |  CAST(min(n_month) AS BIGINT) AS n_month
+       |FROM orders JOIN busy ON CAST(month(o_orderdate) AS INT) = busy.o_month
+       |GROUP BY busy.o_month ORDER BY o_month""".stripMargin
+
+  // ---- user segmentation (k-means clustering over behavior mix) ----
+
+  /** MLlib-style user segmentation as an ORACLE-CHECKED query: seeded
+    * deterministic k-means (AnnKMeans — no RNG, scaled-long centroid
+    * sums) over each user's raw behavior-mix vector [events, clicks,
+    * purchases, value]. Cosine assignment groups users by activity
+    * COMPOSITION, not volume (cosine is per-vector scale-invariant) —
+    * the classic segmentation framing. k=4 segments, 2 Lloyd rounds;
+    * output = per-segment population + mean activity profile. Scale
+    * shape identical to sim_ann_kmeans: centroids are KB model state
+    * broadcast per round, the corpus only ever scans. */
+  private def chpUserSegments(s: SparkSession, d: String): DataFrame = {
+    graft.plans.CosineSim.register(s)
+    graft.functions.VecCentroid.register(s)
+    val f = QPipeline.queries("chp_features_label")(s, d)
+    val e = f.select(col("user_id").as("vec_id"),
+      array(col("n_events").cast(DoubleType), col("n_clicks").cast(DoubleType),
+        col("n_purchases").cast(DoubleType), col("total_value")).as("v"))
+    val cent = AnnKMeans.centroids(e, 4, 2)
+    AnnKMeans.assign(e, cent)
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_users"),
+        avg4(element_at(col("v"), 1)).as("avg_events"),
+        avg4(element_at(col("v"), 3)).as("avg_purchases"),
+        avg4(element_at(col("v"), 4)).as("avg_value"))
+      .orderBy("cell")
+  }
+
+  private val oChpUserSegments = {
+    val fl = QPipeline.oracles("chp_features_label")
+    s"""WITH f AS ($fl),
+       |  e AS (SELECT user_id AS vec_id,
+       |    [CAST(n_events AS DOUBLE), CAST(n_clicks AS DOUBLE),
+       |     CAST(n_purchases AS DOUBLE), total_value] AS v FROM f),
+       |${AnnKMeans.oCentroidChain(4, 2, 4)}
+       |assigned AS (SELECT vec_id, v, cell FROM (
+       |  SELECT e.vec_id, e.v, c.cell, row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY ${oTrunc4("list_cosine_similarity(e.v, c.cv)")} DESC, c.cell) AS r
+       |  FROM e, c2 c) WHERE r = 1)
+       |SELECT cell, count(*) AS n_users,
+       |  ${oAvg4("v[1]")} AS avg_events,
+       |  ${oAvg4("v[3]")} AS avg_purchases,
+       |  ${oAvg4("v[4]")} AS avg_value
+       |FROM assigned GROUP BY cell ORDER BY cell""".stripMargin
+  }
+
   // ---- serving-side point lookup ----
 
   /** MorphL's serving surface (§3.1 entry point 3 — the one lifecycle
@@ -197,14 +291,18 @@ object QRound5 extends QueryPack {
 
   val queries: Map[String, QFn] = Map(
     "scan_partition_prune"  -> scanPartitionPrune _,
+    "join_dpp_prune"        -> joinDppPrune _,
     "join_bucket_colocated" -> joinBucketColocated _,
     "serve_point_lookup"    -> servePointLookup _,
     "chp_train_auc"         -> chpTrainAuc _,
+    "chp_user_segments"     -> chpUserSegments _,
     "chp_model_confusion"   -> chpModelConfusion _)
 
   val oracles: Map[String, String] = Map(
     "scan_partition_prune"  -> oScanPartitionPrune,
+    "join_dpp_prune"        -> oJoinDppPrune,
     "join_bucket_colocated" -> oJoinBucketColocated,
     "serve_point_lookup"    -> oServePointLookup,
+    "chp_user_segments"     -> oChpUserSegments,
     "chp_model_confusion"   -> oChpModelConfusion)
 }

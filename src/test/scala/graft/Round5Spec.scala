@@ -57,6 +57,19 @@ class Round5Spec extends SparkSpec {
     assert(pf.contains("IN"), s"month IN-list not in PartitionFilters: $pf")
   }
 
+  test("join_dpp_prune: runtime dim filter prunes fact partitions (DPP)") {
+    val p = SparkEntry.queries("join_dpp_prune")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruningexpression"),
+      s"no dynamic partition pruning on the fact scan in:\n$p")
+  }
+
+  test("chp_user_segments: every user lands in exactly one segment") {
+    val rows = SparkEntry.queries("chp_user_segments")(spark, sfTrain).collect()
+    assert(rows.map(_.getAs[Long]("n_users")).sum === 150L)
+    assert(rows.length >= 2, s"degenerate segmentation: ${rows.toSeq}")
+  }
+
   test("serve_point_lookup: bucket pruning reads a strict subset of buckets") {
     // the auto-bucketed-scan heuristic only keeps bucketed reading when a
     // join/agg wants the hash distribution; force the bucketed path the
