@@ -89,6 +89,84 @@ object QRound5 extends QueryPack {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |ORDER BY o_orderkey""".stripMargin
 
+  // ---- CDC merge (upsert + delete semantics) ----
+
+  /** Full MERGE semantics over a change feed — the third member of the
+    * upsert family (latest-wins compaction = `upsert_latest`, versioned
+    * history = `upsert_scd2`, and here: inserts + updates + DELETES in one
+    * pass). The change feed is derived deterministically from orders:
+    * each customer's LATEST order (by date, orderkey tiebreak) is one
+    * change row; status 'F' → delete the customer, else upsert the
+    * balance to that order's price. Customers with no changes pass
+    * through; changes for unknown keys insert. One window partitioned on
+    * the uniform custkey + one full-outer join on the same key — no
+    * row-at-a-time apply loop, which is the whole point of running CDC
+    * merges on an engine at 100 TB. */
+  private def upsertCdcMerge(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    val changes = t(s, d, "orders")
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey").as("key"),
+        when(col("o_orderstatus") === "F", lit("D")).otherwise(lit("U")).as("op"),
+        col("o_totalprice").as("new_bal"))
+    val base = t(s, d, "customer")
+      .select(col("c_custkey").as("key"), col("c_mktsegment"), col("c_acctbal"))
+    base.join(changes, Seq("key"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(col("key"),
+        coalesce(col("c_mktsegment"), lit("NEW")).as("segment"),
+        coalesce(col("new_bal"), col("c_acctbal")).as("balance"),
+        coalesce(col("op"), lit("K")).as("op_applied"))
+      .orderBy("key")
+  }
+
+  private val oUpsertCdcMerge =
+    """WITH ch AS (SELECT o_custkey AS key,
+      |    CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+      |    o_totalprice AS new_bal
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+      |  WHERE rn = 1),
+      |  b AS (SELECT c_custkey AS key, c_mktsegment, c_acctbal FROM customer)
+      |SELECT coalesce(b.key, ch.key) AS key,
+      |  coalesce(c_mktsegment, 'NEW') AS segment,
+      |  coalesce(new_bal, c_acctbal) AS balance,
+      |  coalesce(op, 'K') AS op_applied
+      |FROM b FULL OUTER JOIN ch ON b.key = ch.key
+      |WHERE op IS NULL OR op <> 'D'
+      |ORDER BY key""".stripMargin
+
+  // ---- compression-codec roundtrip ----
+
+  /** Storage-codec surface: write lineitem's hot columns as ZSTD parquet
+    * (the cold-data codec a 100 TB lake standardizes on — ~2× smaller
+    * than snappy at similar scan cost), read back, aggregate. The oracle
+    * aggregates the original parquet, so any codec-path corruption breaks
+    * the hash; staged once per sfDir like the CSV/JSON/ORC roundtrips. */
+  private def scanZstdRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = QRound3.staged(s, d, "zstd") { dir =>
+      t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .write.mode("overwrite").option("compression", "zstd").parquet(dir)
+    }
+    s.read.parquet(dir)
+      .groupBy((col("l_orderkey") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum4(col("l_quantity")).as("sum_qty"),
+        sum4(col("l_extendedprice")).as("sum_price"))
+      .orderBy("bucket")
+  }
+
+  private val oScanZstdRoundtrip =
+    s"""SELECT l_orderkey % 10 AS bucket, count(*) AS n,
+       |  ${oSum4("l_quantity")} AS sum_qty,
+       |  ${oSum4("l_extendedprice")} AS sum_price
+       |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin
+
   // ---- dynamic partition pruning (runtime pruning via a join) ----
 
   /** Dynamic partition pruning: the month-partitioned orders fact joined
@@ -291,6 +369,8 @@ object QRound5 extends QueryPack {
 
   val queries: Map[String, QFn] = Map(
     "scan_partition_prune"  -> scanPartitionPrune _,
+    "scan_zstd_roundtrip"   -> scanZstdRoundtrip _,
+    "upsert_cdc_merge"      -> upsertCdcMerge _,
     "join_dpp_prune"        -> joinDppPrune _,
     "join_bucket_colocated" -> joinBucketColocated _,
     "serve_point_lookup"    -> servePointLookup _,
@@ -300,6 +380,8 @@ object QRound5 extends QueryPack {
 
   val oracles: Map[String, String] = Map(
     "scan_partition_prune"  -> oScanPartitionPrune,
+    "scan_zstd_roundtrip"   -> oScanZstdRoundtrip,
+    "upsert_cdc_merge"      -> oUpsertCdcMerge,
     "join_dpp_prune"        -> oJoinDppPrune,
     "join_bucket_colocated" -> oJoinBucketColocated,
     "serve_point_lookup"    -> oServePointLookup,

@@ -30,7 +30,8 @@ class HarnessSpec extends SparkSpec {
     // gradient treeAggregate order is partition-dependent in the last ulp
     // by design — its determinism gate is same-session re-run, Round5Spec)
     "chp_score_linear", "chp_eval_lift", "scan_partition_prune",
-    "chp_model_confusion", "chp_user_segments", "join_dpp_prune")
+    "chp_model_confusion", "chp_user_segments", "join_dpp_prune",
+    "upsert_cdc_merge", "scan_zstd_roundtrip")
 
   probeKeys.foreach { key =>
     test(s"$key: identical at shuffle.partitions 1 and 32") {
