@@ -164,7 +164,7 @@ object QPipeline extends QueryPack {
     * Output is hash-identical to ntile(10) OVER (ORDER BY score DESC,
     * user_id) — the oracle keeps the window spelling, so the driver's
     * hash compare proves the equivalence every round. */
-  private def withDecile(s: SparkSession, scored: DataFrame): DataFrame = {
+  private[graft] def withDecile(s: SparkSession, scored: DataFrame): DataFrame = {
     import s.implicits._
     val hist = scored.groupBy("score").agg(count(lit(1)).as("c"))
       .collect().map(r => (r.getDouble(0), r.getLong(1)))

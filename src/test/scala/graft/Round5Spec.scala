@@ -57,6 +57,29 @@ class Round5Spec extends SparkSpec {
     assert(pf.contains("IN"), s"month IN-list not in PartitionFilters: $pf")
   }
 
+  test("withDecile == ntile(10) on ragged sizes and tied scores") {
+    // the declared keys only exercise n % 10 == 0 (150/1500 users); the
+    // closed-form bucket arithmetic's ragged branch (first n%10 buckets
+    // one row larger) and the n < 10 degenerate case need direct proof
+    // against Spark's own ntile — ties included (deciles split tie groups
+    // by the user_id tiebreak)
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    for (n <- Seq(1, 3, 7, 9, 10, 11, 19, 23, 37, 103)) {
+      val scored = (0 until n).map { i =>
+        (i.toLong, 0L, 0.0, (i % 7) * 0.5 - 1.0)
+      }.toDF("user_id", "n_purchases", "total_value", "score")
+      val got = graft.operators.QPipeline.withDecile(spark, scored)
+        .select("user_id", "decile").orderBy("user_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1)))
+      val w = Window.orderBy(col("score").desc, col("user_id"))
+      val exp = scored.withColumn("decile", ntile(10).over(w))
+        .select("user_id", "decile").orderBy("user_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1)))
+      assert(got.toSeq === exp.toSeq, s"decile mismatch at n=$n")
+    }
+  }
+
   test("join_dpp_prune: runtime dim filter prunes fact partitions (DPP)") {
     val p = SparkEntry.queries("join_dpp_prune")(spark, sf)
       .queryExecution.executedPlan.toString
