@@ -140,13 +140,18 @@ object QPipeline extends QueryPack {
     * mirrored exactly); scoring is per-row over the feature aggregate.
     * Weights sized so the score spreads over the corpus (probed: 1.0–3.5
     * at sf0.01, clamp never binds on this data — it guards outliers). */
-  private def chpScored(s: SparkSession, d: String): DataFrame = {
-    val f = chpFeaturesLabel(s, d)
-    val raw = ((lit(0.02) * col("n_clicks") + lit(0.1) * col("n_purchases"))
-      + lit(0.0002) * col("total_value")) - lit(0.2) * col("days_inactive")
-    f.select(col("user_id"), col("n_purchases"), col("total_value"),
-      trunc4(greatest(least(raw, lit(10.0)), lit(-10.0))).as("score"))
-  }
+  private def chpScored(s: SparkSession, d: String): DataFrame =
+    // memoized + persisted: every decile consumer reads it twice (the
+    // bounded histogram pass and the final join), and both scoring keys
+    // plus the serving stage share it — one row per user, cache-friendly
+    graft.Memo.memo(s, "chpscored", d) {
+      val f = chpFeaturesLabel(s, d)
+      val raw = ((lit(0.02) * col("n_clicks") + lit(0.1) * col("n_purchases"))
+        + lit(0.0002) * col("total_value")) - lit(0.2) * col("days_inactive")
+      f.select(col("user_id"), col("n_purchases"), col("total_value"),
+          trunc4(greatest(least(raw, lit(10.0)), lit(-10.0))).as("score"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
 
   /** Exact global decile WITHOUT a global window (VERDICT r4: the previous
     * `ntile(10) OVER (ORDER BY score...)` spelling moves EVERY row to one

@@ -89,6 +89,106 @@ object QRound5 extends QueryPack {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |ORDER BY o_orderkey""".stripMargin
 
+  // ---- LLM training-data prep: chunking, packing, rebalancing ----
+
+  /** Document chunking — the step before embedding long docs: sliding
+    * token windows (16 tokens, stride 8). Each chunk emits its index,
+    * length, and an md5 over its joined tokens, so the hash compare
+    * pins the exact window boundaries. Pure per-row explode (map-side);
+    * chunk count per doc is ceil(len/stride) — output scales linearly,
+    * never quadratically, in corpus size. */
+  private def textChunkWindows(s: SparkSession, d: String): DataFrame = {
+    val win = 16
+    val stride = 8
+    t(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0),
+          ceil(size(col("toks")).cast(DoubleType) / stride).cast(IntegerType)
+            - 1)).as("k"))
+      .select(col("doc_id"), col("k"),
+        slice(col("toks"), col("k") * stride + 1, lit(win)).as("chunk"))
+      .select(col("doc_id"), col("k"), size(col("chunk")).as("chunk_len"),
+        md5(concat_ws(" ", col("chunk")).cast(BinaryType)).as("chunk_md5"))
+      .orderBy("doc_id", "k")
+  }
+
+  private val oTextChunkWindows =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |  x AS (SELECT doc_id, w, unnest(range(0,
+      |      CAST(ceil(len(w) / 8.0) AS INT))) AS k FROM t),
+      |  c AS (SELECT doc_id, k, w[k*8+1 : least(k*8+16, len(w))] AS chunk FROM x)
+      |SELECT doc_id, CAST(k AS INT) AS k, CAST(len(chunk) AS INT) AS chunk_len,
+      |  md5(array_to_string(chunk, ' ')) AS chunk_md5
+      |FROM c ORDER BY doc_id, k""".stripMargin
+
+  /** Sequence packing — binning docs into fixed token-budget training
+    * sequences (greedy sequential packing, docs never split, a doc
+    * overflowing a bin closes it): per-lang running token total, bin =
+    * tokens-before div 512. The deterministic distributed spelling of the
+    * packer every LLM data pipeline runs; one window pass partitioned on
+    * lang (the shard key — packing is per-shard in production, which is
+    * exactly what makes it parallelizable at 100 TB). */
+  private def textPackSequences(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t(s, d, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).as("n_toks"))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_toks")).over(w), lit(0L)))
+      .withColumn("bin", expr("cum_before div 512"))
+      .groupBy("lang", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("bin_toks"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy("lang", "bin")
+  }
+
+  private val oTextPackSequences =
+    """WITH t AS (SELECT doc_id, lang,
+      |    CAST(len(string_split(text, ' ')) AS INT) AS n_toks FROM documents),
+      |  c AS (SELECT doc_id, lang, n_toks,
+      |    coalesce(sum(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      |  FROM t),
+      |  b AS (SELECT doc_id, lang, n_toks,
+      |    CAST(cum_before // 512 AS BIGINT) AS bin FROM c)
+      |SELECT lang, bin, count(*) AS n_docs,
+      |  CAST(sum(n_toks) AS BIGINT) AS bin_toks,
+      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM b GROUP BY lang, bin ORDER BY lang, bin""".stripMargin
+
+  /** Class rebalancing — cap each language at 40 docs via deterministic
+    * hash-ranked downsampling (md5 order = reproducible "random" without
+    * RNG state, the same idiom as sample_stratified_hash). Emits the
+    * per-class before/after so the rebalance is auditable. One window
+    * partitioned on the class key; at 100 TB the cap makes the retained
+    * set small by construction. */
+  private def sampleRebalanceCap(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cap = 40
+    val rk = Window.partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast(StringType).cast(BinaryType)), col("doc_id"))
+    t(s, d, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("rnk", row_number().over(rk))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("rnk") <= cap, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rnk") <= cap, col("n_chars"))).as("kept_chars"))
+      .orderBy("lang")
+  }
+
+  private val oSampleRebalanceCap =
+    """WITH r AS (SELECT doc_id, lang, n_chars, row_number() OVER (
+      |    PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+      |  FROM documents)
+      |SELECT lang, count(*) AS n_total,
+      |  CAST(sum(CASE WHEN rnk <= 40 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(sum(CASE WHEN rnk <= 40 THEN n_chars END) AS BIGINT) AS kept_chars
+      |FROM r GROUP BY lang ORDER BY lang""".stripMargin
+
   // ---- CDC merge (upsert + delete semantics) ----
 
   /** Full MERGE semantics over a change feed — the third member of the
@@ -371,6 +471,9 @@ object QRound5 extends QueryPack {
     "scan_partition_prune"  -> scanPartitionPrune _,
     "scan_zstd_roundtrip"   -> scanZstdRoundtrip _,
     "upsert_cdc_merge"      -> upsertCdcMerge _,
+    "text_chunk_windows"    -> textChunkWindows _,
+    "text_pack_sequences"   -> textPackSequences _,
+    "sample_rebalance_cap"  -> sampleRebalanceCap _,
     "join_dpp_prune"        -> joinDppPrune _,
     "join_bucket_colocated" -> joinBucketColocated _,
     "serve_point_lookup"    -> servePointLookup _,
@@ -382,6 +485,9 @@ object QRound5 extends QueryPack {
     "scan_partition_prune"  -> oScanPartitionPrune,
     "scan_zstd_roundtrip"   -> oScanZstdRoundtrip,
     "upsert_cdc_merge"      -> oUpsertCdcMerge,
+    "text_chunk_windows"    -> oTextChunkWindows,
+    "text_pack_sequences"   -> oTextPackSequences,
+    "sample_rebalance_cap"  -> oSampleRebalanceCap,
     "join_dpp_prune"        -> oJoinDppPrune,
     "join_bucket_colocated" -> oJoinBucketColocated,
     "serve_point_lookup"    -> oServePointLookup,
