@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deterministic fixed-iteration PageRank — the second iterative graph
+  * primitive next to ConnectedComponents (centrality over the similarity
+  * graph: which documents sit in the middle of a near-dup neighborhood).
+  *
+  * Determinism (what makes this oracle-verifiable cross-engine):
+  *  - per-edge contributions are scaled to longs before summation
+  *    (floor(pr/deg · 1e12 + 0.5) — the VecCentroid trick), so the
+  *    per-node sum is EXACT integer arithmetic, independent of partition
+  *    count and reduce order. A DECIMAL cast of the raw double would NOT
+  *    be engine-stable: Spark rounds the shortest decimal repr while
+  *    DuckDB rounds the binary value — they disagree at digit 18.
+  *  - each iteration's rank is trunc8'd (floor on identical doubles —
+  *    identical in both engines), so error cannot accumulate into
+  *    divergence across 5 iterations.
+  *
+  * Scale shape (100 TB): per iteration one equi-join (edges ⋈ ranks on
+  * src — uniform ids) + one combining groupBy with map-side partial sums;
+  * ranks are localCheckpoint'd per iteration (same lineage-truncation
+  * lesson as ConnectedComponents — the loop otherwise re-analyzes a
+  * growing plan every round). No driver-side graph state; N (node count)
+  * is one scalar of model state.
+  */
+object PageRank {
+
+  val damping = 0.85
+  val iters = 5
+
+  /** Ranks over the undirected graph given by `pairsIn` (cols (src, dst),
+    * one row per undirected edge). Returns (id, deg, pr). */
+  def ranks(pairsIn: DataFrame): DataFrame = {
+    val half = pairsIn.select(col("src"), col("dst")).localCheckpoint()
+    val edges = half
+      .union(half.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val n = deg.count()
+    val teleport = 0.15 / n.toDouble
+    var pr = deg.select(col("src").as("id"), lit(1.0 / n.toDouble).as("pr"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contrib = edges.join(deg, "src")
+        .join(pr.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"),
+          floor(col("pr") / col("deg") * 1e12 + 0.5).cast(LongType).as("c"))
+      pr = contrib.groupBy("id")
+        .agg((floor((lit(teleport) + lit(damping) *
+          (sum(col("c")).cast(DoubleType) / 1e12)) * 1e8) / 1e8).as("pr"))
+        .localCheckpoint()
+    }
+    pr.join(deg.withColumnRenamed("src", "id"), "id")
+      .select(col("id"), col("deg"), col("pr"))
+  }
+
+  /** Oracle twin: unrolled CTE chain over an `e(src, dst)` CTE (both
+    * directions) — caller supplies `e`; emits deg, n, p0..p{iters}. */
+  def oRankChain: String = {
+    val sb = new StringBuilder
+    sb.append(
+      """deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        |  nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+        |  p0 AS (SELECT src AS id, 1e0 / n AS pr FROM deg, nn),
+        |""".stripMargin)
+    for (i <- 1 to iters) {
+      sb.append(
+        s"""p$i AS (SELECT e.dst AS id,
+           |    floor((1.5e-1 / n + 8.5e-1 *
+           |      (CAST(SUM(CAST(floor(p.pr / deg.deg * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12)) * 1e8) / 1e8 AS pr
+           |  FROM e JOIN deg ON e.src = deg.src
+           |    JOIN p${i - 1} p ON e.src = p.id, nn
+           |  GROUP BY e.dst, n),
+           |""".stripMargin)
+    }
+    sb.toString
+  }
+}

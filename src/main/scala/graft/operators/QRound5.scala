@@ -189,6 +189,32 @@ object QRound5 extends QueryPack {
       |  CAST(sum(CASE WHEN rnk <= 40 THEN n_chars END) AS BIGINT) AS kept_chars
       |FROM r GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---- PageRank over the near-dup graph ----
+
+  /** Document centrality over the verified near-dup pair graph
+    * (PageRank, 5 fixed iterations, damping 0.85): which docs sit in the
+    * middle of a duplication neighborhood — the ranking signal a dedup
+    * pipeline uses to pick the canonical representative by importance
+    * rather than min-id. Consumes the same memoized pair table as
+    * dedup_cc_cluster; DuckDB replays all 5 iterations via the unrolled
+    * CTE chain, so the iterative computation itself is hash-verified. */
+  private def graphPagerankDocs(s: SparkSession, d: String): DataFrame =
+    PageRank.ranks(QText.lshPairsPersisted(s, d)
+        .select(col("a_id").as("src"), col("b_id").as("dst")))
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
+  private val oGraphPagerankDocs = {
+    val oPairs = QText.oracles("dedup_lsh_pairs")
+    s"""WITH pairs AS (SELECT a_id, b_id FROM ($oPairs)),
+       |  e AS (SELECT a_id AS src, b_id AS dst FROM pairs
+       |        UNION ALL SELECT b_id, a_id FROM pairs),
+       |  ${PageRank.oRankChain}
+       |  fin AS (SELECT p.id AS doc_id, deg.deg, p.pr
+       |          FROM p${PageRank.iters} p JOIN deg ON deg.src = p.id)
+       |SELECT doc_id, deg, pr FROM fin ORDER BY doc_id""".stripMargin
+  }
+
   // ---- CDC merge (upsert + delete semantics) ----
 
   /** Full MERGE semantics over a change feed — the third member of the
@@ -474,6 +500,7 @@ object QRound5 extends QueryPack {
     "text_chunk_windows"    -> textChunkWindows _,
     "text_pack_sequences"   -> textPackSequences _,
     "sample_rebalance_cap"  -> sampleRebalanceCap _,
+    "graph_pagerank_docs"   -> graphPagerankDocs _,
     "join_dpp_prune"        -> joinDppPrune _,
     "join_bucket_colocated" -> joinBucketColocated _,
     "serve_point_lookup"    -> servePointLookup _,
@@ -488,6 +515,7 @@ object QRound5 extends QueryPack {
     "text_chunk_windows"    -> oTextChunkWindows,
     "text_pack_sequences"   -> oTextPackSequences,
     "sample_rebalance_cap"  -> oSampleRebalanceCap,
+    "graph_pagerank_docs"   -> oGraphPagerankDocs,
     "join_dpp_prune"        -> oJoinDppPrune,
     "join_bucket_colocated" -> oJoinBucketColocated,
     "serve_point_lookup"    -> oServePointLookup,

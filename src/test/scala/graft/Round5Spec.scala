@@ -80,6 +80,28 @@ class Round5Spec extends SparkSpec {
     }
   }
 
+  test("pagerank: planted star concentrates rank on the hub") {
+    // hub 0 connected to 1..5; an outlier pair (10, 11). The hub must
+    // out-rank every spoke, spokes tie, and the isolated pair ties below
+    import spark.implicits._
+    val pairs = ((1L to 5L).map(i => (0L, i)) :+ (10L, 11L))
+      .toDF("src", "dst")
+    val r = graft.operators.PageRank.ranks(pairs)
+      .orderBy("id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+    val byId = r.map(x => x._1 -> x._3).toMap
+    assert(r.forall(_._3 > 0.0))
+    assert((1L to 5L).forall(i => byId(0L) > byId(i)), s"hub not top: ${r.toSeq}")
+    assert((2L to 5L).forall(i => byId(1L) == byId(i)), "spokes not tied")
+    assert(byId(10L) === byId(11L), "isolated pair not tied")
+    // analytically: pair fixpoint = t/(1-d) = 0.125; spoke = t + d·hub/5
+    // ≈ 0.079 — a degree-1 partner forwards its FULL rank, a spoke gets
+    // 1/5 of the hub's, so the pair out-ranks the spokes
+    assert((1L to 5L).forall(i => byId(10L) > byId(i)),
+      "isolated pair must out-rank hub-fed spokes")
+    assert(byId(0L) > byId(10L), "hub must out-rank the pair")
+  }
+
   test("join_dpp_prune: runtime dim filter prunes fact partitions (DPP)") {
     val p = SparkEntry.queries("join_dpp_prune")(spark, sf)
       .queryExecution.executedPlan.toString
