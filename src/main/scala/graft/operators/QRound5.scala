@@ -387,6 +387,47 @@ object QRound5 extends QueryPack {
        |FROM assigned GROUP BY cell ORDER BY cell""".stripMargin
   }
 
+  // ---- SQL-text entry point ----
+
+  /** The SQL-TEXT entry point as a declared key (every other key builds
+    * plans through the DataFrame DSL): a TPC-H Q3-shaped join+agg+top-k
+    * submitted as text via `spark.sql` over registered temp views.
+    * Catalyst parses and optimizes the text into exactly the same plan
+    * family as the DSL — pushdown, broadcast, TakeOrdered all apply; the
+    * revenue aggregate uses the same decimal spelling as agg_group_q1 so
+    * the hash is engine-stable. Oracle: the near-identical ANSI text. */
+  private def sqlTextTpchQ3(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "customer").createOrReplaceTempView("g_customer")
+    t(s, d, "orders").createOrReplaceTempView("g_orders")
+    t(s, d, "lineitem").createOrReplaceTempView("g_lineitem")
+    s.sql(
+      """SELECT l_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        |  o_orderdate, o_orderpriority
+        |FROM g_customer JOIN g_orders ON c_custkey = o_custkey
+        |  JOIN g_lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin)
+  }
+
+  private val oSqlTextTpchQ3 =
+    s"""SELECT l_orderkey,
+       |  CAST(SUM($oRevenue) AS DOUBLE) AS revenue,
+       |  o_orderdate, o_orderpriority
+       |FROM customer JOIN orders ON c_custkey = o_custkey
+       |  JOIN lineitem ON l_orderkey = o_orderkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+       |  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+       |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+       |ORDER BY revenue DESC, l_orderkey
+       |LIMIT 10""".stripMargin
+
   // ---- serving-side point lookup ----
 
   /** MorphL's serving surface (§3.1 entry point 3 — the one lifecycle
@@ -501,6 +542,7 @@ object QRound5 extends QueryPack {
     "text_pack_sequences"   -> textPackSequences _,
     "sample_rebalance_cap"  -> sampleRebalanceCap _,
     "graph_pagerank_docs"   -> graphPagerankDocs _,
+    "sql_text_tpch_q3"      -> sqlTextTpchQ3 _,
     "join_dpp_prune"        -> joinDppPrune _,
     "join_bucket_colocated" -> joinBucketColocated _,
     "serve_point_lookup"    -> servePointLookup _,
@@ -516,6 +558,7 @@ object QRound5 extends QueryPack {
     "text_pack_sequences"   -> oTextPackSequences,
     "sample_rebalance_cap"  -> oSampleRebalanceCap,
     "graph_pagerank_docs"   -> oGraphPagerankDocs,
+    "sql_text_tpch_q3"      -> oSqlTextTpchQ3,
     "join_dpp_prune"        -> oJoinDppPrune,
     "join_bucket_colocated" -> oJoinBucketColocated,
     "serve_point_lookup"    -> oServePointLookup,
