@@ -55,6 +55,42 @@ object ChurnModel {
     features.withColumn("label",
       when(col("days_inactive") >= 1, 1.0d).otherwise(0.0d))
 
+  /** Hyperparameter sweep — the CrossValidator capability spelled as an
+    * explicit deterministic loop (MLlib's CrossValidator adds RNG fold
+    * assignment; the hash split keeps folds reproducible): one LR per
+    * regParam on the same 80/20 split, one output row per candidate with
+    * its AUC and coefficient L2 norm. The winner is whatever the reader
+    * sorts to the top — the query emits the full sweep, which is the
+    * auditable artifact a model registry stores. */
+  def sweep(s: SparkSession, features: DataFrame): DataFrame = {
+    val fl = withSplit(label1d(features)).coalesce(8)
+    val va = new VectorAssembler()
+      .setInputCols(featureCols.toArray).setOutputCol("fv")
+    val train = va.transform(fl.filter(!col("is_test")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val test = va.transform(fl.filter(col("is_test")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ev = new BinaryClassificationEvaluator()
+      .setLabelCol("label").setRawPredictionCol("rawPrediction")
+      .setMetricName("areaUnderROC")
+    def t4(x: Double): Double = math.floor(x * 1e4) / 1e4
+    val rows = Seq(1e-3, 1e-2, 1e-1).map { reg =>
+      val lr = new LogisticRegression()
+        .setFeaturesCol("fv").setLabelCol("label")
+        .setMaxIter(15).setTol(1e-8)
+        .setRegParam(reg).setElasticNetParam(0.0)
+        .setStandardization(true).setFamily("binomial")
+      val model = lr.fit(train)
+      val auc = ev.evaluate(model.transform(test))
+      val l2 = math.sqrt(model.coefficients.toArray.map(w => w * w).sum)
+      (reg, t4(auc), t4(l2))
+    }
+    train.unpersist(); test.unpersist()
+    import s.implicits._
+    rows.toDF("reg_param", "auc", "coef_l2")
+      .orderBy("reg_param")
+  }
+
   /** Train on the 80% fold, evaluate on the 20% fold; one output row:
     * (n_train, n_test, auc, tp, fp, tn, fn, w_*, intercept). The fitted
     * coefficients are part of the output so the frozen deployed weights

@@ -469,6 +469,13 @@ object QRound5 extends QueryPack {
   private def chpTrainAuc(s: SparkSession, d: String): DataFrame =
     ChurnModel.trainEval(s, QPipeline.queries("chp_features_label")(s, d))
 
+  /** Regularization sweep over the same deterministic split (see
+    * ChurnModel.sweep) — no oracle (training ≠ SQL); Round5Spec gates
+    * determinism, per-row AUC bounds, and the shrinkage invariant
+    * (coefficient L2 norm strictly decreases as regParam grows). */
+  private def chpTrainCv(s: SparkSession, d: String): DataFrame =
+    ChurnModel.sweep(s, QPipeline.queries("chp_features_label")(s, d))
+
   /** Batch scoring of the DEPLOYED model: the coefficients below were
     * fitted by `chp_train_auc` at sf0.01 (the verify scale) and frozen —
     * the train-once / score-many lifecycle of a production model. The
@@ -547,6 +554,7 @@ object QRound5 extends QueryPack {
     "join_bucket_colocated" -> joinBucketColocated _,
     "serve_point_lookup"    -> servePointLookup _,
     "chp_train_auc"         -> chpTrainAuc _,
+    "chp_train_cv"          -> chpTrainCv _,
     "chp_user_segments"     -> chpUserSegments _,
     "chp_model_confusion"   -> chpModelConfusion _)
 

@@ -35,6 +35,22 @@ class Round5Spec extends SparkSpec {
     assert(ws.exists(w => math.abs(w) > 1e-9), s"all-zero coefficients: $r")
   }
 
+  test("chp_train_cv: deterministic sweep, bounded AUC, shrinkage monotone") {
+    val a = SparkEntry.queries("chp_train_cv")(spark, sfTrain)
+      .collect().map(_.toString).toSeq
+    val b = SparkEntry.queries("chp_train_cv")(spark, sfTrain)
+      .collect().map(_.toString).toSeq
+    assert(a === b, "sweep is not deterministic")
+    val rows = SparkEntry.queries("chp_train_cv")(spark, sfTrain).collect()
+    assert(rows.length === 3)
+    assert(rows.forall(r => r.getAs[Double]("auc") >= 0.0 &&
+      r.getAs[Double]("auc") <= 1.0))
+    // L2 regularization must shrink the coefficient norm monotonically
+    val l2s = rows.sortBy(_.getAs[Double]("reg_param")).map(_.getAs[Double]("coef_l2"))
+    assert(l2s(0) > l2s(1) && l2s(1) > l2s(2),
+      s"no shrinkage with growing regParam: ${l2s.toSeq}")
+  }
+
   test("chp_model_confusion: frozen weights reproduce training-scale counts") {
     // at the training scale (sf0.01) the deployed model's confusion over
     // ALL users must see both predicted classes at the p=0.1 operating
