@@ -122,6 +122,33 @@ object QRound5 extends QueryPack {
       |  md5(array_to_string(chunk, ' ')) AS chunk_md5
       |FROM c ORDER BY doc_id, k""".stripMargin
 
+  /** Text canonicalization — the normalize stage every dedup pipeline
+    * runs before fingerprinting (lowercase → strip non-alphanumerics →
+    * squeeze whitespace → trim): emitted as per-doc before/after lengths
+    * plus an md5 of the canonical form, so the hash pins every
+    * normalization step. Regexes are plain character classes, which Java
+    * regex (Spark) and RE2 (DuckDB) interpret identically — the safe
+    * cross-engine subset. Pure map-side, no shuffle before the sort. */
+  private def textNormalizeCanon(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"), col("text"))
+      .withColumn("canon", trim(regexp_replace(regexp_replace(
+        lower(col("text")), "[^a-z0-9 ]", ""), " +", " ")))
+      .select(col("doc_id"),
+        length(col("text")).as("len_raw"),
+        length(col("canon")).as("len_canon"),
+        md5(col("canon").cast(BinaryType)).as("canon_md5"))
+      .orderBy("doc_id")
+
+  private val oTextNormalizeCanon =
+    """SELECT doc_id,
+      |  CAST(length(text) AS INT) AS len_raw,
+      |  CAST(length(trim(regexp_replace(regexp_replace(
+      |    lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS INT) AS len_canon,
+      |  md5(trim(regexp_replace(regexp_replace(
+      |    lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS canon_md5
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Sequence packing — binning docs into fixed token-budget training
     * sequences (greedy sequential packing, docs never split, a doc
     * overflowing a bin closes it): per-lang running token total, bin =
@@ -546,6 +573,7 @@ object QRound5 extends QueryPack {
     "scan_zstd_roundtrip"   -> scanZstdRoundtrip _,
     "upsert_cdc_merge"      -> upsertCdcMerge _,
     "text_chunk_windows"    -> textChunkWindows _,
+    "text_normalize_canon"  -> textNormalizeCanon _,
     "text_pack_sequences"   -> textPackSequences _,
     "sample_rebalance_cap"  -> sampleRebalanceCap _,
     "graph_pagerank_docs"   -> graphPagerankDocs _,
@@ -563,6 +591,7 @@ object QRound5 extends QueryPack {
     "scan_zstd_roundtrip"   -> oScanZstdRoundtrip,
     "upsert_cdc_merge"      -> oUpsertCdcMerge,
     "text_chunk_windows"    -> oTextChunkWindows,
+    "text_normalize_canon"  -> oTextNormalizeCanon,
     "text_pack_sequences"   -> oTextPackSequences,
     "sample_rebalance_cap"  -> oSampleRebalanceCap,
     "graph_pagerank_docs"   -> oGraphPagerankDocs,
