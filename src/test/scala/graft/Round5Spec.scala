@@ -153,6 +153,36 @@ class Round5Spec extends SparkSpec {
     } finally spark.conf.set(conf, prev)
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true)") {
+    // the runtime half of the skew story next to the static salting key
+    // (join_skew_salted): plant a join where one key holds ~90% of the
+    // rows, lower the skew thresholds to match the test scale, and the
+    // final adaptive plan must mark the sort-merge join skew=true (the
+    // oversized partition was split into parallel tasks)
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16384",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8192",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val big = spark.range(0, 120000).select(
+        when(col("id") % 10 =!= 0, lit(0L)).otherwise(col("id")).as("k"),
+        col("id").as("payload"))
+      val small = spark.range(0, 12000).select(
+        col("id").as("k"), (col("id") * 2).as("v"))
+      val j = big.join(small, "k")
+      // 108001 rows carry k=0 (the skewed key, matched once) + 1199
+      // distinct multiples of 10 below the small side's 12000 cap
+      assert(j.collect().length === 109200)
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), s"no skew split in final plan:\n$p")
+    } finally prev.foreach { case (k, vOpt) =>
+      vOpt.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("join_bucket_colocated: no shuffle of either side (bucket co-location)") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
     try {
