@@ -414,6 +414,94 @@ object QRound5 extends QueryPack {
        |FROM assigned GROUP BY cell ORDER BY cell""".stripMargin
   }
 
+  // ---- cumulative distribution window ----
+
+  /** cume_dist per customer over order value — the last untouched rank
+    * family member (rank/dense/percent_rank/ntile/row_number are §2.5).
+    * cume_dist = rows-at-or-below / partition size: an integer ratio in
+    * double, identical in both engines; trunc4 belt-and-braces. Window
+    * PARTITIONED on the uniform custkey. */
+  private def winCumeDist(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey").orderBy("o_totalprice")
+    t(s, d, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("cd", trunc4(cume_dist().over(w)))
+      .select("o_custkey", "o_orderkey", "cd")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  private val oWinCumeDist =
+    s"""SELECT o_custkey, o_orderkey,
+       |  ${oTrunc4("cume_dist() OVER (PARTITION BY o_custkey ORDER BY o_totalprice)")} AS cd
+       |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // ---- correlated scalar subquery (decorrelation) ----
+
+  /** Correlated scalar subqueries — the optimizer surface nothing else
+    * exercises: "orders 1.5× above their customer's average", written
+    * with TWO correlated aggregating subqueries that Catalyst must
+    * decorrelate into aggregate+join (the plan shows no per-row
+    * re-execution — at 100 TB a naive correlated loop is unrunnable).
+    * The comparison is spelled in EXACT decimal cross-multiplied form
+    * (2·price·n > 3·Σprice), so no double rounding can flip a boundary
+    * row in either engine. */
+  private def sqlScalarSubquery(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "orders").createOrReplaceTempView("g_orders")
+    s.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM g_orders o
+        |WHERE 2 * CAST(o_totalprice AS DECIMAL(18,4)) *
+        |    (SELECT count(*) FROM g_orders o2
+        |     WHERE o2.o_custkey = o.o_custkey)
+        |  > 3 * (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+        |         FROM g_orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  private val oSqlScalarSubquery =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders o
+      |WHERE 2 * CAST(o_totalprice AS DECIMAL(18,4)) *
+      |    (SELECT count(*) FROM orders o2
+      |     WHERE o2.o_custkey = o.o_custkey)
+      |  > 3 * (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+      |         FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---- safe casting / try-function surface ----
+
+  /** The dirty-data surface a 100 TB ingest lives on: try_cast over a
+    * mixed numeric/text column, try_divide with planted zero
+    * denominators, try_element_at past the end of an array — every
+    * failure becomes NULL instead of a task abort (one bad row cannot
+    * kill a thousand-executor job). DuckDB twins: try_cast natively, a
+    * CASE guard for divide (no try_divide there), native NULL on
+    * out-of-range list index. */
+  private def fnTrySafe(s: SparkSession, d: String): DataFrame =
+    t(s, d, "part")
+      .select(col("p_partkey"),
+        when(col("p_size") % 3 === 0, col("p_size").cast(StringType))
+          .otherwise(col("p_name")).as("mixed"),
+        col("p_retailprice"), col("p_size"), col("p_name"))
+      .select(col("p_partkey"),
+        expr("try_cast(mixed AS INT)").as("as_int"),
+        trunc4(expr("try_divide(p_retailprice, p_size - 5)")).as("ratio"),
+        expr("try_element_at(split(p_name, ' '), 5)").as("word5"))
+      .orderBy("p_partkey")
+
+  private val oFnTrySafe =
+    s"""WITH m AS (SELECT p_partkey,
+       |    CASE WHEN p_size % 3 = 0 THEN CAST(p_size AS VARCHAR)
+       |         ELSE p_name END AS mixed,
+       |    p_retailprice, p_size, p_name FROM part)
+       |SELECT p_partkey,
+       |  try_cast(mixed AS INT) AS as_int,
+       |  ${oTrunc4("CASE WHEN p_size - 5 = 0 THEN NULL " +
+                    "ELSE p_retailprice / (p_size - 5) END")} AS ratio,
+       |  string_split(p_name, ' ')[5] AS word5
+       |FROM m ORDER BY p_partkey""".stripMargin
+
   // ---- SQL-text entry point ----
 
   /** The SQL-TEXT entry point as a declared key (every other key builds
@@ -578,6 +666,9 @@ object QRound5 extends QueryPack {
     "sample_rebalance_cap"  -> sampleRebalanceCap _,
     "graph_pagerank_docs"   -> graphPagerankDocs _,
     "sql_text_tpch_q3"      -> sqlTextTpchQ3 _,
+    "sql_scalar_subquery"   -> sqlScalarSubquery _,
+    "win_cume_dist"         -> winCumeDist _,
+    "fn_try_safe"           -> fnTrySafe _,
     "join_dpp_prune"        -> joinDppPrune _,
     "join_bucket_colocated" -> joinBucketColocated _,
     "serve_point_lookup"    -> servePointLookup _,
@@ -596,6 +687,9 @@ object QRound5 extends QueryPack {
     "sample_rebalance_cap"  -> oSampleRebalanceCap,
     "graph_pagerank_docs"   -> oGraphPagerankDocs,
     "sql_text_tpch_q3"      -> oSqlTextTpchQ3,
+    "sql_scalar_subquery"   -> oSqlScalarSubquery,
+    "win_cume_dist"         -> oWinCumeDist,
+    "fn_try_safe"           -> oFnTrySafe,
     "join_dpp_prune"        -> oJoinDppPrune,
     "join_bucket_colocated" -> oJoinBucketColocated,
     "serve_point_lookup"    -> oServePointLookup,

@@ -153,6 +153,17 @@ class Round5Spec extends SparkSpec {
     } finally spark.conf.set(conf, prev)
   }
 
+  test("correlated scalar subqueries decorrelate to aggregate+join") {
+    // a correlated subquery left per-row is O(N) plan re-executions —
+    // unrunnable at scale; Catalyst must rewrite both into one aggregate
+    // joined back
+    val p = SparkEntry.queries("sql_scalar_subquery")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("Join"), s"no decorrelated join in:\n$p")
+    assert(!p.toLowerCase.contains("scalarsubquery"),
+      s"per-row scalar subquery survived optimization:\n$p")
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true)") {
     // the runtime half of the skew story next to the static salting key
     // (join_skew_salted): plant a join where one key holds ~90% of the
