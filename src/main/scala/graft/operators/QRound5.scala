@@ -296,29 +296,29 @@ object QRound5 extends QueryPack {
 
   // ---- compression-codec roundtrip ----
 
-  /** Storage-codec surface: write lineitem's hot columns as ZSTD parquet
+  /** Storage-codec surface: write orders' hot columns as ZSTD parquet
     * (the cold-data codec a 100 TB lake standardizes on — ~2× smaller
     * than snappy at similar scan cost), read back, aggregate. The oracle
     * aggregates the original parquet, so any codec-path corruption breaks
     * the hash; staged once per sfDir like the CSV/JSON/ORC roundtrips. */
   private def scanZstdRoundtrip(s: SparkSession, d: String): DataFrame = {
     val dir = QRound3.staged(s, d, "zstd") { dir =>
-      t(s, d, "lineitem")
-        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      t(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
         .write.mode("overwrite").option("compression", "zstd").parquet(dir)
     }
     s.read.parquet(dir)
-      .groupBy((col("l_orderkey") % 10).as("bucket"))
-      .agg(count(lit(1)).as("n"), sum4(col("l_quantity")).as("sum_qty"),
-        sum4(col("l_extendedprice")).as("sum_price"))
+      .groupBy((col("o_orderkey") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum4(col("o_totalprice")).as("sum_price"),
+        max(col("o_custkey")).as("max_cust"))
       .orderBy("bucket")
   }
 
   private val oScanZstdRoundtrip =
-    s"""SELECT l_orderkey % 10 AS bucket, count(*) AS n,
-       |  ${oSum4("l_quantity")} AS sum_qty,
-       |  ${oSum4("l_extendedprice")} AS sum_price
-       |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin
+    s"""SELECT o_orderkey % 10 AS bucket, count(*) AS n,
+       |  ${oSum4("o_totalprice")} AS sum_price,
+       |  max(o_custkey) AS max_cust
+       |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
 
   // ---- dynamic partition pruning (runtime pruning via a join) ----
 
