@@ -58,6 +58,26 @@ object QRound5 extends QueryPack {
 
   private val bktCounter = new java.util.concurrent.atomic.AtomicInteger()
 
+  // bucketed-table staging dirs: tracked so the shutdown hook removes
+  // them (same hygiene as QRound3.stageDirs — ADVICE r3's staging-leak
+  // lesson applies to every temp artifact, not just the roundtrip copies)
+  private val bktDirs = java.util.Collections.synchronizedList(
+    new java.util.ArrayList[String]())
+  private val bktCleanup: Unit = Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    bktDirs.forEach { root =>
+      import java.nio.file.{Files, Paths}
+      import scala.jdk.CollectionConverters._
+      val p = Paths.get(root)
+      if (Files.exists(p))
+        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    }))
+
+  private def newBktDir(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix).toString
+    bktDirs.add(dir)
+    dir
+  }
+
   /** Join over two tables bucketed on the join key (8 buckets on custkey;
     * at 100 TB you size buckets so each is an executor-memory-friendly
     * split — hundreds to thousands). Because both sides' bucketing
@@ -69,7 +89,7 @@ object QRound5 extends QueryPack {
   private def joinBucketColocated(s: SparkSession, d: String): DataFrame = {
     val joined = graft.Memo.memo(s, "bktjoin", d) {
       val n = bktCounter.incrementAndGet()
-      val dir = java.nio.file.Files.createTempDirectory("graft_bkt_").toString
+      val dir = newBktDir("graft_bkt_")
       val ot = s"graft_orders_b$n"
       val ct = s"graft_customer_b$n"
       t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
@@ -557,7 +577,7 @@ object QRound5 extends QueryPack {
   private def servePointLookup(s: SparkSession, d: String): DataFrame = {
     val tbl = graft.Memo.memo(s, "servetbl", d) {
       val n = bktCounter.incrementAndGet()
-      val dir = java.nio.file.Files.createTempDirectory("graft_serve_").toString
+      val dir = newBktDir("graft_serve_")
       val name = s"graft_scores_b$n"
       QPipeline.queries("chp_score_linear")(s, d)
         .write.mode("overwrite").option("path", s"$dir/t")
