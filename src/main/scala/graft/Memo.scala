@@ -18,9 +18,11 @@ import java.util.concurrent.ConcurrentHashMap
   *    reruns a key at 1 and 32 partitions genuinely re-executes the
   *    memoized pipeline under each setting instead of comparing a cached
   *    result with itself.
-  *  - entries whose owning session has been stopped are evicted (and
-  *    unpersisted) on the next access, so the static map cannot pin a
-  *    stopped session's persisted RDDs for the JVM lifetime.
+  *  - entries whose owning session has been stopped are evicted on the
+  *    next access, so the static map cannot pin a stopped session's
+  *    state for the JVM lifetime. No explicit unpersist is needed on
+  *    that path: a stopped SparkContext has already torn down its block
+  *    manager, so the cached blocks are gone with it.
   */
 object Memo {
   private final case class Entry(session: SparkSession, df: DataFrame)
@@ -40,9 +42,12 @@ object Memo {
     * the LSH-pairs build calls the shingle build, all through this map),
     * and a nested computeIfAbsent on the same ConcurrentHashMap throws
     * IllegalStateException("Recursive update") whenever the two keys land
-    * in the same bin. Build outside the map, publish with putIfAbsent;
-    * a rare racing duplicate build is idempotent (an extra persist that
-    * is never referenced again). */
+    * in the same bin. Build outside the map, publish with putIfAbsent.
+    * A rare racing duplicate build is semantically harmless but not free:
+    * builds may persist, checkpoint, or stage tables/dirs (the loser's
+    * artifacts are simply never referenced again; staged dirs are removed
+    * by the Staging shutdown hook). All current callers memoize from one
+    * driver thread, so the race is theoretical. */
   def memo(s: SparkSession, tag: String, d: String)(build: => DataFrame): DataFrame = {
     val it = cache.entrySet().iterator()
     while (it.hasNext) {

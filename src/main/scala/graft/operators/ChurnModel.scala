@@ -105,8 +105,13 @@ object ChurnModel {
     val fl = withSplit(label1d(features)).coalesce(8)
     val va = new VectorAssembler()
       .setInputCols(featureCols.toArray).setOutputCol("fv")
+    // persist both folds: the upstream feature shuffle would otherwise
+    // re-execute for fit, evaluate, the confusion aggregate, and the
+    // fold counts (~5 recomputations per run — review finding)
     val train = va.transform(fl.filter(!col("is_test")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val test = va.transform(fl.filter(col("is_test")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lr = new LogisticRegression()
       .setFeaturesCol("fv").setLabelCol("label")
       .setMaxIter(25).setTol(1e-8)
@@ -131,7 +136,9 @@ object ChurnModel {
       sum(when(col("label") === 1.0 && col("prediction") === 0.0, 1L)
         .otherwise(0L)).as("fn")).collect()
     val nTrain = train.count()
-    val nTest = test.count()
+    // the confusion cells partition the test fold — no second count job
+    val nTest = cm.getLong(0) + cm.getLong(1) + cm.getLong(2) + cm.getLong(3)
+    train.unpersist(); test.unpersist()
     def t6(x: Double): Double = math.floor(x * 1e6) / 1e6
     val w = model.coefficients.toArray
     import s.implicits._

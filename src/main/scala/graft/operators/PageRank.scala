@@ -29,7 +29,19 @@ import org.apache.spark.sql.types._
 object PageRank {
 
   val damping = 0.85
+  /** Teleport numerator, DERIVED from damping (1 − d = 0.15000…02 in
+    * IEEE — not the decimal literal 0.15). Both the Spark side and the
+    * oracle chain embed THIS double via shortest-repr formatting, so the
+    * two engines always agree by construction and retuning `damping`
+    * cannot desynchronize them (review finding: the pair used to be
+    * independently hardcoded). */
+  val teleportNum: Double = 1.0 - damping
   val iters = 5
+
+  private def sci(x: Double): String = {
+    val s = java.lang.Double.toString(x)
+    if (s.contains("E") || s.contains("e")) s.replace("E", "e") else s + "e0"
+  }
 
   /** Ranks over the undirected graph given by `pairsIn` (cols (src, dst),
     * one row per undirected edge). Returns (id, deg, pr). */
@@ -40,7 +52,7 @@ object PageRank {
       .localCheckpoint()
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val n = deg.count()
-    val teleport = 0.15 / n.toDouble
+    val teleport = teleportNum / n.toDouble
     var pr = deg.select(col("src").as("id"), lit(1.0 / n.toDouble).as("pr"))
       .localCheckpoint()
     for (_ <- 1 to iters) {
@@ -69,7 +81,7 @@ object PageRank {
     for (i <- 1 to iters) {
       sb.append(
         s"""p$i AS (SELECT e.dst AS id,
-           |    floor((1.5e-1 / n + 8.5e-1 *
+           |    floor((${sci(teleportNum)} / n + ${sci(damping)} *
            |      (CAST(SUM(CAST(floor(p.pr / deg.deg * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12)) * 1e8) / 1e8 AS pr
            |  FROM e JOIN deg ON e.src = deg.src
            |    JOIN p${i - 1} p ON e.src = p.id, nn

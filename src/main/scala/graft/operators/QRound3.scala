@@ -305,19 +305,11 @@ object QRound3 extends QueryPack {
     * the staged copies. */
   private[graft] val stageDirs =
     new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
-  private val stageCleanup: Unit = Runtime.getRuntime.addShutdownHook(new Thread(() =>
-    stageDirs.values.forEach { root =>
-      import java.nio.file.{Files, Paths}
-      import scala.jdk.CollectionConverters._
-      val p = Paths.get(root)
-      if (Files.exists(p))
-        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-    }))
 
   private[graft] def staged(s: SparkSession, d: String, fmt: String)
       (write: String => Unit): String =
     stageDirs.computeIfAbsent((d, fmt), { _ =>
-      val dir = java.nio.file.Files.createTempDirectory(s"graft_${fmt}_").toString
+      val dir = graft.Staging.trackedTempDir(s"graft_${fmt}_")
       write(dir)
       dir
     })

@@ -58,25 +58,11 @@ object QRound5 extends QueryPack {
 
   private val bktCounter = new java.util.concurrent.atomic.AtomicInteger()
 
-  // bucketed-table staging dirs: tracked so the shutdown hook removes
-  // them (same hygiene as QRound3.stageDirs — ADVICE r3's staging-leak
-  // lesson applies to every temp artifact, not just the roundtrip copies)
-  private val bktDirs = java.util.Collections.synchronizedList(
-    new java.util.ArrayList[String]())
-  private val bktCleanup: Unit = Runtime.getRuntime.addShutdownHook(new Thread(() =>
-    bktDirs.forEach { root =>
-      import java.nio.file.{Files, Paths}
-      import scala.jdk.CollectionConverters._
-      val p = Paths.get(root)
-      if (Files.exists(p))
-        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-    }))
-
-  private def newBktDir(prefix: String): String = {
-    val dir = java.nio.file.Files.createTempDirectory(prefix).toString
-    bktDirs.add(dir)
-    dir
-  }
+  // bucketed-table staging dirs: tracked by graft.Staging so the shared
+  // shutdown hook removes them (ADVICE r3's staging-leak lesson applies
+  // to every temp artifact, not just the roundtrip copies)
+  private def newBktDir(prefix: String): String =
+    graft.Staging.trackedTempDir(prefix)
 
   /** Join over two tables bucketed on the join key (8 buckets on custkey;
     * at 100 TB you size buckets so each is an executor-memory-friendly
@@ -360,9 +346,13 @@ object QRound5 extends QueryPack {
         .write.mode("overwrite").partitionBy("o_month").parquet(dir)
     }
     val fact = s.read.parquet(dir)
+    // localCheckpoint: the 12-row month aggregate feeds BOTH the driver
+    // threshold and the join's dim side — without it the full orders
+    // scan+aggregate runs twice (review finding)
     val byMonth = t(s, d, "orders")
       .groupBy(month(col("o_orderdate")).as("o_month"))
       .agg(count(lit(1)).as("n_month"))
+      .localCheckpoint()
     // threshold resolved driver-side (one ≤12-row aggregate — the same
     // two-pass breakpoint pattern as the decile histogram): Spark's
     // PartitionPruning rule only fires on a LIKELY-SELECTIVE dim filter,
