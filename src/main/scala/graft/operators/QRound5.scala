@@ -424,6 +424,48 @@ object QRound5 extends QueryPack {
        |FROM assigned GROUP BY cell ORDER BY cell""".stripMargin
   }
 
+  // ---- time-series resample (OHLC) ----
+
+  /** Time-series downsampling to open/high/low/close bars per (user,
+    * hour) — the classic resample a metrics/feature pipeline runs, and
+    * the aggregation twin of ts_fill_forward's gap fill. Open/close pick
+    * the first/last value by (ts, event_id) — the unique tiebreak that
+    * makes OHLC deterministic (bare min_by/arg_min on ts alone would be
+    * tie-broken arbitrarily in both engines). One window pass partitioned
+    * on the uniform (user, hour) key + one aggregate. */
+  private def tsResampleOhlc(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id", "hr").orderBy("ts", "event_id")
+    val wd = Window.partitionBy("user_id", "hr")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    t(s, d, "events")
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("hr"),
+        col("ts"), col("event_id"), col("value"))
+      .withColumn("rn_f", row_number().over(w))
+      .withColumn("rn_l", row_number().over(wd))
+      .groupBy("user_id", "hr")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("rn_f") === 1, col("value"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        sum(when(col("rn_l") === 1, col("value"))).as("close"))
+      .orderBy("user_id", "hr")
+  }
+
+  private val oTsResampleOhlc =
+    """WITH e AS (SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+      |    ts, event_id, value,
+      |    row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+      |      ORDER BY ts, event_id) AS rn_f,
+      |    row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+      |      ORDER BY ts DESC, event_id DESC) AS rn_l
+      |  FROM events)
+      |SELECT user_id, hr, count(*) AS n,
+      |  sum(CASE WHEN rn_f = 1 THEN value END) AS open,
+      |  max(value) AS high, min(value) AS low,
+      |  sum(CASE WHEN rn_l = 1 THEN value END) AS close
+      |FROM e GROUP BY user_id, hr ORDER BY user_id, hr""".stripMargin
+
   // ---- cumulative distribution window ----
 
   /** cume_dist per customer over order value — the last untouched rank
@@ -678,6 +720,7 @@ object QRound5 extends QueryPack {
     "sql_text_tpch_q3"      -> sqlTextTpchQ3 _,
     "sql_scalar_subquery"   -> sqlScalarSubquery _,
     "win_cume_dist"         -> winCumeDist _,
+    "ts_resample_ohlc"      -> tsResampleOhlc _,
     "fn_try_safe"           -> fnTrySafe _,
     "join_dpp_prune"        -> joinDppPrune _,
     "join_bucket_colocated" -> joinBucketColocated _,
@@ -699,6 +742,7 @@ object QRound5 extends QueryPack {
     "sql_text_tpch_q3"      -> oSqlTextTpchQ3,
     "sql_scalar_subquery"   -> oSqlScalarSubquery,
     "win_cume_dist"         -> oWinCumeDist,
+    "ts_resample_ohlc"      -> oTsResampleOhlc,
     "fn_try_safe"           -> oFnTrySafe,
     "join_dpp_prune"        -> oJoinDppPrune,
     "join_bucket_colocated" -> oJoinBucketColocated,

@@ -33,7 +33,8 @@ class HarnessSpec extends SparkSpec {
     "chp_model_confusion", "chp_user_segments", "join_dpp_prune",
     "upsert_cdc_merge", "scan_zstd_roundtrip", "text_chunk_windows",
     "text_pack_sequences", "sample_rebalance_cap", "graph_pagerank_docs",
-    "sql_scalar_subquery", "win_cume_dist", "fn_try_safe")
+    "sql_scalar_subquery", "win_cume_dist", "fn_try_safe",
+    "ts_resample_ohlc")
 
   probeKeys.foreach { key =>
     test(s"$key: identical at shuffle.partitions 1 and 32") {
