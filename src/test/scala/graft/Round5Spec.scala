@@ -153,6 +153,37 @@ class Round5Spec extends SparkSpec {
     } finally spark.conf.set(conf, prev)
   }
 
+  test("data-prep invariants: packing conserves tokens, caps hold, chunks match counts") {
+    // cross-key consistency on sf0.01 — three independent spellings must
+    // agree on the same corpus facts
+    val packs = SparkEntry.queries("text_pack_sequences")(spark, sfTrain).collect()
+    val tokens = SparkEntry.queries("text_token_count")(spark, sfTrain).collect()
+    // 1. packing conserves every token: Σ bin_toks == Σ per-doc whitespace counts
+    assert(packs.map(_.getAs[Long]("bin_toks")).sum ===
+      tokens.map(_.getAs[Int]("n_ws").toLong).sum, "packing lost/dup'd tokens")
+    // 2. bins are dense per lang: 0..max with no gaps
+    packs.groupBy(_.getAs[String]("lang")).foreach { case (lang, rows) =>
+      val bins = rows.map(_.getAs[Long]("bin")).sorted
+      assert(bins === (0L until bins.length).toArray, s"bin gap in $lang")
+    }
+    // 3. rebalance cap holds exactly: n_kept == min(cap, n_total)
+    val reb = SparkEntry.queries("sample_rebalance_cap")(spark, sfTrain).collect()
+    reb.foreach { r =>
+      assert(r.getAs[Long]("n_kept") === math.min(40L, r.getAs[Long]("n_total")),
+        s"cap violated: $r")
+    }
+    // 4. chunk count per doc == ceil(n_ws / stride) from the independent
+    //    token-count key
+    val chunks = SparkEntry.queries("text_chunk_windows")(spark, sfTrain)
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("count")).toMap
+    tokens.foreach { r =>
+      val want = (r.getAs[Int]("n_ws") + 7) / 8
+      assert(chunks(r.getAs[Long]("doc_id")) === want.toLong,
+        s"chunk count mismatch for doc ${r.getAs[Long]("doc_id")}")
+    }
+  }
+
   test("correlated scalar subqueries decorrelate to aggregate+join") {
     // a correlated subquery left per-row is O(N) plan re-executions —
     // unrunnable at scale; Catalyst must rewrite both into one aggregate
