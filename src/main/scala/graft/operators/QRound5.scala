@@ -6,22 +6,31 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Round-5 coverage: the storage-layout operators that make the 100 TB
-  * posture concrete in the driver-checked inventory, plus the model layer
-  * (the reference's headline trained-churn-classifier capability).
+/** Round-5 coverage — four fronts (SURVEY §2.14):
   *
-  *  - `scan_partition_prune`: hive-partitioned write + partition-pruned
-  *    read — the mechanism that turns a full-table scan into reading only
-  *    the matching partition directories.
-  *  - `join_bucket_colocated`: both join sides pre-bucketed on the join
-  *    key — the join runs with NO shuffle of either fact (the layout
-  *    investment a warehouse makes for its hottest join key).
-  *  - `chp_train_auc`: MLlib LogisticRegression trained on the churn
-  *    features (ChurnModel) — no-oracle by design (training is not SQL);
-  *    scalatest-gated (determinism + AUC bounds + confusion conservation).
-  *  - `chp_model_confusion`: batch scoring of the FITTED, frozen weights
-  *    (train once / deploy weights — the production lifecycle), expressed
-  *    as pure arithmetic so DuckDB verifies it exactly.
+  *  - STORAGE LAYOUT, making the 100 TB posture driver-checkable:
+  *    static partition pruning (`scan_partition_prune`), DYNAMIC
+  *    partition pruning via a runtime dim (`join_dpp_prune`), bucketed
+  *    co-located joins (`join_bucket_colocated`), bucket-pruned point
+  *    serving reads (`serve_point_lookup`), and the ZSTD codec
+  *    roundtrip (`scan_zstd_roundtrip`).
+  *  - THE MODEL LAYER (the reference's headline capability): MLlib LR
+  *    training + eval (`chp_train_auc`), the regParam sweep
+  *    (`chp_train_cv`), frozen-weight deployment scoring
+  *    (`chp_model_confusion` — pure arithmetic, oracle-exact), and
+  *    k-means user segmentation whose TRAINING is oracle-replayed
+  *    (`chp_user_segments`).
+  *  - LLM DATA PREP: chunking (`text_chunk_windows`), canonicalization
+  *    (`text_normalize_canon`), sequence packing
+  *    (`text_pack_sequences`), class rebalancing
+  *    (`sample_rebalance_cap`), plus PageRank centrality over the
+  *    near-dup graph (`graph_pagerank_docs`).
+  *  - ENGINE SURFACES nothing else exercised: SQL text entry
+  *    (`sql_text_tpch_q3`), correlated-subquery decorrelation
+  *    (`sql_scalar_subquery`), CDC merge with deletes
+  *    (`upsert_cdc_merge`), OHLC time-series resampling
+  *    (`ts_resample_ohlc`), cume_dist (`win_cume_dist`), and the
+  *    try-function dirty-data path (`fn_try_safe`).
   */
 object QRound5 extends QueryPack {
 
