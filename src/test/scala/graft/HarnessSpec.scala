@@ -34,7 +34,12 @@ class HarnessSpec extends SparkSpec {
     "upsert_cdc_merge", "scan_zstd_roundtrip", "text_chunk_windows",
     "text_pack_sequences", "sample_rebalance_cap", "graph_pagerank_docs",
     "sql_scalar_subquery", "win_cume_dist", "fn_try_safe",
-    "ts_resample_ohlc")
+    "ts_resample_ohlc",
+    // round 5b: prefix-sum sessionization, median interpolation +
+    // mode tie-break window, interp windows over the rebuilt spine,
+    // decorrelated lateral top-k, compaction roundtrip sums
+    "chp_sessionize_batch", "agg_mode_median", "ts_gap_interp",
+    "sql_lateral_topk", "maint_compact_files", "text_pii_redact")
 
   probeKeys.foreach { key =>
     test(s"$key: identical at shuffle.partitions 1 and 32") {
