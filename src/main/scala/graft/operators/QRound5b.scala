@@ -295,13 +295,104 @@ object QRound5b extends QueryPack {
        |  min(event_id) AS min_id, max(event_id) AS max_id
        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- null-aware NOT IN (the three-valued-logic join surface) ----
+
+  /** NOT IN vs NOT EXISTS is THE classic SQL semantics trap: one NULL in
+    * the subquery list makes `x NOT IN (...)` UNKNOWN for every row —
+    * the correct answer is empty, and an engine that plans a plain anti
+    * join silently returns the wrong set. One row, four counts: the
+    * null-free NOT IN (a real anti join), the with-null NOT IN (must be
+    * 0), the with-null IN (null rows simply never match), and the null
+    * count itself. Scale shape: Spark plans the single-key NOT IN as a
+    * broadcast null-aware anti join (the list side is an aggregate —
+    * tiny); no O(N²) fallback. */
+  private def sqlNotInNull(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "orders").createOrReplaceTempView("g_orders")
+    t(s, d, "customer").createOrReplaceTempView("g_customer")
+    s.sql(
+      """WITH withnull AS (
+        |  SELECT CASE WHEN o_totalprice > 200000 THEN NULL ELSE o_custkey END AS k
+        |  FROM g_orders WHERE o_orderpriority = '1-URGENT')
+        |SELECT
+        |  (SELECT count(*) FROM g_customer WHERE c_custkey NOT IN
+        |     (SELECT o_custkey FROM g_orders
+        |      WHERE o_orderpriority = '1-URGENT')) AS n_anti_nullfree,
+        |  (SELECT count(*) FROM g_customer
+        |   WHERE c_custkey NOT IN (SELECT k FROM withnull)) AS n_anti_withnull,
+        |  (SELECT count(*) FROM g_customer
+        |   WHERE c_custkey IN (SELECT k FROM withnull)) AS n_semi_withnull,
+        |  (SELECT count(*) FROM withnull WHERE k IS NULL) AS n_nulls""".stripMargin)
+  }
+
+  private val oSqlNotInNull =
+    """WITH withnull AS (
+      |  SELECT CASE WHEN o_totalprice > 200000 THEN NULL ELSE o_custkey END AS k
+      |  FROM orders WHERE o_orderpriority = '1-URGENT')
+      |SELECT
+      |  (SELECT count(*) FROM customer WHERE c_custkey NOT IN
+      |     (SELECT o_custkey FROM orders
+      |      WHERE o_orderpriority = '1-URGENT')) AS n_anti_nullfree,
+      |  (SELECT count(*) FROM customer
+      |   WHERE c_custkey NOT IN (SELECT k FROM withnull)) AS n_anti_withnull,
+      |  (SELECT count(*) FROM customer
+      |   WHERE c_custkey IN (SELECT k FROM withnull)) AS n_semi_withnull,
+      |  (SELECT count(*) FROM withnull WHERE k IS NULL) AS n_nulls""".stripMargin
+
+  // ---- typed Dataset cogroup (the Dataset[T] API surface) ----
+
+  /** Two-source reconciliation via the TYPED API: orders and events
+    * cogrouped per key through `KeyValueGroupedDataset.cogroup` — the
+    * Dataset[T] surface the DataFrame keys never touch, and the right
+    * tool when per-key logic needs both sides' iterators at once.
+    * Sums accumulate as exact 4-dp BigDecimal inside the cogroup
+    * function (iterator order within a group is partition-dependent —
+    * double += would be nondeterministic), matching sum4's decimal
+    * spelling. Scale shape: one co-partitioned shuffle per side on the
+    * uniform key, then per-key streaming iterators — no materialized
+    * per-group collections. */
+  private def dsCogroupStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = t(s, d, "orders")
+      .select(col("o_custkey"), col("o_totalprice")).as[(Long, Double)]
+    val e = t(s, d, "events")
+      .select(col("user_id"), col("value")).as[(Long, Double)]
+    def sum4bd(it: Iterator[(Long, Double)]): (Long, BigDecimal) =
+      it.foldLeft((0L, BigDecimal(0))) { case ((n, acc), (_, v)) =>
+        (n + 1,
+          acc + BigDecimal.valueOf(v).setScale(4, BigDecimal.RoundingMode.HALF_UP))
+      }
+    o.groupByKey(_._1).cogroup(e.groupByKey(_._1)) { (k, os, es) =>
+        val (no, so) = sum4bd(os)
+        val (ne, se) = sum4bd(es)
+        Iterator((k, no, so.toDouble, ne, se.toDouble))
+      }
+      .toDF("k", "n_orders", "sum_orders", "n_events", "sum_events")
+      .orderBy("k")
+  }
+
+  private val oDsCogroupStats =
+    s"""WITH o AS (SELECT o_custkey AS k, count(*) AS n_orders,
+       |           ${oSum4("o_totalprice")} AS sum_orders
+       |           FROM orders GROUP BY 1),
+       |     e AS (SELECT user_id AS k, count(*) AS n_events,
+       |           ${oSum4("value")} AS sum_events
+       |           FROM events GROUP BY 1)
+       |SELECT coalesce(o.k, e.k) AS k,
+       |  coalesce(n_orders, 0) AS n_orders,
+       |  coalesce(sum_orders, 0.0) AS sum_orders,
+       |  coalesce(n_events, 0) AS n_events,
+       |  coalesce(sum_events, 0.0) AS sum_events
+       |FROM o FULL JOIN e ON o.k = e.k ORDER BY k""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "chp_sessionize_batch" -> chpSessionizeBatch _,
     "agg_mode_median"      -> aggModeMedian _,
     "text_pii_redact"      -> textPiiRedact _,
     "ts_gap_interp"        -> tsGapInterp _,
     "sql_lateral_topk"     -> sqlLateralTopk _,
-    "maint_compact_files"  -> maintCompactFiles _)
+    "maint_compact_files"  -> maintCompactFiles _,
+    "sql_not_in_null"      -> sqlNotInNull _,
+    "ds_cogroup_stats"     -> dsCogroupStats _)
 
   val oracles: Map[String, String] = Map(
     "chp_sessionize_batch" -> oChpSessionizeBatch,
@@ -309,5 +400,7 @@ object QRound5b extends QueryPack {
     "text_pii_redact"      -> oTextPiiRedact,
     "ts_gap_interp"        -> oTsGapInterp,
     "sql_lateral_topk"     -> oSqlLateralTopk,
-    "maint_compact_files"  -> oMaintCompactFiles)
+    "maint_compact_files"  -> oMaintCompactFiles,
+    "sql_not_in_null"      -> oSqlNotInNull,
+    "ds_cogroup_stats"     -> oDsCogroupStats)
 }

@@ -39,7 +39,8 @@ class HarnessSpec extends SparkSpec {
     // mode tie-break window, interp windows over the rebuilt spine,
     // decorrelated lateral top-k, compaction roundtrip sums
     "chp_sessionize_batch", "agg_mode_median", "ts_gap_interp",
-    "sql_lateral_topk", "maint_compact_files", "text_pii_redact")
+    "sql_lateral_topk", "maint_compact_files", "text_pii_redact",
+    "sql_not_in_null", "ds_cogroup_stats")
 
   probeKeys.foreach { key =>
     test(s"$key: identical at shuffle.partitions 1 and 32") {

@@ -115,6 +115,43 @@ class Round5bSpec extends SparkSpec {
     assert(lat === win, "lateral decorrelation diverges from window top-k")
   }
 
+  test("sql_not_in_null: three-valued logic holds; plan is null-aware anti") {
+    val r = SparkEntry.queries("sql_not_in_null")(spark, sf).collect()(0)
+    assert(r.getAs[Long]("n_nulls") > 0L, "fixture lost its NULL rows")
+    assert(r.getAs[Long]("n_anti_withnull") === 0L,
+      "NOT IN over a list containing NULL must be empty")
+    assert(r.getAs[Long]("n_anti_nullfree") > 0L)
+    // the with-null IN behaves as a plain semi join (nulls never match)
+    assert(r.getAs[Long]("n_semi_withnull") > 0L)
+    // plan surface: the single-key NOT IN must plan as a broadcast
+    // null-aware anti join (BroadcastHashJoinExec prints its
+    // isNullAwareAntiJoin flag as a trailing "true"), not a
+    // nested-loop fallback
+    val plan = SparkEntry.queries("sql_not_in_null")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti, BuildRight, true"),
+      s"no null-aware broadcast anti join in plan:\n$plan")
+  }
+
+  test("ds_cogroup_stats: typed cogroup equals the full-outer-join spelling") {
+    val cg = SparkEntry.queries("ds_cogroup_stats")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val T = graft.sources.Tables
+    val o = T.t(spark, sf, "orders").groupBy(col("o_custkey").as("k"))
+      .agg(count(lit(1)).as("n_orders"), T.sum4(col("o_totalprice")).as("sum_orders"))
+    val e = T.t(spark, sf, "events").groupBy(col("user_id").as("k"))
+      .agg(count(lit(1)).as("n_events"), T.sum4(col("value")).as("sum_events"))
+    val fo = o.join(e, Seq("k"), "full_outer")
+      .select(col("k"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("sum_orders"), lit(0.0)).as("sum_orders"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("sum_events"), lit(0.0)).as("sum_events"))
+      .orderBy("k")
+      .collect().map(_.toString).toSeq
+    assert(cg === fo, "cogroup diverges from the relational spelling")
+  }
+
   test("maint_compact_files: file count collapses 64 -> <=8, rows conserved") {
     // run the key once so the staged dirs exist
     val out = SparkEntry.queries("maint_compact_files")(spark, sf)
