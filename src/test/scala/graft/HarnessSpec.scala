@@ -40,7 +40,11 @@ class HarnessSpec extends SparkSpec {
     // decorrelated lateral top-k, compaction roundtrip sums
     "chp_sessionize_batch", "agg_mode_median", "ts_gap_interp",
     "sql_lateral_topk", "maint_compact_files", "text_pii_redact",
-    "sql_not_in_null", "ds_cogroup_stats")
+    "sql_not_in_null", "ds_cogroup_stats",
+    // round 5c: bloom probe + exact join, canonical-order triangle joins,
+    // per-doc rank window, z-order relayout roundtrip, mergeSchema read
+    "join_bloom_prune", "graph_triangle_count", "text_repetition_stats",
+    "text_url_extract", "maint_zorder_cluster", "scan_schema_merge")
 
   probeKeys.foreach { key =>
     test(s"$key: identical at shuffle.partitions 1 and 32") {
