@@ -44,7 +44,11 @@ class HarnessSpec extends SparkSpec {
     // round 5c: bloom probe + exact join, canonical-order triangle joins,
     // per-doc rank window, z-order relayout roundtrip, mergeSchema read
     "join_bloom_prune", "graph_triangle_count", "text_repetition_stats",
-    "text_url_extract", "maint_zorder_cluster", "scan_schema_merge")
+    "text_url_extract", "maint_zorder_cluster", "scan_schema_merge",
+    // round 5d: scaled-long lambda sums, text-line parse, integer-moment
+    // rolling stats, sign-LSH dots, smoothed transition grid
+    "fn_lambda_hof", "scan_text_lines", "ts_anomaly_zscore",
+    "sim_ann_hyperplane", "chp_markov_prob", "sql_filter_agg")
 
   probeKeys.foreach { key =>
     test(s"$key: identical at shuffle.partitions 1 and 32") {
