@@ -97,23 +97,25 @@ object AnnKMeans {
   /** Oracle-side twin: CTE chain c0, a1, c1, …, a_iters, c_iters where
     * `c$iters` holds the final centroids. Caller supplies the `e` CTE
     * (vec_id, v DOUBLE[]) as the first WITH entry. `dim` is the vector
-    * width for the centroid unnest. */
-  def oCentroidChain(k: Int, iters: Int, dim: Int): String = {
+    * width for the centroid unnest. `p` prefixes every CTE name (and the
+    * source CTE, `${p}e`) so several chains — e.g. one per product-
+    * quantization subspace — can coexist in one WITH clause. */
+  def oCentroidChain(k: Int, iters: Int, dim: Int, p: String = ""): String = {
     val sb = new StringBuilder
     sb.append(
-      s"""c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cell, v AS cv
-         |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $k)),
+      s"""${p}c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cell, v AS cv
+         |  FROM (SELECT vec_id, v FROM ${p}e ORDER BY vec_id LIMIT $k)),
          |""".stripMargin)
     for (it <- 1 to iters) {
       sb.append(
-        s"""a$it AS (SELECT vec_id, v, cell FROM (
+        s"""${p}a$it AS (SELECT vec_id, v, cell FROM (
            |  SELECT e.vec_id, e.v, c.cell, row_number() OVER (PARTITION BY e.vec_id
            |    ORDER BY ${oTrunc4("list_cosine_similarity(e.v, c.cv)")} DESC, c.cell) AS r
-           |  FROM e, c${it - 1} c) WHERE r = 1),
-           |c$it AS (SELECT cell, list(cx ORDER BY pos) AS cv FROM (
+           |  FROM ${p}e e, ${p}c${it - 1} c) WHERE r = 1),
+           |${p}c$it AS (SELECT cell, list(cx ORDER BY pos) AS cv FROM (
            |  SELECT cell, i AS pos,
            |    CAST(SUM(CAST(floor(v[i] * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)/count(*)/1000000 AS cx
-           |  FROM a$it, (SELECT unnest(generate_series(1, $dim)) AS i)
+           |  FROM ${p}a$it, (SELECT unnest(generate_series(1, $dim)) AS i)
            |  GROUP BY cell, i) GROUP BY cell),
            |""".stripMargin)
     }

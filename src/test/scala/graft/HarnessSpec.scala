@@ -48,7 +48,9 @@ class HarnessSpec extends SparkSpec {
     // round 5d: scaled-long lambda sums, text-line parse, integer-moment
     // rolling stats, sign-LSH dots, smoothed transition grid
     "fn_lambda_hof", "scan_text_lines", "ts_anomaly_zscore",
-    "sim_ann_hyperplane", "chp_markov_prob", "sql_filter_agg")
+    "sim_ann_hyperplane", "chp_markov_prob", "sql_filter_agg",
+    // round 5e: 4-codebook PQ build, percentile skew profile, range() gen
+    "emb_pq_codebook", "profile_key_skew", "gen_synthetic_sales")
 
   probeKeys.foreach { key =>
     test(s"$key: identical at shuffle.partitions 1 and 32") {
