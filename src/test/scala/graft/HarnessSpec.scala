@@ -50,7 +50,11 @@ class HarnessSpec extends SparkSpec {
     "fn_lambda_hof", "scan_text_lines", "ts_anomaly_zscore",
     "sim_ann_hyperplane", "chp_markov_prob", "sql_filter_agg",
     // round 5e: 4-codebook PQ build, percentile skew profile, range() gen
-    "emb_pq_codebook", "profile_key_skew", "gen_synthetic_sales")
+    "emb_pq_codebook", "profile_key_skew", "gen_synthetic_sales",
+    // round 5f: iterative recursion loop, star-flake broadcast shape,
+    // scaled-long decay division, broadcast prefix histogram
+    "sql_recursive_cte", "join_star_flake", "chp_ltv_decay",
+    "text_boilerplate_strip")
 
   probeKeys.foreach { key =>
     test(s"$key: identical at shuffle.partitions 1 and 32") {
