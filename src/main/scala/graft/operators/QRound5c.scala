@@ -114,7 +114,12 @@ object QRound5c extends QueryPack {
     * sort-merge joins on uniform vertex keys — and orient edges by degree
     * instead of id to bound the per-middle wedge fan-out. */
   private def graphTriangleCount(s: SparkSession, d: String): DataFrame = {
-    val e = coEdges(t(s, d, "lineitem")).persist()
+    // memoized per (session, sfDir): persisting anew on every call would
+    // leak one cache entry per call for the session lifetime (the ADVICE
+    // r3 defect QSim.embPersisted was rewritten to fix)
+    val e = graft.Memo.memo(s, "coedges", d)(
+      coEdges(t(s, d, "lineitem"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val nEdges = e.select(count(lit(1)).as("n_edges"))
     val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("deg"))
@@ -236,17 +241,22 @@ object QRound5c extends QueryPack {
 
   // ---- Z-order layout maintenance ----
 
-  /** Morton interleave of two 16-bit dimensions, bit i of x → bit 2i,
-    * bit i of y → bit 2i+1. Pure integer arithmetic (shift/mask/sum of
-    * disjoint bits), so Spark and DuckDB compute it bit-identically. */
+  /** Morton interleave of two 21-bit dimensions (keys up to 2M — an
+    * order of magnitude past any test sf; wider keys would silently
+    * alias k and k+2^21 to one z-value and quietly stop clustering on
+    * that dimension), bit i of x → bit 2i, bit i of y → bit 2i+1. Pure
+    * integer arithmetic (shift/mask/sum of disjoint bits), so Spark and
+    * DuckDB compute it bit-identically. */
+  private val zBits = 21
+
   private[graft] def zval(x: Column, y: Column): Column =
-    (0 until 16).map { i =>
+    (0 until zBits).map { i =>
       (shiftright(x, i) % 2) * lit(1L << (2 * i)) +
         (shiftright(y, i) % 2) * lit(1L << (2 * i + 1))
     }.reduce(_ + _)
 
   private def zvalSql(x: String, y: String): String =
-    (0 until 16).map { i =>
+    (0 until zBits).map { i =>
       s"((($x >> $i) & 1) * ${1L << (2 * i)} + (($y >> $i) & 1) * ${1L << (2 * i + 1)})"
     }.mkString(" + ")
 

@@ -92,8 +92,16 @@ object QRound5d extends QueryPack {
     * re-read the raw lines. */
   private def scanTextLines(s: SparkSession, d: String): DataFrame = {
     val dir = QRound3.staged(s, d, "textlines") { dir =>
-      t(s, d, "documents")
-        .select(concat(col("doc_id"), lit("\t"), col("text")).as("value"))
+      val docs = t(s, d, "documents")
+      // fail fast at write: a tab would split the id field, a newline
+      // would tear a doc across lines — either corrupts the staged copy
+      // into a confusing downstream hash mismatch
+      val unsafe = docs
+        .filter(col("text").contains("\t") || col("text").contains("\n"))
+        .count()
+      require(unsafe == 0,
+        s"$unsafe documents contain tab/newline — unsafe to stage as lines")
+      docs.select(concat(col("doc_id"), lit("\t"), col("text")).as("value"))
         .write.mode("overwrite").text(s"$dir/lines")
     }
     val parsed = s.read.text(s"$dir/lines")
@@ -137,7 +145,12 @@ object QRound5d extends QueryPack {
     daily
       .withColumn("n", count(lit(1)).over(w))
       .withColumn("sum_s", sum("v_s").over(w))
-      .withColumn("sumsq_s", sum(col("v_s") * col("v_s")).over(w))
+      // square in DECIMAL(38,0): v_s past ~3.04e9 (one ~10x scale step
+      // above sf0.1's max daily total) would overflow BIGINT — silently
+      // in Spark, as a hard error in DuckDB
+      .withColumn("sumsq_s",
+        sum(col("v_s").cast(DecimalType(38, 0)) * col("v_s")).over(w)
+          .cast(DoubleType))
       .select(col("event_type"), col("day_num"),
         trunc4(col("v_s") / 10000.0).as("val"), col("n").cast(IntegerType).as("n"),
         trunc4(
@@ -161,7 +174,7 @@ object QRound5d extends QueryPack {
       | w AS (SELECT *,
       |    count(*) OVER win AS n,
       |    sum(v_s) OVER win AS sum_s,
-      |    sum(v_s * v_s) OVER win AS sumsq_s
+      |    CAST(sum(CAST(v_s AS DECIMAL(38,0)) * v_s) OVER win AS DOUBLE) AS sumsq_s
       |  FROM daily
       |  WINDOW win AS (PARTITION BY event_type ORDER BY day_num
       |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
@@ -263,9 +276,13 @@ object QRound5d extends QueryPack {
     val grid = types.select(col("event_type").as("from_type"))
       .crossJoin(types.select(col("event_type").as("to_type")))
     val totals = trans.groupBy("from_type").agg(sum("cnt").as("tot"))
+    // totals joins LEFT too: a from_type with zero outgoing transitions
+    // (e.g. a terminal action) must keep its grid rows at the smoothing
+    // floor 1/(0+V), not vanish through an inner join
     grid.join(trans, Seq("from_type", "to_type"), "left")
       .na.fill(0L, Seq("cnt"))
-      .join(totals, Seq("from_type"))
+      .join(totals, Seq("from_type"), "left")
+      .na.fill(0L, Seq("tot"))
       .select(col("from_type"), col("to_type"), col("cnt"),
         trunc4((col("cnt") + 1) / (col("tot") + lit(v)).cast(DoubleType))
           .as("p_smooth"))
@@ -284,9 +301,9 @@ object QRound5d extends QueryPack {
       | v AS (SELECT count(*) AS v FROM ty)
       |SELECT g.from_type, g.to_type,
       |  CAST(coalesce(tr.cnt, 0) AS BIGINT) AS cnt,
-      |  floor((coalesce(tr.cnt, 0) + 1) / CAST(tot.tot + v.v AS DOUBLE) * 10000)/10000.0 AS p_smooth
+      |  floor((coalesce(tr.cnt, 0) + 1) / CAST(coalesce(tot.tot, 0) + v.v AS DOUBLE) * 10000)/10000.0 AS p_smooth
       |FROM grid g LEFT JOIN tr ON g.from_type = tr.from_type AND g.to_type = tr.to_type
-      |JOIN tot ON g.from_type = tot.from_type CROSS JOIN v
+      |LEFT JOIN tot ON g.from_type = tot.from_type CROSS JOIN v
       |ORDER BY g.from_type, g.to_type""".stripMargin
 
   // ---- SQL FILTER (WHERE) aggregate modifier ----

@@ -129,9 +129,12 @@ object QRound5f extends QueryPack {
         (col("value").cast(D184) * 10000).cast(LongType).as("v_s"))
     val obs = ev.agg(max("us").as("obs_us"))
     ev.crossJoin(broadcast(obs))
+      // clamp the shift at 62: beyond that the contribution is 0 anyway
+      // (v_s div 2^62 == 0 for any realistic value), Java shiftleft wraps
+      // mod 64 (a 64-week age would UN-decay), and DuckDB 1<<63 overflows
       .withColumn("age_weeks", expr("(obs_us - us) div 604800000000L"))
       .withColumn("decayed_s",
-        expr("v_s div shiftleft(1L, cast(age_weeks as int))"))
+        expr("v_s div shiftleft(1L, cast(least(age_weeks, 62L) as int))"))
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_events"),
         (sum("v_s") / 10000.0).as("raw_value"),
@@ -150,7 +153,7 @@ object QRound5f extends QueryPack {
       | obs AS (SELECT max(us) AS obs_us FROM ev),
       | dk AS (SELECT user_id, v_s,
       |    (obs_us - us) // 604800000000 AS age_weeks,
-      |    v_s // (1::BIGINT << ((obs_us - us) // 604800000000)) AS decayed_s
+      |    v_s // (1::BIGINT << CAST(least((obs_us - us) // 604800000000, 62) AS INT)) AS decayed_s
       |  FROM ev, obs)
       |SELECT user_id, count(*) AS n_events,
       |  floor(CAST(sum(v_s) AS DOUBLE) / 10000.0 * 10000)/10000.0 AS raw_value,

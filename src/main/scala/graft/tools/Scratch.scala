@@ -9,11 +9,14 @@ object Scratch {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     try spark.sql(args(0)).show(20, truncate = false)
     catch { case e: Throwable =>
-      println("SCRATCH ERROR: " + e.getMessage.take(300))
+      // String.valueOf: getMessage is null for many Throwables
+      println("SCRATCH ERROR: " + String.valueOf(e).take(300))
     }
     spark.stop()
   }

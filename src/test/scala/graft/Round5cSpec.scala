@@ -122,7 +122,7 @@ class Round5cSpec extends SparkSpec {
 
   test("maint_zorder_cluster: zval matches a reference Morton implementation") {
     def mortonRef(x: Long, y: Long): Long =
-      (0 until 16).map { i =>
+      (0 until 21).map { i =>
         (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
       }.sum
     val sample = sources.Tables.t(spark, sf, "lineitem")

@@ -56,7 +56,7 @@ class Round5fSpec extends SparkSpec {
     val decayed = ev.map { case (us, v) =>
       val vs = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)
         .*(10000).toLongExact
-      val wk = (obs - us) / 604800000000L
+      val wk = math.min((obs - us) / 604800000000L, 62L)
       vs / (1L << wk)
     }.sum
     val got = out.filter(col("user_id") === 0).collect()(0)
