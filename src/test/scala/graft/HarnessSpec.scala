@@ -54,7 +54,10 @@ class HarnessSpec extends SparkSpec {
     // round 5f: iterative recursion loop, star-flake broadcast shape,
     // scaled-long decay division, broadcast prefix histogram
     "sql_recursive_cte", "join_star_flake", "chp_ltv_decay",
-    "text_boilerplate_strip")
+    "text_boilerplate_strip",
+    // round 5g: associative bitmap OR, cutoff-filtered rewrite,
+    // tolerance-cut as-of window
+    "agg_bitmap_distinct", "maint_vacuum_ttl", "join_asof_tolerance")
 
   probeKeys.foreach { key =>
     test(s"$key: identical at shuffle.partitions 1 and 32") {
