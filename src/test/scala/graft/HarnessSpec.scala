@@ -57,7 +57,9 @@ class HarnessSpec extends SparkSpec {
     "text_boilerplate_strip",
     // round 5g: associative bitmap OR, cutoff-filtered rewrite,
     // tolerance-cut as-of window
-    "agg_bitmap_distinct", "maint_vacuum_ttl", "join_asof_tolerance")
+    "agg_bitmap_distinct", "maint_vacuum_ttl", "join_asof_tolerance",
+    // round 5h: variant parse path, pipe-syntax plan, collated grouping
+    "fn_json_variant", "sql_pipe_syntax", "fn_collation_ci")
 
   probeKeys.foreach { key =>
     test(s"$key: identical at shuffle.partitions 1 and 32") {
