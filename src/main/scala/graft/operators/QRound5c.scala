@@ -125,11 +125,22 @@ object QRound5c extends QueryPack {
       .groupBy("v").agg(count(lit(1)).as("deg"))
     val nWedges = deg.select(
       sum(col("deg") * (col("deg") - 1) / 2).cast(LongType).as("n_wedges"))
-    val tri = e.as("e1")
+    // pin the probe side's parallelism: the edge list is only ~14 MB, so
+    // AQE coalesces its shuffle output to ~1 partition — and the 49M-row
+    // wedge expansion downstream of it would run single-threaded. An
+    // explicit repartition (which AQE never coalesces) spreads the
+    // EXPANSION, whose volume is invisible to AQE's input-size heuristic.
+    val parts = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // the closing probe joins on ONE packed long, not (a, b): a single
+    // long key gets Spark's dense LongHashedRelation (measured 6x faster
+    // than the two-column UnsafeHashedRelation on the same 49M probes);
+    // 21 bits per endpoint matches the zval budget, keys stay < 2^42
+    val pack = lit(1L << 21)
+    val e3k = e.select((col("a") * pack + col("b")).as("ab"))
+    val tri = e.repartition(parts, col("a")).as("e1")
       .join(broadcast(e.as("e2")), col("e1.b") === col("e2.a"))
-      .select(col("e1.a").as("wa"), col("e2.b").as("wc"))
-      .join(broadcast(e.as("e3")),
-        col("wa") === col("e3.a") && col("wc") === col("e3.b"))
+      .select((col("e1.a") * pack + col("e2.b")).as("ab"))
+      .join(broadcast(e3k), "ab")
       .select(count(lit(1)).as("n_triangles"))
     val out = nEdges.crossJoin(nWedges).crossJoin(tri)
       .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
