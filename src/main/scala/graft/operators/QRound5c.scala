@@ -100,19 +100,22 @@ object QRound5c extends QueryPack {
   /** Edge/wedge/triangle tally + global clustering coefficient over the
     * co-occurrence graph. Scale shape: the classic two-join enumeration —
     * wedges via a single groupBy on vertex degree (no join), triangles by
-    * joining edge(a,b) ⋈ edge(b,c) on the shared middle then probing
-    * edge(a,c); every edge is stored once in canonical a<b order, so each
-    * triangle is counted exactly once and the candidate wedge set is
-    * ¼ of the naive directed version. The edge list (~900k rows / 14 MB at
-    * sf0.1 — vertices × avg-degree/2, NOT the raw table size) is far
-    * smaller than the wedge set it generates (~40M), so BOTH enumeration
-    * joins take an explicit broadcast hint: the wedge stream stays
-    * map-side, is probed against the broadcast edge hash before it ever
-    * hits a shuffle, and the whole count runs shuffle-free after the one
-    * edge-build shuffle. When the edge list outgrows broadcast (billions
-    * of edges), drop the hints — the identical plan degrades to two
-    * sort-merge joins on uniform vertex keys — and orient edges by degree
-    * instead of id to bound the per-middle wedge fan-out. */
+    * joining edge(a,b) ⋈ edge(b,c) on the shared middle then probing the
+    * packed closing-edge key a·2²¹+c; every edge is stored once in
+    * canonical a<b order, so each triangle is counted exactly once. The
+    * edge list (~1.2M rows / 14 MB at sf0.1 — vertices × avg-degree/2,
+    * NOT the raw table size) is far smaller than the ~49M-row wedge
+    * stream it generates, so both enumeration joins broadcast it: the
+    * wedge stream stays map-side and never shuffles. The only exchanges
+    * are the edge build and the explicit repartition that spreads the
+    * expansion across cores (see inline comment — AQE would coalesce it
+    * away). The closing probe packs (a, c) into one long because a
+    * single-long key gets the dense LongHashedRelation (measured 6x
+    * faster than the two-column relation); vertex ids are guarded < 2²¹
+    * at runtime. When the edge list outgrows broadcast (billions of
+    * edges), drop the hints — the identical plan degrades to sort-merge
+    * joins on uniform vertex keys — and orient edges by degree instead
+    * of id to bound the per-middle wedge fan-out. */
   private def graphTriangleCount(s: SparkSession, d: String): DataFrame = {
     // memoized per (session, sfDir): persisting anew on every call would
     // leak one cache entry per call for the session lifetime (the ADVICE
@@ -134,7 +137,14 @@ object QRound5c extends QueryPack {
     // the closing probe joins on ONE packed long, not (a, b): a single
     // long key gets Spark's dense LongHashedRelation (measured 6x faster
     // than the two-column UnsafeHashedRelation on the same 49M probes);
-    // 21 bits per endpoint matches the zval budget, keys stay < 2^42
+    // 21 bits per endpoint matches the zval budget, keys stay < 2^42.
+    // The packing is injective ONLY below 2^21 — beyond it, distinct
+    // wedges would alias to one key and the count silently inflates, so
+    // fail loudly instead (one tiny job over the cached edge list).
+    val maxV = e.agg(max("b")).collect()(0).getLong(0)
+    require(maxV < (1L << 21),
+      s"vertex id $maxV >= 2^21 — packed triangle probe key would alias; " +
+        "widen the packing before running at this scale")
     val pack = lit(1L << 21)
     val e3k = e.select((col("a") * pack + col("b")).as("ab"))
     val tri = e.repartition(parts, col("a")).as("e1")

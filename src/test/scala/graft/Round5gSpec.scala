@@ -21,6 +21,10 @@ class Round5gSpec extends SparkSpec {
     val totals = sources.Tables.t(spark, sf, "events")
       .groupBy("event_type").agg(count(lit(1)).as("n")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // a type whose rows were ALL wrongly deleted would vanish from the
+    // output entirely (kept-side join) — pin the row count first
+    assert(out.count() === totals.size.toLong,
+      "an event_type disappeared from the vacuum report")
     out.collect().foreach { r =>
       val typ = r.getAs[String]("event_type")
       assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_deleted") === totals(typ),

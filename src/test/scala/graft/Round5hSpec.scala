@@ -14,8 +14,11 @@ class Round5hSpec extends SparkSpec {
       expr("variant_get(parse_json(props), '$.k', 'int')").as("k"))
     val viaSchema = ev.select(col("event_id"),
       expr("from_json(props, 'k INT').k").as("k"))
+    // null-safe comparison: a plain =!= is NULL (filtered out) when either
+    // side is NULL — exactly the lenient-vs-strict parse divergence this
+    // gate exists to catch
     val diff = viaVariant.join(viaSchema, "event_id")
-      .filter(viaVariant("k") =!= viaSchema("k")).count()
+      .filter(!(viaVariant("k") <=> viaSchema("k"))).count()
     assert(diff === 0L, "variant_get disagrees with from_json")
     assert(viaVariant.filter(col("k").isNull).count() === 0L,
       "payloads must all carry an int k")
