@@ -59,7 +59,9 @@ class HarnessSpec extends SparkSpec {
     // tolerance-cut as-of window
     "agg_bitmap_distinct", "maint_vacuum_ttl", "join_asof_tolerance",
     // round 5h: variant parse path, pipe-syntax plan, collated grouping
-    "fn_json_variant", "sql_pipe_syntax", "fn_collation_ci")
+    "fn_json_variant", "sql_pipe_syntax", "fn_collation_ci",
+    // round 5i: chunk-fingerprint spread join, scaled-long norm ratios
+    "text_dedup_paragraph", "emb_matryoshka_trunc")
 
   probeKeys.foreach { key =>
     test(s"$key: identical at shuffle.partitions 1 and 32") {
