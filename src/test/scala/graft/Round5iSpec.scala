@@ -37,6 +37,26 @@ class Round5iSpec extends SparkSpec {
     assert(bad === 0L, "chunk count disagrees with ceil(tokens/16)")
   }
 
+  test("cross-key invariants: repetition stats and Markov counts agree with their independent twins") {
+    // 1. text_repetition_stats.n_tokens must equal text_token_count.n_ws
+    //    per doc — two independent spellings of the same tokenization
+    val reps = SparkEntry.queries("text_repetition_stats")(spark, sf)
+      .select("doc_id", "n_tokens").as[(Long, Long)].collect().toMap
+    SparkEntry.queries("text_token_count")(spark, sf)
+      .select("doc_id", "n_ws").as[(Long, Int)].collect()
+      .foreach { case (id, nws) =>
+        assert(reps(id) === nws.toLong, s"token count mismatch for doc $id")
+      }
+    // 2. chp_markov_prob's transition total must equal chp_action_bigrams'
+    //    total count — same per-user lead() chain, independent rollups
+    val markovTotal = SparkEntry.queries("chp_markov_prob")(spark, sf)
+      .agg(sum("cnt")).as[Long].head()
+    val bigramTotal = SparkEntry.queries("chp_action_bigrams")(spark, sf)
+      .agg(sum("n")).as[Long].head()
+    assert(markovTotal === bigramTotal,
+      "Markov grid and action bigrams disagree on the transition count")
+  }
+
   test("emb_matryoshka_trunc: retention bounded in (0,1]; full-prefix is 1") {
     val out = SparkEntry.queries("emb_matryoshka_trunc")(spark, sf).collect()
     assert(out.nonEmpty)
