@@ -61,8 +61,19 @@ object QRound5e extends QueryPack {
     graft.plans.CosineSim.register(s)
     graft.functions.VecCentroid.register(s)
     val e = QSim.embPersisted(s, d)
-    val joined = (0 until pqSubspaces).map(pqAssign(e, _))
-      .reduce(_.join(_, "vec_id"))
+    e.count() // materialize the shared cache before the parallel fits race to build it
+    // the four subspace codebooks are independent: train them as four
+    // CONCURRENT Spark job chains (Lloyd iterations materialize model
+    // state driver-side, so sequential training leaves the cluster idle
+    // between collects — measured ~2x on the bench for this key)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val subs = Await.result(
+      Future.sequence((0 until pqSubspaces).toList.map(sub =>
+        Future(pqAssign(e, sub)))),
+      Duration.Inf)
+    val joined = subs.reduce(_.join(_, "vec_id"))
     joined
       .select(col("vec_id"),
         (col("c0") + col("c1") * pqK + col("c2") * (pqK * pqK)
