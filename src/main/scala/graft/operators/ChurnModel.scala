@@ -74,17 +74,29 @@ object ChurnModel {
       .setLabelCol("label").setRawPredictionCol("rawPrediction")
       .setMetricName("areaUnderROC")
     def t4(x: Double): Double = math.floor(x * 1e4) / 1e4
-    val rows = Seq(1e-3, 1e-2, 1e-1).map { reg =>
-      val lr = new LogisticRegression()
-        .setFeaturesCol("fv").setLabelCol("label")
-        .setMaxIter(15).setTol(1e-8)
-        .setRegParam(reg).setElasticNetParam(0.0)
-        .setStandardization(true).setFamily("binomial")
-      val model = lr.fit(train)
-      val auc = ev.evaluate(model.transform(test))
-      val l2 = math.sqrt(model.coefficients.toArray.map(w => w * w).sum)
-      (reg, t4(auc), t4(l2))
-    }
+    // materialize the shared folds once, then fit the three grid points
+    // CONCURRENTLY: each L-BFGS iteration is one treeAggregate job that
+    // leaves the cluster idle while the driver updates its tiny state —
+    // independent fits interleave those jobs (the same pattern as the
+    // parallel PQ codebooks). Results are keyed by reg, so completion
+    // order cannot reorder the output.
+    train.count(); test.count()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val rows = Await.result(
+      Future.sequence(Seq(1e-3, 1e-2, 1e-1).map { reg => Future {
+        val lr = new LogisticRegression()
+          .setFeaturesCol("fv").setLabelCol("label")
+          .setMaxIter(15).setTol(1e-8)
+          .setRegParam(reg).setElasticNetParam(0.0)
+          .setStandardization(true).setFamily("binomial")
+        val model = lr.fit(train)
+        val auc = ev.evaluate(model.transform(test))
+        val l2 = math.sqrt(model.coefficients.toArray.map(w => w * w).sum)
+        (reg, t4(auc), t4(l2))
+      }}),
+      Duration.Inf)
     train.unpersist(); test.unpersist()
     import s.implicits._
     rows.toDF("reg_param", "auc", "coef_l2")
