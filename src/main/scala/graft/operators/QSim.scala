@@ -56,7 +56,9 @@ object QSim extends QueryPack {
 
   // ---- brute-force cosine top-k (the exact baseline) ----
 
-  private def simCosineTopk(s: SparkSession, d: String): DataFrame = {
+  /** Exposed to QRound7's `sim_ann_ivfpq`, whose recall column is computed
+    * against this exact baseline (the `sim_ann_recall` pattern). */
+  private[operators] def simCosineTopk(s: SparkSession, d: String): DataFrame = {
     graft.plans.CosineSim.register(s)
     val q = embD(s, d).filter(col("vec_id") < 20)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
@@ -71,7 +73,7 @@ object QSim extends QueryPack {
       .orderBy("qid", "rnk")
   }
 
-  private val oSimCosineTopk =
+  private[operators] val oSimCosineTopk =
     s"""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
        |           FROM embeddings WHERE vec_id < 20),
        |  c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
