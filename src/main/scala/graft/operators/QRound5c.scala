@@ -105,17 +105,23 @@ object QRound5c extends QueryPack {
     * canonical a<b order, so each triangle is counted exactly once. The
     * edge list (~1.2M rows / 14 MB at sf0.1 — vertices × avg-degree/2,
     * NOT the raw table size) is far smaller than the ~49M-row wedge
-    * stream it generates, so both enumeration joins broadcast it: the
-    * wedge stream stays map-side and never shuffles. The only exchanges
-    * are the edge build and the explicit repartition that spreads the
-    * expansion across cores (see inline comment — AQE would coalesce it
-    * away). The closing probe packs (a, c) into one long because a
-    * single-long key gets the dense LongHashedRelation (measured 6x
-    * faster than the two-column relation); vertex ids are guarded < 2²¹
-    * at runtime. When the edge list outgrows broadcast (billions of
-    * edges), drop the hints — the identical plan degrades to sort-merge
-    * joins on uniform vertex keys — and orient edges by degree instead
-    * of id to bound the per-middle wedge fan-out. */
+    * stream it generates, so while it fits the broadcast budget both
+    * enumeration joins broadcast it and the wedge stream stays map-side,
+    * never shuffling; the only exchanges are the edge build and the
+    * explicit repartition that spreads the expansion across cores (see
+    * inline comment — AQE would coalesce it away). The broadcast is
+    * SIZE-CONDITIONAL: past `graft.triangle.broadcastMaxEdges` (default
+    * 8M edges ≈ 256 MB serialized — comfortably under Spark's 8 GB
+    * broadcast hard cap and big-executor memory, but a real ceiling: an
+    * O(E) broadcast cannot grow with a 100× corpus) the identical
+    * dataflow degrades to sort-merge joins on uniform keys instead of
+    * dying at the driver. The closing probe packs (a, c) into one long
+    * because a single-long key gets the dense LongHashedRelation
+    * (measured 6x faster than the two-column relation) and halves the
+    * fallback shuffle's key width; 31 bits per endpoint (keys < 2⁶²),
+    * vertex ids guarded < 2³¹ at runtime. At billions of edges, also
+    * orient edges by degree instead of id to bound the per-middle wedge
+    * fan-out. */
   private def graphTriangleCount(s: SparkSession, d: String): DataFrame = {
     // memoized per (session, sfDir): persisting anew on every call would
     // leak one cache entry per call for the session lifetime (the ADVICE
@@ -136,22 +142,35 @@ object QRound5c extends QueryPack {
     val parts = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
     // the closing probe joins on ONE packed long, not (a, b): a single
     // long key gets Spark's dense LongHashedRelation (measured 6x faster
-    // than the two-column UnsafeHashedRelation on the same 49M probes);
-    // 21 bits per endpoint matches the zval budget, keys stay < 2^42.
-    // The packing is injective ONLY below 2^21 — beyond it, distinct
+    // than the two-column UnsafeHashedRelation on the same 49M probes).
+    // The packing is injective ONLY below 2^31 — beyond it, distinct
     // wedges would alias to one key and the count silently inflates, so
-    // fail loudly instead (one tiny job over the cached edge list).
-    val maxV = e.agg(max("b")).collect()(0).getLong(0)
-    require(maxV < (1L << 21),
-      s"vertex id $maxV >= 2^21 — packed triangle probe key would alias; " +
+    // fail loudly instead. One tiny job over the cached edge list yields
+    // both the guard bound and the edge count that decides broadcast.
+    val stats = e.agg(max("b").as("max_v"), count(lit(1)).as("cnt")).collect()(0)
+    val maxV = stats.getLong(0)
+    val edgeCnt = stats.getLong(1)
+    require(maxV < (1L << 31),
+      s"vertex id $maxV >= 2^31 — packed triangle probe key would alias; " +
         "widen the packing before running at this scale")
-    val pack = lit(1L << 21)
+    val pack = lit(1L << 31)
     val e3k = e.select((col("a") * pack + col("b")).as("ab"))
-    val tri = e.repartition(parts, col("a")).as("e1")
-      .join(broadcast(e.as("e2")), col("e1.b") === col("e2.a"))
-      .select((col("e1.a") * pack + col("e2.b")).as("ab"))
-      .join(broadcast(e3k), "ab")
-      .select(count(lit(1)).as("n_triangles"))
+    val maxBcEdges =
+      s.conf.get("graft.triangle.broadcastMaxEdges", "8000000").toLong
+    val tri = (if (edgeCnt <= maxBcEdges) {
+      // broadcast path: wedge stream never shuffles
+      e.repartition(parts, col("a")).as("e1")
+        .join(broadcast(e.as("e2")), col("e1.b") === col("e2.a"))
+        .select((col("e1.a") * pack + col("e2.b")).as("ab"))
+        .join(broadcast(e3k), "ab")
+    } else {
+      // degrade path: same dataflow, sort-merge joins on uniform keys
+      // (middle vertex, then the packed closing edge) — O(E + wedges)
+      // shuffle volume instead of an O(E) driver/executor broadcast
+      e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
+        .select((col("e1.a") * pack + col("e2.b")).as("ab"))
+        .join(e3k, "ab")
+    }).select(count(lit(1)).as("n_triangles"))
     val out = nEdges.crossJoin(nWedges).crossJoin(tri)
       .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
         trunc4(col("n_triangles") * 3.0 / col("n_wedges")).as("global_cc"))

@@ -166,6 +166,39 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"wedge stream got shuffled in:\n$p")
   }
 
+  test("triangle count: survives past the broadcast ceiling (shuffle-join degrade)") {
+    // VERDICT r5/r6: an unconditional O(E) broadcast dies at a 100x corpus
+    // instead of degrading. Force the ceiling to 0 edges and broadcast off
+    // (plan-level AND AQE-level thresholds): the identical dataflow must
+    // re-plan as sort-merge joins and produce the identical result.
+    val confs = Seq("graft.triangle.broadcastMaxEdges",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = confs.map(k => k -> spark.conf.getOption(k))
+    val expected = SparkEntry.queries("graph_triangle_count")(spark, sf)
+      .collect().toSeq
+    try {
+      spark.conf.set("graft.triangle.broadcastMaxEdges", "0")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val df = SparkEntry.queries("graph_triangle_count")(spark, sf)
+      assert(df.collect().toSeq === expected,
+        "degrade path disagrees with the broadcast path")
+      // both enumeration joins (wedge middle + packed closing probe) must
+      // re-plan as sort-merge. NOTE the plan string also embeds the cached
+      // edge BUILD's InMemoryRelation subtree, frozen from when the memo
+      // materialized it under default confs — so asserting zero
+      // BroadcastHashJoin anywhere would false-fail on that frozen
+      // subtree; two SMJs proves the enumeration itself degraded.
+      val p = df.queryExecution.executedPlan.toString
+      assert("SortMergeJoin".r.findAllIn(p).size >= 2,
+        s"enumeration joins did not degrade to sort-merge in:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("no unpartitioned window anywhere in the declared inventory") {
     // VERDICT r4: an unpartitioned Window (e.g. a global ntile) funnels
     // EVERY input row through one task — the one plan shape that cannot
