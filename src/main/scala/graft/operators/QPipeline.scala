@@ -174,6 +174,12 @@ object QPipeline extends QueryPack {
     val hist = scored.groupBy("score").agg(count(lit(1)).as("c"))
       .collect().map(r => (r.getDouble(0), r.getLong(1)))
       .sortBy(-_._1) // score desc — the ntile ordering
+    // the driver-side collect is sound ONLY because the trunc4-clamped
+    // score domain bounds the histogram at 200,001 rows; fail loudly if a
+    // future score domain breaks that invariant instead of OOMing silently
+    require(hist.length <= 200001,
+      s"score histogram has ${hist.length} rows > 200001 — the decile " +
+        "collect assumes a trunc4-clamped score domain; re-bound the domain")
     val n = hist.map(_._2).sum
     val cumBefore = hist.map(_._2).scanLeft(0L)(_ + _).init
     val lookup = hist.map(_._1).zip(cumBefore).toSeq

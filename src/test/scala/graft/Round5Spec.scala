@@ -96,6 +96,20 @@ class Round5Spec extends SparkSpec {
     }
   }
 
+  test("withDecile: an unbounded score domain fails loudly, not OOM") {
+    // the driver-side histogram collect is sound only under the trunc4
+    // clamp (<= 200,001 distinct scores); a wider domain must throw
+    import spark.implicits._
+    val wide = spark.range(0, 200002)
+      .select(col("id").as("user_id"), lit(0L).as("n_purchases"),
+        lit(0.0).as("total_value"),
+        (col("id") / lit(10.0)).as("score")) // 200,002 distinct scores
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.QPipeline.withDecile(spark, wide).count()
+    }
+    assert(ex.getMessage.contains("200001"))
+  }
+
   test("pagerank: planted star concentrates rank on the hub") {
     // hub 0 connected to 1..5; an outlier pair (10, 11). The hub must
     // out-rank every spoke, spokes tie, and the isolated pair ties below
