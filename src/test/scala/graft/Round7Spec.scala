@@ -48,6 +48,96 @@ class Round7Spec extends SparkSpec {
     }
   }
 
+  test("text_dedup_substring: a planted passage at a NON-aligned offset is found with exact span accounting") {
+    // the aligned-chunk key (text_dedup_paragraph) CANNOT pass this: a
+    // passage starting at token 3 in one doc and token 5 in the other
+    // shares zero aligned 16-token chunks but every interior stride-1
+    // shingle. 20-token passage => stride-1 shingle starts span 5
+    // positions => one merged maximal span of exactly 20 tokens.
+    val passage = (1 to 20).map(i => s"shared$i").mkString(" ")
+    val fillA = (1 to 3).map(i => s"fa$i").mkString(" ")
+    val tailA = (1 to 18).map(i => s"ta$i").mkString(" ")
+    val fillB = (1 to 5).map(i => s"fb$i").mkString(" ")
+    val tailB = (1 to 18).map(i => s"tb$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$fillA $passage $tailA"),
+      (2L, s"$fillB $passage $tailB"))
+      .toDF("doc_id", "text")
+    val spans = operators.QRound7.substringSpans(docs).collect()
+    assert(spans.length === 1, s"expected exactly one span, got ${spans.toSeq}")
+    val r = spans(0)
+    assert(r.getAs[Long]("a_id") === 1L && r.getAs[Long]("b_id") === 2L)
+    assert(r.getAs[Int]("a_start") === 3, s"a_start ${r.getAs[Int]("a_start")}")
+    assert(r.getAs[Int]("b_start") === 5, s"b_start ${r.getAs[Int]("b_start")}")
+    assert(r.getAs[Long]("span_tokens") === 20L,
+      s"span_tokens ${r.getAs[Long]("span_tokens")}")
+  }
+
+  test("text_dedup_substring: two disjoint shared regions yield two maximal spans, not one") {
+    // island merging must NOT bridge a gap: two shared 16-token regions
+    // separated by unshared text are two spans with exact lengths
+    val p1 = (1 to 16).map(i => s"one$i").mkString(" ")
+    val p2 = (1 to 17).map(i => s"two$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$p1 ax1 ax2 ax3 $p2"),
+      (2L, s"bz1 $p1 bz2 bz3 bz4 bz5 $p2 bz6"))
+      .toDF("doc_id", "text")
+    val spans = operators.QRound7.substringSpans(docs)
+      .collect().map(r => (r.getAs[Int]("a_start"), r.getAs[Int]("b_start"),
+        r.getAs[Long]("span_tokens"))).sortBy(_._1)
+    // doc2 layout: bz1 | p1 @ 1..16 | bz2..bz5 @ 17..20 | p2 @ 21..37 | bz6
+    assert(spans.toSeq === Seq((0, 1, 16L), (19, 21, 17L)),
+      s"got ${spans.toSeq}")
+  }
+
+  test("greedy vocab tokenizer: longest-match semantics, determinism, coverage") {
+    val enc = operators.QRound7.greedyTokens(Seq("order", "err", "key", "a"))
+    // longest-match wins: "orderkey" = [order][key] = 2, never
+    // [o][r][d][err]... ; out-of-vocab chars consume 1 each
+    assert(enc("orderkey") === 2L)
+    assert(enc("order") === 1L)
+    assert(enc("xyz") === 3L)          // all char fallbacks
+    assert(enc("aorder") === 2L)       // [a][order]
+    assert(enc("errand") === 4L)       // [err][a][n][d]
+    assert(enc("") === 0L)
+    // determinism: identical input, identical count, every time
+    val w = "orderkeyxerrband"
+    assert((1 to 50).map(_ => enc(w)).distinct.size === 1)
+    // coverage: token count is bounded by [ceil(len/maxvocablen), len]
+    for (word <- Seq("orderkey", "errand", "zzzz", "aaaa", "keykeykey")) {
+      val n = enc(word)
+      assert(n >= math.ceil(word.length / 5.0).toLong && n <= word.length,
+        s"token count $n out of bounds for '$word'")
+    }
+  }
+
+  test("text_vocab_tokenize: profile is consistent with a driver-side re-encode") {
+    val out = SparkEntry.queries("text_vocab_tokenize")(spark, sf)
+      .collect().map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("n_vocab_hits"))).toSeq
+    // recompute the whole profile driver-side from raw text
+    val docs = sources.Tables.t(spark, sf, "documents")
+      .select("lang", "text").as[(String, String)].collect()
+    val allWords = docs.flatMap { case (l, t) =>
+      t.split(" ").filter(_.nonEmpty).map(w => (l, w))
+    }
+    val vocab = allWords.map(_._2).groupBy(identity).view.mapValues(_.size)
+      .toSeq.sortBy { case (w, c) => (-c, w) }.take(16).map(_._1)
+    val enc = operators.QRound7.greedyTokens(vocab)
+    val vset = vocab.toSet
+    val exp = allWords.groupBy(_._1).view.mapValues { ws =>
+      (ws.length.toLong, ws.map(w => enc(w._2)).sum,
+        ws.count(w => vset.contains(w._2)).toLong)
+    }.toMap
+    out.foreach { case (lang, nw, nt, nh) =>
+      val (ew, et, eh) = exp(lang)
+      assert((nw, nt, nh) === ((ew, et, eh)), s"profile mismatch for $lang")
+    }
+    // tokenization must actually be sub-word here: fertility > 1
+    assert(out.forall { case (_, nw, nt, _) => nt > nw },
+      "fertility <= 1 — vocab too large for the corpus, encode is trivial")
+  }
+
   test("IVF-PQ: recall column agrees with a driver-side exact recompute") {
     // on the real sf tables: recompute exact top-10 driver-side and check
     // the engine's self-reported recall@10 equals the true overlap
