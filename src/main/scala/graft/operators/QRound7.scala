@@ -292,15 +292,7 @@ object QRound7 extends QueryPack {
     val words = t(s, d, "documents")
       .select(col("lang"), explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
-    val vocab = words.groupBy("w").agg(count(lit(1)).as("c"))
-      .orderBy(col("c").desc, col("w")).limit(vocabK)
-      .select("w").collect().map(_.getString(0)).toSeq
-    val enc = udf(greedyTokens(vocab))
-    val dw = words.select("w").distinct()
-      .withColumn("nt", enc(col("w")))
-      .withColumn("inv",
-        when(col("w").isInCollection(vocab), lit(1L)).otherwise(lit(0L)))
-    words.join(dw, "w")
+    words.join(distinctWordTokens(words), "w")
       .groupBy("lang")
       .agg(count(lit(1)).as("n_words"),
         sum("nt").as("n_tokens"),
@@ -334,6 +326,80 @@ object QRound7 extends QueryPack {
        |  CAST(sum(inv) AS BIGINT) AS n_vocab_hits,
        |  ${oTrunc4("CAST(sum(n) AS DOUBLE)/count(*)")} AS fertility
        |FROM words JOIN wt2 USING (w) GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Shared per-word greedy-encode table: the corpus-derived vocab plus
+    * token counts for every DISTINCT word (vocabulary-sized, not
+    * corpus-sized). */
+  private def distinctWordTokens(words: DataFrame): DataFrame = {
+    val vocab = words.groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(vocabK)
+      .select("w").collect().map(_.getString(0)).toSeq
+    val enc = udf(greedyTokens(vocab))
+    words.select("w").distinct()
+      .withColumn("nt", enc(col("w")))
+      .withColumn("inv",
+        when(col("w").isInCollection(vocab), lit(1L)).otherwise(lit(0L)))
+  }
+
+  /** Sequence packing by REAL token budget (VERDICT r5 ask #7's second
+    * half): `text_pack_sequences` packs by whitespace token counts, but a
+    * training pipeline budgets sequences in TOKENIZER tokens — the same
+    * greedy vocab encode as `text_vocab_tokenize` prices every document,
+    * then documents pack greedily into 1024-token bins per language (the
+    * identical cumulative-sum spelling, so the two packing keys differ
+    * ONLY in the cost model). Scale shape: per-distinct-word encode +
+    * uniform word-key join-back + one per-language window — no new
+    * shuffle class over the whitespace variant. */
+  private def textPackTokens(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = t(s, d, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val docToks = words.join(distinctWordTokens(words), "w")
+      .groupBy("doc_id", "lang")
+      .agg(sum("nt").as("n_toks"))
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docToks
+      .withColumn("cum_before", coalesce(sum(col("n_toks")).over(w), lit(0L)))
+      .withColumn("bin", expr("cum_before div 1024"))
+      .groupBy("lang", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("bin_toks"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy("lang", "bin")
+  }
+
+  private val oTextPackTokens =
+    s"""WITH RECURSIVE
+       |w0 AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents),
+       |words AS (SELECT doc_id, lang, w FROM w0 WHERE w <> ''),
+       |vocab AS (SELECT w FROM (
+       |  SELECT w, count(*) AS c FROM words GROUP BY 1
+       |  ORDER BY c DESC, w LIMIT $vocabK)),
+       |dw AS (SELECT DISTINCT w FROM words),
+       |enc AS (
+       |  SELECT w, 1 AS pos, 0 AS n FROM dw
+       |  UNION ALL
+       |  SELECT e.w,
+       |    e.pos + coalesce((SELECT max(length(v.w)) FROM vocab v
+       |      WHERE v.w = substr(e.w, e.pos, length(v.w))), 1),
+       |    e.n + 1
+       |  FROM enc e WHERE e.pos <= length(e.w)
+       |),
+       |wt AS (SELECT w, n FROM enc WHERE pos = length(w) + 1),
+       |dt AS (SELECT doc_id, lang, CAST(sum(n) AS BIGINT) AS n_toks
+       |       FROM words JOIN wt USING (w) GROUP BY doc_id, lang),
+       |c AS (SELECT doc_id, lang, n_toks,
+       |  coalesce(sum(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |  FROM dt),
+       |b AS (SELECT doc_id, lang, n_toks,
+       |  CAST(cum_before // 1024 AS BIGINT) AS bin FROM c)
+       |SELECT lang, bin, count(*) AS n_docs,
+       |  CAST(sum(n_toks) AS BIGINT) AS bin_toks,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM b GROUP BY lang, bin ORDER BY lang, bin""".stripMargin
 
   // ---- Avro source surface ----
 
@@ -374,11 +440,13 @@ object QRound7 extends QueryPack {
     "sim_ann_ivfpq"        -> simAnnIvfpq _,
     "text_dedup_substring" -> textDedupSubstring _,
     "text_vocab_tokenize"  -> textVocabTokenize _,
+    "text_pack_tokens"     -> textPackTokens _,
     "scan_avro_roundtrip"  -> scanAvroRoundtrip _)
 
   val oracles: Map[String, String] = Map(
     "sim_ann_ivfpq"        -> oSimAnnIvfpq,
     "text_dedup_substring" -> oTextDedupSubstring,
     "text_vocab_tokenize"  -> oTextVocabTokenize,
+    "text_pack_tokens"     -> oTextPackTokens,
     "scan_avro_roundtrip"  -> oScanAvroRoundtrip)
 }

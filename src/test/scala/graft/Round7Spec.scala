@@ -138,6 +138,28 @@ class Round7Spec extends SparkSpec {
       "fertility <= 1 — vocab too large for the corpus, encode is trivial")
   }
 
+  test("text_pack_tokens: bins conserve the tokenizer's totals and respect the budget") {
+    // cross-key invariant: per-language sum of bin_toks must equal
+    // text_vocab_tokenize's n_tokens (two independent rollups of the same
+    // per-word encode), and every non-final bin must have started below
+    // the 1024 budget (greedy packing bins overflow by < one doc)
+    val packed = SparkEntry.queries("text_pack_tokens")(spark, sf)
+      .select("lang", "bin", "bin_toks", "n_docs")
+      .as[(String, Long, Long, Long)].collect()
+    val totals = packed.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    SparkEntry.queries("text_vocab_tokenize")(spark, sf)
+      .select("lang", "n_tokens").as[(String, Long)].collect()
+      .foreach { case (lang, nt) =>
+        assert(totals(lang) === nt, s"token totals diverge for $lang")
+      }
+    // bins are dense consecutive integers from 0 per language
+    packed.groupBy(_._1).foreach { case (lang, rows) =>
+      val bins = rows.map(_._2).sorted
+      assert(bins.toSeq === (0L until bins.length).toSeq,
+        s"bins not dense for $lang: ${bins.toSeq}")
+    }
+  }
+
   test("IVF-PQ: recall column agrees with a driver-side exact recompute") {
     // on the real sf tables: recompute exact top-10 driver-side and check
     // the engine's self-reported recall@10 equals the true overlap
