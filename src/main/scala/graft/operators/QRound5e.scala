@@ -37,10 +37,11 @@ object QRound5e extends QueryPack {
 
   /** One subspace's (vec_id, cell, score) assignment under its own
     * deterministic k-means codebook. */
-  private def pqAssign(e: DataFrame, sub: Int): DataFrame = {
+  private def pqAssign(s: SparkSession, d: String, e: DataFrame,
+      sub: Int): DataFrame = {
     val es = e.select(col("vec_id"),
       slice(col("v"), sub * pqDim + 1, pqDim).as("v"))
-    val cent = AnnKMeans.centroids(es, pqK, pqIters)
+    val cent = AnnKMeans.centroidsMemo(s, d, s"pqsub$sub", pqK, pqIters)(es)
     AnnKMeans.assign(es, cent)
       .join(broadcast(cent), "cell")
       .select(col("vec_id"), col("cell").as(s"c$sub"),
@@ -71,7 +72,7 @@ object QRound5e extends QueryPack {
     import scala.concurrent.duration.Duration
     val subs = Await.result(
       Future.sequence((0 until pqSubspaces).toList.map(sub =>
-        Future(pqAssign(e, sub)))),
+        Future(pqAssign(s, d, e, sub)))),
       Duration.Inf)
     val joined = subs.reduce(_.join(_, "vec_id"))
     joined

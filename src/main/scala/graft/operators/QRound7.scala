@@ -63,12 +63,15 @@ object QRound7 extends QueryPack {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
-    val coarseF = Future(AnnKMeans.centroids(e, cCells, cIters))
+    // memoized fits: the coarse cells are the same model sim_ann_kmeans /
+    // sim_knn_join train, each subspace codebook the same emb_pq_codebook
+    // trains — whichever key runs first pays, the rest reuse
+    val coarseF = Future(AnnKMeans.centroidsMemo(s, d, "emb", cCells, cIters)(e))
     val subsF = (0 until pqSub).toList.map { sub =>
       Future {
         val es = e.select(col("vec_id"),
           slice(col("v"), sub * pqDim + 1, pqDim).as("v"))
-        val cent = AnnKMeans.centroids(es, pqK, pqIters)
+        val cent = AnnKMeans.centroidsMemo(s, d, s"pqsub$sub", pqK, pqIters)(es)
         AnnKMeans.assign(es, cent)
           .join(broadcast(cent), "cell")
           .select(col("vec_id"), col("cv").as(s"cv$sub"))

@@ -136,7 +136,7 @@ object QSim extends QueryPack {
     // each Lloyd iteration + both probe branches re-scan e — session-shared
     // persisted instance (see embPersisted)
     val e = embPersisted(s, d)
-    val cent = AnnKMeans.centroids(e, dedupCells, dedupIters)
+    val cent = AnnKMeans.centroidsMemo(s, d, "emb", dedupCells, dedupIters)(e)
     val probes = AnnKMeans.assignProbes(e, cent, dedupProbes)
     val a = probes.select(col("vec_id").as("a_id"), col("v").as("a_v"), col("cell"))
     val b = probes.select(col("vec_id").as("b_id"), col("v").as("b_v"), col("cell"))
@@ -234,7 +234,7 @@ object QSim extends QueryPack {
     // persisted across the Lloyd iterations + final assignment —
     // session-shared instance (see embPersisted)
     val e = embPersisted(s, d)
-    val cent = AnnKMeans.centroids(e, kmCells, kmIters)
+    val cent = AnnKMeans.centroidsMemo(s, d, "emb", kmCells, kmIters)(e)
     val assigned = AnnKMeans.assign(e, cent)
     val q = e.filter(col("vec_id") < 20)
     val routed = AnnKMeans.assignProbes(q, cent, kmProbes)
@@ -306,7 +306,7 @@ object QSim extends QueryPack {
     graft.plans.CosineSim.register(s)
     graft.functions.VecCentroid.register(s)
     val e = embPersisted(s, d)
-    val cent = AnnKMeans.centroids(e, kmCells, kmIters)
+    val cent = AnnKMeans.centroidsMemo(s, d, "emb", kmCells, kmIters)(e)
     val assigned = AnnKMeans.assign(e, cent)
     val a = assigned.select(col("cell"), col("vec_id"), col("v"))
     val b = assigned.select(col("cell"), col("vec_id").as("nbr_id"),
