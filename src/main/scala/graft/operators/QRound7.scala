@@ -196,8 +196,10 @@ object QRound7 extends QueryPack {
     * docs explode the pair join) — the same guard the LSH band join uses;
     * this corpus's max fingerprint frequency is single-digit so the cap
     * is not wired into the contract semantics here. */
-  private[graft] def substringSpans(docs: DataFrame): DataFrame = {
-    val sh = docs
+  /** Stride-1 16-token shingle table (doc_id, pos, h) — shared by the
+    * span miner and the per-doc duplication summary. */
+  private def shingleTable(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
       .filter(size(col("tk")) >= ssW)
       .select(col("doc_id"), expr(
@@ -205,10 +207,16 @@ object QRound7 extends QueryPack {
           s"i -> struct(i AS pos, md5(array_join(slice(tk, i + 1, $ssW), ' ')) AS h)))")
         .as("sh"))
       .select(col("doc_id"), col("sh.pos").as("pos"), col("sh.h").as("h"))
-    val m = sh.select(col("doc_id").as("a_id"), col("pos").as("pa"), col("h"))
+
+  /** Cross-document shingle matches (a_id < b_id) with position pair. */
+  private def shingleMatches(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id").as("a_id"), col("pos").as("pa"), col("h"))
       .join(sh.select(col("doc_id").as("b_id"), col("pos").as("pb"), col("h")),
         "h")
       .filter(col("a_id") < col("b_id"))
+
+  private[graft] def substringSpans(docs: DataFrame): DataFrame = {
+    val m = shingleMatches(shingleTable(docs))
       .select(col("a_id"), col("b_id"), col("pa"), col("pb"),
         (col("pa") - col("pb")).as("d"))
     val w = org.apache.spark.sql.expressions.Window
@@ -225,6 +233,49 @@ object QRound7 extends QueryPack {
 
   private def textDedupSubstring(s: SparkSession, d: String): DataFrame =
     substringSpans(t(s, d, "documents"))
+
+  /** Per-document shift-tolerant duplication audit — the actionable
+    * curation signal on top of the span miner: for every document (with
+    * ≥ 16 tokens), how many of its stride-1 shingles also appear in ANY
+    * other document, and the duplicated fraction. This is the number a
+    * corpus-cleaning pass thresholds on (Gopher-style near-dup document
+    * removal), where `text_dedup_substring` tells you WHERE the overlap
+    * sits. Scale shape: same md5 equi-join as the span miner, then one
+    * distinct + count per doc — all uniform keys, no window at all. */
+  private def dedupSubstringSummary(s: SparkSession, d: String): DataFrame = {
+    val sh = shingleTable(t(s, d, "documents"))
+    val m = shingleMatches(sh)
+    val dup = m.select(col("a_id").as("doc_id"), col("pa").as("pos"))
+      .unionAll(m.select(col("b_id").as("doc_id"), col("pb").as("pos")))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_shingles"))
+    sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+      .join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_dup_shingles"), lit(0L)).as("n_dup_shingles"))
+      .withColumn("dup_frac",
+        trunc4(col("n_dup_shingles").cast(DoubleType) / col("n_shingles")))
+      .orderBy("doc_id")
+  }
+
+  private val oDedupSubstringSummary =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |sh AS (SELECT doc_id, CAST(i AS INT) AS pos,
+       |    md5(array_to_string(tk[i+1:i+$ssW], ' ')) AS h
+       |  FROM toks, LATERAL (SELECT unnest(generate_series(0, len(tk)-$ssW)) AS i)),
+       |m AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.pos AS pa, b.pos AS pb
+       |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id),
+       |dup AS (SELECT doc_id, count(*) AS n_dup_shingles FROM (
+       |  SELECT DISTINCT doc_id, pos FROM (
+       |    SELECT a_id AS doc_id, pa AS pos FROM m
+       |    UNION ALL SELECT b_id AS doc_id, pb AS pos FROM m))
+       |  GROUP BY doc_id),
+       |ns AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id)
+       |SELECT ns.doc_id, ns.n_shingles,
+       |  coalesce(dup.n_dup_shingles, 0) AS n_dup_shingles,
+       |  ${oTrunc4("CAST(coalesce(dup.n_dup_shingles, 0) AS DOUBLE) / ns.n_shingles")} AS dup_frac
+       |FROM ns LEFT JOIN dup ON dup.doc_id = ns.doc_id
+       |ORDER BY ns.doc_id""".stripMargin
 
   private val oTextDedupSubstring =
     s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
@@ -440,16 +491,18 @@ object QRound7 extends QueryPack {
        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
   val queries: Map[String, QFn] = Map(
-    "sim_ann_ivfpq"        -> simAnnIvfpq _,
-    "text_dedup_substring" -> textDedupSubstring _,
-    "text_vocab_tokenize"  -> textVocabTokenize _,
-    "text_pack_tokens"     -> textPackTokens _,
-    "scan_avro_roundtrip"  -> scanAvroRoundtrip _)
+    "sim_ann_ivfpq"           -> simAnnIvfpq _,
+    "text_dedup_substring"    -> textDedupSubstring _,
+    "dedup_substring_summary" -> dedupSubstringSummary _,
+    "text_vocab_tokenize"     -> textVocabTokenize _,
+    "text_pack_tokens"        -> textPackTokens _,
+    "scan_avro_roundtrip"     -> scanAvroRoundtrip _)
 
   val oracles: Map[String, String] = Map(
-    "sim_ann_ivfpq"        -> oSimAnnIvfpq,
-    "text_dedup_substring" -> oTextDedupSubstring,
-    "text_vocab_tokenize"  -> oTextVocabTokenize,
-    "text_pack_tokens"     -> oTextPackTokens,
-    "scan_avro_roundtrip"  -> oScanAvroRoundtrip)
+    "sim_ann_ivfpq"           -> oSimAnnIvfpq,
+    "text_dedup_substring"    -> oTextDedupSubstring,
+    "dedup_substring_summary" -> oDedupSubstringSummary,
+    "text_vocab_tokenize"     -> oTextVocabTokenize,
+    "text_pack_tokens"        -> oTextPackTokens,
+    "scan_avro_roundtrip"     -> oScanAvroRoundtrip)
 }
