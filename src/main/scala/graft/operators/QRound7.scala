@@ -490,13 +490,39 @@ object QRound7 extends QueryPack {
        |  min(o_orderpriority) AS first_prio
        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** XML source surface: write `nation` out as an XML document tree, read
+    * it back with an EXPLICIT schema (inference is an extra full pass —
+    * never infer in production), aggregate; the oracle aggregates the
+    * original parquet. XML joins CSV/JSON/ORC/Avro/text as the sixth
+    * interchange surface — the one still common at enterprise ingest
+    * boundaries. */
+  private def scanXmlRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = QRound3.staged(s, d, "xml") { dir =>
+      t(s, d, "nation").write.mode("overwrite")
+        .option("rowTag", "nation").format("xml").save(dir)
+    }
+    s.read
+      .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+      .option("rowTag", "nation").format("xml").load(dir)
+      .groupBy("n_regionkey")
+      .agg(count(lit(1)).as("n"), min(col("n_name")).as("first_name"),
+        max(col("n_nationkey")).as("max_key"))
+      .orderBy("n_regionkey")
+  }
+
+  private val oScanXmlRoundtrip =
+    """SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name,
+      |  CAST(max(n_nationkey) AS INT) AS max_key
+      |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "sim_ann_ivfpq"           -> simAnnIvfpq _,
     "text_dedup_substring"    -> textDedupSubstring _,
     "dedup_substring_summary" -> dedupSubstringSummary _,
     "text_vocab_tokenize"     -> textVocabTokenize _,
     "text_pack_tokens"        -> textPackTokens _,
-    "scan_avro_roundtrip"     -> scanAvroRoundtrip _)
+    "scan_avro_roundtrip"     -> scanAvroRoundtrip _,
+    "scan_xml_roundtrip"      -> scanXmlRoundtrip _)
 
   val oracles: Map[String, String] = Map(
     "sim_ann_ivfpq"           -> oSimAnnIvfpq,
@@ -504,5 +530,6 @@ object QRound7 extends QueryPack {
     "dedup_substring_summary" -> oDedupSubstringSummary,
     "text_vocab_tokenize"     -> oTextVocabTokenize,
     "text_pack_tokens"        -> oTextPackTokens,
-    "scan_avro_roundtrip"     -> oScanAvroRoundtrip)
+    "scan_avro_roundtrip"     -> oScanAvroRoundtrip,
+    "scan_xml_roundtrip"      -> oScanXmlRoundtrip)
 }

@@ -199,6 +199,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("substring dedup: scan prunes to (doc_id, text); no cartesian anywhere") {
+    val p = plan("text_dedup_substring")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text"),
+      s"expected doc_id+text in scan: $readSchema")
+    assert(!readSchema.contains("n_chars") && !readSchema.contains("source"),
+      s"unpruned documents scan: $readSchema")
+    assert(!p.contains("CartesianProduct"),
+      s"shingle match degenerated to a cartesian in:\n$p")
+  }
+
   test("no unpartitioned window anywhere in the declared inventory") {
     // VERDICT r4: an unpartitioned Window (e.g. a global ntile) funnels
     // EVERY input row through one task — the one plan shape that cannot
