@@ -61,7 +61,13 @@ class HarnessSpec extends SparkSpec {
     // round 5h: variant parse path, pipe-syntax plan, collated grouping
     "fn_json_variant", "sql_pipe_syntax", "fn_collation_ci",
     // round 5i: chunk-fingerprint spread join, scaled-long norm ratios
-    "text_dedup_paragraph", "emb_matryoshka_trunc")
+    "text_dedup_paragraph", "emb_matryoshka_trunc",
+    // round 7: IVF-PQ routing + ADC shortlist + refine (memoized shared
+    // codebooks re-fit per partition setting via the Memo key), stride-1
+    // shingle islands merge, greedy vocab encode over distinct words,
+    // token-budget packing, per-doc dup coverage
+    "sim_ann_ivfpq", "text_dedup_substring", "dedup_substring_summary",
+    "text_vocab_tokenize", "text_pack_tokens")
 
   probeKeys.foreach { key =>
     test(s"$key: identical at shuffle.partitions 1 and 32") {
