@@ -163,6 +163,53 @@ object Multimodal {
     })
   }
 
+  case class PhashRow(media_id: Long, ahash: Int)
+
+  /** Quadrant average-hash over the P6 gray plane: bit q (0..3) is set iff
+    * quadrant q's mean channel value exceeds the whole image's mean. The
+    * quadrant split is (r >= h/2, c >= w/2) with integer division, and the
+    * mean comparison is integer cross-multiplication — no floats anywhere,
+    * so the hash is exact and trivially engine-portable. This is the
+    * classic aHash recipe at 2×2 instead of 8×8 (these synthetic images
+    * are 4–8 px wide; a real media lake would resample to 8×8 first, with
+    * identical plumbing and a 64-bit hash). */
+  def ahashQuad(p: Array[Byte]): Option[Int] =
+    decodeP6At(p, 0).map { case (w, h, total, end) =>
+      val dataStart = end - 3 * w * h
+      val sums = new Array[Long](4)
+      val cnts = new Array[Long](4)
+      var r = 0
+      while (r < h) {
+        var c = 0
+        while (c < w) {
+          val base = dataStart + (r * w + c) * 3
+          val g = (p(base) & 0xff) + (p(base + 1) & 0xff) + (p(base + 2) & 0xff)
+          val q = (if (r >= h / 2) 2 else 0) + (if (c >= w / 2) 1 else 0)
+          sums(q) += g
+          cnts(q) += 1
+          c += 1
+        }
+        r += 1
+      }
+      val nTotal = w.toLong * h
+      var hash = 0
+      var q = 0
+      while (q < 4) {
+        // mean_q > mean_total  ⇔  sums(q)·nTotal > total·cnts(q)
+        if (sums(q) * nTotal > total * cnts(q)) hash |= (1 << q)
+        q += 1
+      }
+      hash
+    }
+
+  /** Partition-batched perceptual hashing over a PPM media lake. */
+  def ahashAll(media: Dataset[MediaRow]): Dataset[PhashRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      ahashQuad(r.payload).map(h => PhashRow(r.media_id, h))
+    })
+  }
+
   /** All frames of a concatenated-P6 payload (w, h, pixel sum) in order;
     * stops at the first malformed frame. */
   def decodeFrames(p: Array[Byte]): Vector[(Int, Int, Long)] = {

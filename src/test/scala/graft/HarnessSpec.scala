@@ -67,7 +67,11 @@ class HarnessSpec extends SparkSpec {
     // shingle islands merge, greedy vocab encode over distinct words,
     // token-budget packing, per-doc dup coverage
     "sim_ann_ivfpq", "text_dedup_substring", "dedup_substring_summary",
-    "text_vocab_tokenize", "text_pack_tokens")
+    "text_vocab_tokenize", "text_pack_tokens",
+    // round 7b: within-cell semantic-dup verdict, lag-term EWMA,
+    // iterative LPA vote windows, decoded-hash grouping
+    "dedup_semdedup", "ts_ewma_smooth", "graph_lpa_community",
+    "mm_phash_groups")
 
   probeKeys.foreach { key =>
     test(s"$key: identical at shuffle.partitions 1 and 32") {
