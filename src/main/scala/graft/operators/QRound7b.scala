@@ -269,15 +269,170 @@ object QRound7b extends QueryPack {
       |GROUP BY a.ahash, a.n_images, a.canon_id
       |ORDER BY a.ahash""".stripMargin
 
+  // ---- deterministic distributed PCA (top principal component) ----
+
+  private val pcaIters = 6
+  private val pcaDim = 64
+
+  /** Per-document projection onto the corpus's top principal component —
+    * the dimensionality-reduction / whitening step of an embedding
+    * pipeline — computed DETERMINISTICALLY at any partition count:
+    *
+    *  1. exact mean via VecCentroid's scaled-long sums;
+    *  2. centered components quantized to longs (floor(x·10⁶ + ½)), so
+    *     the scatter matrix S = Σ q qᵀ is an EXACT integer sum
+    *     (accumulated as DECIMAL(38,0) — associative, order-free);
+    *  3. S is model state (dim² values): collected, rescaled to ≤10⁶
+    *     integers, and power-iterated `pcaIters` times driver-side with
+    *     pure integer matvecs (c·z ≤ 10¹²·64 per entry — exact longs) and
+    *     an integer max-renormalization between rounds;
+    *  4. each document's projection q·z is again an exact integer sum.
+    *
+    * Every lossy step (double divide, floor) happens on scalars both
+    * engines compute from identical integers, so DuckDB replays the whole
+    * pipeline — including all 6 power-iteration rounds as unrolled CTEs —
+    * and the driver hash-compares the projections.
+    *
+    * Scale shape: the scatter matrix accumulates MAP-SIDE (per-row 64×64
+    * outer product via a chained posexplode, partial-aggregated before the
+    * 4096-key shuffle — the treeAggregate pattern spelled declaratively);
+    * the corpus is never self-joined, and the projection pass is a pure
+    * per-row map (zip_with + aggregate HOF on longs). Power iteration on a
+    * dim² driver matrix is model-state work, exactly like the k-means
+    * Lloyd loop. */
+  private def embPcaProject(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VecCentroid.register(s)
+    val e = QSim.embPersisted(s, d)
+    val mean = e.agg(expr("vec_centroid(v)").as("m"))
+      .collect()(0).getSeq[Double](0).toArray
+    require(mean.length == pcaDim, s"expected $pcaDim-dim embeddings")
+    val meanCol = array(mean.map(lit).toIndexedSeq: _*)
+    // quantized centered vector (array<long>) — one map-side transform
+    val qv = e.select(col("vec_id"),
+      transform(col("v"), (x, i) =>
+        floor((x - element_at(meanCol, i + 1)) * lit(1e6) + lit(0.5)))
+        .as("qv"))
+    // exact integer scatter matrix: per-row outer product, partial-agg'd
+    // map-side, shuffled on <= dim^2 keys
+    val S = qv.select(col("qv"), posexplode(col("qv")).as(Seq("i", "qi")))
+      .select(col("i"), col("qi"), posexplode(col("qv")).as(Seq("j", "qj")))
+      .groupBy("i", "j")
+      .agg(sum((col("qi") * col("qj")).cast(DecimalType(38, 0))).as("sij"))
+      .collect()
+    val sm = Array.ofDim[BigInt](pcaDim, pcaDim)
+    S.foreach { r =>
+      sm(r.getInt(0))(r.getInt(1)) = BigInt(r.getDecimal(2).toBigInteger)
+    }
+    val maxS = sm.flatten.map(_.abs).max
+    require(maxS > 0, "degenerate (all-equal) embedding corpus")
+    require(maxS.toDouble < 9.0e15,
+      "scatter magnitude nears 2^53 — raise the rescale stage")
+    // rescale to <=1e6 integers; all further matvec arithmetic is exact
+    val c = sm.map(_.map(x => math.floor(x.toDouble / maxS.toDouble * 1e6).toLong))
+    var z = Array.fill(pcaDim)(1000000L)
+    for (_ <- 1 to pcaIters) {
+      val y = Array.tabulate(pcaDim)(i =>
+        (0 until pcaDim).map(j => c(i)(j) * z(j)).sum)
+      val maxY = y.map(math.abs).max
+      require(maxY > 0, "power iteration collapsed to zero")
+      z = y.map(v => math.floor(v.toDouble / maxY.toDouble * 1e6 + 0.5).toLong)
+    }
+    val zCol = array(z.map(lit).toIndexedSeq: _*)
+    qv.select(col("vec_id"),
+        trunc4(aggregate(zip_with(col("qv"), zCol, (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).cast(DoubleType) / lit(1e12)).as("pc1"))
+      .orderBy("vec_id")
+  }
+
+  /** Oracle replay: the identical integer pipeline, with the power
+    * iteration unrolled one (y, m, z) CTE triple per round. */
+  private val oEmbPcaProject = {
+    val rounds = (1 to pcaIters).map { it =>
+      s"""y$it AS (SELECT c.i, SUM(c.cv * z${it - 1}.zv) AS yv
+         |    FROM c JOIN z${it - 1} ON c.j = z${it - 1}.i GROUP BY c.i),
+         |  m$it AS (SELECT max(abs(yv)) AS m FROM y$it),
+         |  z$it AS (SELECT i, CAST(floor(CAST(yv AS DOUBLE) /
+         |      CAST((SELECT m FROM m$it) AS DOUBLE) * 1e6 + 5e-1) AS BIGINT) AS zv
+         |    FROM y$it),""".stripMargin
+    }.mkString("\n  ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |  ex AS (SELECT vec_id, i, v[i] AS x
+       |    FROM e, (SELECT unnest(generate_series(1, $pcaDim)) AS i)),
+       |  mn AS (SELECT i,
+       |      CAST(SUM(${graft.functions.VecCentroid.oQuant("x")}) AS DOUBLE)
+       |        / count(*) / 1000000 AS m
+       |    FROM ex GROUP BY i),
+       |  q AS (SELECT vec_id, ex.i,
+       |      CAST(floor((x - m) * 1e6 + 5e-1) AS BIGINT) AS q
+       |    FROM ex JOIN mn ON ex.i = mn.i),
+       |  S AS (SELECT a.i AS i, b.i AS j, SUM(a.q * b.q) AS sij
+       |    FROM q a JOIN q b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+       |  mx AS (SELECT max(abs(sij)) AS m FROM S),
+       |  c AS (SELECT i, j, CAST(floor(CAST(sij AS DOUBLE) /
+       |      CAST((SELECT m FROM mx) AS DOUBLE) * 1e6) AS BIGINT) AS cv FROM S),
+       |  z0 AS (SELECT unnest(generate_series(1, $pcaDim)) AS i,
+       |         CAST(1000000 AS BIGINT) AS zv),
+       |  $rounds
+       |  pr AS (SELECT q.vec_id, SUM(q.q * z.zv) AS praw
+       |    FROM q JOIN z$pcaIters z ON q.i = z.i GROUP BY q.vec_id)
+       |SELECT vec_id, ${oTrunc4("CAST(praw AS DOUBLE) / 1e12")} AS pc1
+       |FROM pr ORDER BY vec_id""".stripMargin
+  }
+
+  // ---- quality-proportional importance sampling ----
+
+  /** Horvitz–Thompson importance sampling of the document corpus: each
+    * doc's keep probability is proportional to a quality proxy (length,
+    * floored at 5%, capped at 1), the keep DECISION is a pure md5 hash
+    * threshold (no RNG — stable across partitioning, retries, engines),
+    * and kept docs carry weight 1/p quantized to scaled longs so the
+    * per-language weight sums are exact. sum(w) estimating n_total is the
+    * HT property a downstream pipeline relies on (spec-gated). */
+  private def sampleImportanceWeight(s: SparkSession, d: String): DataFrame = {
+    val p = least(lit(1.0), greatest(lit(0.05),
+      col("n_chars").cast(DoubleType) / lit(2000.0)))
+    val h01 = conv(substring(md5(col("doc_id").cast(StringType)
+      .cast(BinaryType)), 1, 8), 16, 10).cast(LongType)
+      .cast(DoubleType) / lit(4294967296.0)
+    val wq = floor(lit(1e4) / col("p") + lit(0.5)).cast(LongType)
+    t(s, d, "documents")
+      .select(col("doc_id"), col("lang"), p.as("p"), h01.as("h"))
+      .withColumn("keep", col("h") < col("p"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_total"),
+        sum(col("keep").cast(LongType)).as("n_kept"),
+        sum(when(col("keep"), wq)).as("wsum"))
+      .select(col("lang"), col("n_total"), col("n_kept"),
+        trunc4(col("wsum").cast(DoubleType) / lit(1e4)).as("ht_estimate"))
+      .orderBy("lang")
+  }
+
+  private val oSampleImportanceWeight =
+    s"""WITH d AS (SELECT doc_id, lang,
+       |    least(1.0, greatest(5e-2, CAST(n_chars AS DOUBLE) / 2e3)) AS p,
+       |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+       |      AS BIGINT) / 4294967296.0 AS h
+       |  FROM documents),
+       |  k AS (SELECT lang, p, h < p AS keep,
+       |          CAST(floor(1e4 / p + 5e-1) AS BIGINT) AS wq FROM d)
+       |SELECT lang, count(*) AS n_total,
+       |  CAST(SUM(CAST(keep AS BIGINT)) AS BIGINT) AS n_kept,
+       |  ${oTrunc4("CAST(SUM(CASE WHEN keep THEN wq END) AS DOUBLE) / 1e4")} AS ht_estimate
+       |FROM k GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, QFn] = Map(
-    "dedup_semdedup"      -> dedupSemdedup _,
-    "ts_ewma_smooth"      -> tsEwmaSmooth _,
-    "graph_lpa_community" -> graphLpaCommunity _,
-    "mm_phash_groups"     -> mmPhashGroups _)
+    "dedup_semdedup"           -> dedupSemdedup _,
+    "ts_ewma_smooth"           -> tsEwmaSmooth _,
+    "graph_lpa_community"      -> graphLpaCommunity _,
+    "mm_phash_groups"          -> mmPhashGroups _,
+    "emb_pca_project"          -> embPcaProject _,
+    "sample_importance_weight" -> sampleImportanceWeight _)
 
   val oracles: Map[String, String] = Map(
-    "dedup_semdedup"      -> oDedupSemdedup,
-    "ts_ewma_smooth"      -> oTsEwmaSmooth,
-    "graph_lpa_community" -> oGraphLpaCommunity,
-    "mm_phash_groups"     -> oMmPhashGroups)
+    "dedup_semdedup"           -> oDedupSemdedup,
+    "ts_ewma_smooth"           -> oTsEwmaSmooth,
+    "graph_lpa_community"      -> oGraphLpaCommunity,
+    "mm_phash_groups"          -> oMmPhashGroups,
+    "emb_pca_project"          -> oEmbPcaProject,
+    "sample_importance_weight" -> oSampleImportanceWeight)
 }

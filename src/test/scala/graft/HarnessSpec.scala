@@ -71,7 +71,10 @@ class HarnessSpec extends SparkSpec {
     // round 7b: within-cell semantic-dup verdict, lag-term EWMA,
     // iterative LPA vote windows, decoded-hash grouping
     "dedup_semdedup", "ts_ewma_smooth", "graph_lpa_community",
-    "mm_phash_groups")
+    "mm_phash_groups",
+    // round 7b second pass: integer scatter-matrix PCA, hash-threshold
+    // HT sampling
+    "emb_pca_project", "sample_importance_weight")
 
   probeKeys.foreach { key =>
     test(s"$key: identical at shuffle.partitions 1 and 32") {

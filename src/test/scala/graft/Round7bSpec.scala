@@ -166,6 +166,61 @@ class Round7bSpec extends SparkSpec {
       s"hash-adjacency join must broadcast the (≤2^bits)-row group table:\n$ph")
   }
 
+  // ---- emb_pca_project ----
+
+  test("emb_pca_project: recovers a planted dominant direction (|corr| > 0.95 with the planted coefficient)") {
+    graft.functions.VecCentroid.register(spark)
+    graft.plans.CosineSim.register(spark)
+    val rnd = new scala.util.Random(11)
+    val dim = 64
+    val u = Array.fill(dim)(rnd.nextDouble() - 0.5)
+    val un = { val n = math.sqrt(u.map(x => x * x).sum); u.map(_ / n) }
+    val rows = (0 until 200).map { i =>
+      val t = (i % 21) - 10.0 // planted coefficient, mean ~0
+      (i.toLong,
+        un.map(c => (t * c * 0.5 + (rnd.nextDouble() - 0.5) * 0.02).toFloat).toSeq,
+        0)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_pca_").toString
+    rows.toDF("vec_id", "embedding", "label").coalesce(2)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("emb_pca_project")(spark, dir)
+      .as[(Long, Double)].collect().toMap
+    assert(out.size === 200)
+    val t = rows.map { case (id, _, _) => (id % 21) - 10.0 }
+    val p = rows.map { case (id, _, _) => out(id) }
+    def corr(a: Seq[Double], b: Seq[Double]): Double = {
+      val n = a.length
+      val (ma, mb) = (a.sum / n, b.sum / n)
+      val cov = a.zip(b).map { case (x, y) => (x - ma) * (y - mb) }.sum
+      val (va, vb) = (a.map(x => (x - ma) * (x - ma)).sum,
+        b.map(x => (x - mb) * (x - mb)).sum)
+      cov / math.sqrt(va * vb)
+    }
+    val c = corr(t, p)
+    assert(math.abs(c) > 0.95,
+      s"PC1 projection should recover the planted direction; |corr| = ${math.abs(c)}")
+  }
+
+  // ---- sample_importance_weight ----
+
+  test("sample_importance_weight: Horvitz-Thompson weight sums estimate the true counts") {
+    val out = SparkEntry.queries("sample_importance_weight")(spark, sf)
+      .select("lang", "n_total", "n_kept", "ht_estimate")
+      .as[(String, Long, Long, Double)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (lang, nTotal, nKept, ht) =>
+      assert(nKept >= 1 && nKept <= nTotal, s"$lang kept $nKept of $nTotal")
+      // per-stratum HT estimate: loose envelope (small strata are noisy)
+      assert(ht / nTotal > 0.4 && ht / nTotal < 2.0,
+        s"$lang HT estimate $ht far from true count $nTotal")
+    }
+    // the corpus-level estimate tightens (the property a pipeline uses)
+    val ratio = out.map(_._4).sum / out.map(_._2).sum
+    assert(ratio > 0.7 && ratio < 1.5,
+      s"corpus HT estimate off by ${ratio}x")
+  }
+
   test("mm_phash_groups: group sizes conserve the lake and hamming-1 counts match a driver recompute") {
     val out = SparkEntry.queries("mm_phash_groups")(spark, sf)
       .select("ahash", "n_images", "canon_id", "n_near_images")
