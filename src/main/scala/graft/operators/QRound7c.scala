@@ -1,0 +1,144 @@
+package graft.operators
+
+import graft.QueryPack
+import graft.sources.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-7 third wave — distributed BPE merge-table learning.
+  *
+  * `text_bpe_merges` TRAINS a byte-pair-encoding merge table (Sennrich et
+  * al. 2016, the algorithm behind every production subword tokenizer) on
+  * the document corpus: start from the character sequence of every
+  * distinct word (weighted by corpus frequency), then repeatedly (a) count
+  * adjacent symbol pairs, (b) pick the most frequent pair — ties broken by
+  * (left, right) byte order, a total order both engines share — and
+  * (c) merge it everywhere, LEFTMOST-FIRST and non-overlapping within a
+  * word ("aaa" + merge (a,a) → [aa][a], never [a][aa] and never both).
+  * The emitted merge table (rank, left, right, weighted count) is the
+  * training artifact a tokenizer ships; `text_vocab_tokenize`'s greedy
+  * encoder is the inference-side consumer of exactly such a table.
+  *
+  * Scale shape: the training state is (distinct word × symbol position) —
+  * VOCABULARY-sized (×avg word length), not corpus-sized; corpus frequency
+  * enters once as a weight. Each round is two windows and a pair-count
+  * aggregate, all partitioned by the uniform word key; the argmax is a
+  * TakeOrdered(1) over the (tiny) pair-count table, and the chosen pair is
+  * model state collected driver-side — the Lloyd-loop pattern. Lineage is
+  * truncated per round (localCheckpoint): the next state references the
+  * previous one several times, so an unbroken chain would re-analyze a
+  * 2^rounds logical plan (the measured 9 s/round failure mode).
+  *
+  * Overlap semantics, relationally: a merge site is a symbol row whose
+  * successor completes the chosen pair; consecutive sites (successive
+  * symbol ranks) form gaps-and-islands runs, and greedy leftmost-first
+  * keeps the odd ordinals of each run. The DuckDB oracle replays all
+  * rounds as unrolled CTE groups with the identical island arithmetic; a
+  * round whose pair table is empty contributes no merge row in either
+  * engine (Spark breaks the loop, the oracle's LIMIT 1 CTE goes empty and
+  * the state passes through unchanged).
+  */
+object QRound7c extends QueryPack {
+
+  private val bpeRounds = 8
+
+  private def textBpeMerges(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val words = t(s, d, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+    // initial symbol table: one row per character (substr is char-based in
+    // both engines, so multibyte text is safe)
+    var st = words
+      .select(col("w"), col("wc"),
+        explode(sequence(lit(1), length(col("w")))).as("pos"))
+      .withColumn("sym", expr("substring(w, pos, 1)"))
+    val wOrd = Window.partitionBy("w").orderBy("pos")
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var round = 1
+    var exhausted = false
+    while (round <= bpeRounds && !exhausted) {
+      st = st.localCheckpoint(true)
+      val st2 = st
+        .withColumn("rk", row_number().over(wOrd))
+        .withColumn("nx", lead(col("sym"), 1).over(wOrd))
+      val top = st2.filter(col("nx").isNotNull)
+        .groupBy("sym", "nx").agg(sum(col("wc")).as("n"))
+        .orderBy(col("n").desc, col("sym"), col("nx"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((round, l, r, n))
+        // greedy leftmost-first: odd ordinals of each consecutive-site run
+        val sites = st2.filter(col("sym") === l && col("nx") === r)
+          .withColumn("isl",
+            col("rk") - row_number().over(Window.partitionBy("w").orderBy("rk")))
+          .withColumn("ord",
+            row_number().over(Window.partitionBy("w", "isl").orderBy("rk")))
+          .filter(col("ord") % 2 === 1)
+          .select(col("w").as("mw"), col("rk").as("mrk"))
+        val applied = st2
+          .join(sites.select(col("mw"), col("mrk")),
+            col("w") === col("mw") && col("rk") === col("mrk"), "left")
+          .join(sites.select(col("mw").as("dw"), col("mrk").as("drk")),
+            col("w") === col("dw") && col("rk") === col("drk") + 1, "left")
+          .filter(col("drk").isNull) // drop the absorbed right member
+          .select(col("w"), col("wc"), col("pos"),
+            when(col("mrk").isNotNull, concat(col("sym"), col("nx")))
+              .otherwise(col("sym")).as("sym"))
+        st = applied
+        round += 1
+      }
+    }
+    merges.toSeq.toDF("merge_rank", "left_sym", "right_sym", "n")
+      .orderBy("merge_rank")
+  }
+
+  /** One unrolled oracle round: pair counts → best pair → island-odd merge
+    * sites → next state. `k` names the round's CTEs; state flows s0→s8. */
+  private def oRound(k: Int): String = {
+    val p = s"s${k - 1}"
+    s"""t$k AS MATERIALIZED (SELECT w, wc, pos, sym,
+       |    lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nx,
+       |    row_number() OVER (PARTITION BY w ORDER BY pos) AS rk FROM $p),
+       |  b$k AS MATERIALIZED (SELECT sym AS l, nx AS r, CAST(SUM(wc) AS BIGINT) AS n
+       |    FROM t$k WHERE nx IS NOT NULL GROUP BY sym, nx
+       |    ORDER BY n DESC, sym, nx LIMIT 1),
+       |  m$k AS (SELECT w, rk,
+       |      rk - row_number() OVER (PARTITION BY w ORDER BY rk) AS isl
+       |    FROM t$k WHERE sym = (SELECT l FROM b$k) AND nx = (SELECT r FROM b$k)),
+       |  mm$k AS MATERIALIZED (SELECT w, rk FROM (
+       |    SELECT w, rk, row_number() OVER (PARTITION BY w, isl ORDER BY rk) AS ord
+       |    FROM m$k) WHERE ord % 2 = 1),
+       |  s$k AS MATERIALIZED (SELECT t.w, t.wc, t.pos,
+       |      CASE WHEN mm.rk IS NOT NULL THEN t.sym || t.nx ELSE t.sym END AS sym
+       |    FROM t$k t
+       |    LEFT JOIN mm$k mm ON t.w = mm.w AND t.rk = mm.rk
+       |    LEFT JOIN mm$k dd ON t.w = dd.w AND t.rk = dd.rk + 1
+       |    WHERE dd.rk IS NULL),""".stripMargin
+  }
+
+  private val oTextBpeMerges = {
+    val rounds = (1 to bpeRounds).map(oRound).mkString("\n  ")
+    val out = (1 to bpeRounds)
+      .map(k => s"SELECT $k AS merge_rank, l AS left_sym, r AS right_sym, n FROM b$k")
+      .mkString("\n  UNION ALL ")
+    s"""WITH w0 AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+       |  words AS MATERIALIZED (SELECT w, count(*) AS wc FROM w0 WHERE w <> '' GROUP BY w),
+       |  s0 AS MATERIALIZED (SELECT w, wc, pos, substr(w, pos, 1) AS sym FROM (
+       |    SELECT w, wc, unnest(generate_series(1, len(w))) AS pos FROM words)),
+       |  $rounds
+       |  merged AS ($out)
+       |SELECT CAST(merge_rank AS INT) AS merge_rank, left_sym, right_sym, n
+       |FROM merged ORDER BY merge_rank""".stripMargin
+  }
+
+  val queries: Map[String, QFn] = Map(
+    "text_bpe_merges" -> textBpeMerges _)
+
+  val oracles: Map[String, String] = Map(
+    "text_bpe_merges" -> oTextBpeMerges)
+}

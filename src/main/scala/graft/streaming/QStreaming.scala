@@ -67,6 +67,18 @@ object QStreaming extends QueryPack {
     """SELECT event_type, count(DISTINCT event_id) AS n
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  private def streamDedupWithinWm(s: SparkSession, d: String): DataFrame =
+    StreamOps.dedupWithinWmCounts(t(s, d, "events"), streaming = false)
+      .orderBy("win_start")
+
+  // event_id is unique in the testdata (verified at all three SFs), so the
+  // batch dedup is a provable no-op and the hourly count is well-defined;
+  // COUNT(DISTINCT) keeps the oracle honest if a dup ever appears in-hour
+  private val oStreamDedupWithinWm =
+    """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start,
+      |  count(DISTINCT event_id) AS n_events
+      |FROM events GROUP BY 1 ORDER BY win_start""".stripMargin
+
   /** Watermark surface — no DuckDB oracle by nature (late-data semantics
     * only exist under streaming); MemoryStream scalatest covers it. In
     * batch mode withWatermark is a no-op, so this stays verifiable as a
@@ -178,6 +190,7 @@ object QStreaming extends QueryPack {
     "stream_session_window"  -> streamSessionWindow _,
     "stream_session_custom"  -> streamSessionCustom _,
     "stream_dedup_ids"       -> streamDedupIds _,
+    "stream_dedup_within_wm" -> streamDedupWithinWm _,
     "stream_stream_join"     -> streamStreamJoin _,
     "stream_stream_left"     -> streamStreamLeftJoin _,
     "stream_tws_running"     -> streamTwsRunning _,
@@ -190,6 +203,7 @@ object QStreaming extends QueryPack {
     "stream_session_window"  -> oStreamSessionWindow,
     "stream_session_custom"  -> oStreamSessionCustom,
     "stream_dedup_ids"       -> oStreamDedupIds,
+    "stream_dedup_within_wm" -> oStreamDedupWithinWm,
     "stream_stream_join"     -> oStreamStreamJoin,
     "stream_stream_left"     -> oStreamStreamLeftJoin,
     "stream_tws_running"     -> oStreamTwsRunning)
@@ -240,6 +254,25 @@ object StreamOps {
     events
       .dropDuplicates("event_id")
       .groupBy("event_type").agg(count(lit(1)).as("n"))
+
+  /** Spark 4 `dropDuplicatesWithinWatermark`: dedups rows whose duplicates
+    * arrive within the watermark delay of each other, and — unlike plain
+    * `dropDuplicates`, whose key state grows forever — EXPIRES each key's
+    * state once the watermark passes it, so an unbounded stream holds
+    * bounded dedup state. That expiry (a late re-send of an old id is
+    * re-admitted) is streaming-only behavior, StreamingSpec-gated; the
+    * batch twin is an ordinary full dedup, which keeps the key
+    * oracle-able. Emits hourly event/user counts over the deduped rows. */
+  def dedupWithinWmCounts(events: DataFrame, streaming: Boolean): DataFrame = {
+    val dd =
+      if (streaming)
+        events.withWatermark("ts", "10 minutes")
+          .dropDuplicatesWithinWatermark("event_id")
+      else events.dropDuplicates("event_id")
+    dd.groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("win_start"), col("n_events"))
+  }
 
   def lateDataAgg(events: DataFrame): DataFrame =
     events

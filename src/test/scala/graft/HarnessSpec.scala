@@ -74,7 +74,10 @@ class HarnessSpec extends SparkSpec {
     "mm_phash_groups",
     // round 7b second pass: integer scatter-matrix PCA, hash-threshold
     // HT sampling
-    "emb_pca_project", "sample_importance_weight")
+    "emb_pca_project", "sample_importance_weight",
+    // round 7c: iterative BPE merge loop (argmax + island windows per
+    // round), watermark-bounded dedup batch twin
+    "text_bpe_merges", "stream_dedup_within_wm")
 
   probeKeys.foreach { key =>
     test(s"$key: identical at shuffle.partitions 1 and 32") {

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Gates for text_bpe_merges: the learned merge sequence must equal the
+  * hand-computed classic BPE result on planted corpora, including the
+  * leftmost-first overlap rule and early exhaustion. */
+class Round7cSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus(docs: Seq[String]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_").toString
+    docs.zipWithIndex.map { case (t, i) => (i.toLong, "en", t, t.length) }
+      .toDF("doc_id", "lang", "text", "n_chars")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("text_bpe_merges: hand-computed merge sequence on a planted corpus, with early exhaustion") {
+    // words: "abab" x3, "abc" x2
+    // r1: (a,b) = 2*3 + 1*2 = 8  beats (b,a)=3, (b,c)=2  -> abab=[ab][ab], abc=[ab]c
+    // r2: (ab,ab) = 3 beats (ab,c)=2                     -> abab=[abab]
+    // r3: (ab,c) = 2                                     -> abc=[abc]
+    // r4: no pairs remain -> exhausted, only 3 merges emitted
+    val dir = corpus(Seq("abab abab abc", "abab abc"))
+    val out = SparkEntry.queries("text_bpe_merges")(spark, dir)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(out === Seq((1, "a", "b", 8L), (2, "ab", "ab", 3L), (3, "ab", "c", 2L)),
+      s"merge table was $out")
+  }
+
+  test("text_bpe_merges: leftmost-first non-overlapping rule on a run of identical symbols") {
+    // "aaa" x2: r1 (a,a) counts BOTH adjacent occurrences (2 per word -> 4)
+    // but merges only the leftmost -> [aa][a]; r2 then merges (aa,a) = 2
+    val dir = corpus(Seq("aaa", "aaa"))
+    val out = SparkEntry.queries("text_bpe_merges")(spark, dir)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(out === Seq((1, "a", "a", 4L), (2, "aa", "a", 2L)),
+      s"merge table was $out")
+  }
+
+  test("text_bpe_merges: real corpus learns 8 distinct merges with positive weighted counts") {
+    val out = SparkEntry.queries("text_bpe_merges")(spark, sf)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(out.map(_._1) === (1 to 8), s"ranks: ${out.map(_._1)}")
+    assert(out.map(r => (r._2, r._3)).distinct.size === 8, "duplicate merge pair")
+    assert(out.forall(_._4 > 0))
+    // every later merge must build on symbols derivable from characters +
+    // earlier merges (the invariant a consumer tokenizer relies on)
+    val known = scala.collection.mutable.Set.empty[String]
+    out.foreach { case (_, l, r, _) =>
+      def derivable(s: String): Boolean = s.length == 1 || known.contains(s)
+      assert(derivable(l) && derivable(r),
+        s"merge ($l,$r) uses a symbol no earlier merge produced")
+      known += (l + r)
+    }
+  }
+}

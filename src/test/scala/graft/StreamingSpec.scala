@@ -237,4 +237,51 @@ class StreamingSpec extends SparkSpec {
     val n = spark.table("dd").collect().map(_.getLong(1)).sum
     assert(n === 2L)
   }
+
+  test("dropDuplicatesWithinWatermark: dedups within the delay, re-admits after state expiry") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    // raw deduped rows (no downstream agg) so each admission is visible
+    val q = ms.toDF()
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select("event_id")
+      .writeStream.format("memory").queryName("ddwm")
+      .outputMode("append").start()
+    // batch 1: id 1 twice within the delay + id 2 → dedup inside the delay
+    ms.addData(ev(1, "2024-01-01 10:00:00"), ev(1, "2024-01-01 10:00:30"),
+      ev(2, "2024-01-01 10:01:00"))
+    q.processAllAvailable()
+    // batch 2: advance the watermark past id 1's expiry (10:00 + 10 min)
+    ms.addData(ev(9, "2024-01-01 11:00:00"))
+    q.processAllAvailable()
+    // batch 3: id 1 again AFTER its state expired → re-admitted (the
+    // behavior that distinguishes this from dropDuplicates, whose state
+    // never expires and would swallow this row)
+    ms.addData(ev(1, "2024-01-01 11:00:30"))
+    q.processAllAvailable(); q.stop()
+    val ids = spark.table("ddwm").collect().map(_.getLong(0))
+    assert(ids.count(_ == 1L) === 2,
+      s"expected id 1 admitted twice (once per state epoch), got ${ids.toSeq}")
+    assert(ids.count(_ == 2L) === 1)
+    assert(ids.count(_ == 9L) === 1)
+  }
+
+  test("stream_dedup_within_wm: stream == batch twin on dup-free data") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val data = Seq(ev(1, "2024-01-01 10:05:00"), ev(2, "2024-01-01 10:55:00"),
+      ev(3, "2024-01-01 11:05:00"), ev(4, "2024-01-01 11:45:00"))
+    val ms = MemoryStream[Ev]
+    ms.addData(data)
+    val q = StreamOps.dedupWithinWmCounts(ms.toDF(), streaming = true)
+      .writeStream.format("memory").queryName("ddwm_agg")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("ddwm_agg").orderBy("win_start").collect()
+    val batch = StreamOps.dedupWithinWmCounts(data.toDF(), streaming = false)
+      .orderBy("win_start").collect()
+    assert(streamed.toSeq === batch.toSeq)
+  }
 }
