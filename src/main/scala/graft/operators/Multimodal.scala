@@ -246,6 +246,32 @@ object Multimodal {
     bos.toByteArray
   }
 
+  case class SceneCuts(media_id: Long, n_frames: Int, n_cuts: Int,
+      max_delta: Double)
+
+  /** Scene-cut detection over a multi-frame payload: a cut is an adjacent
+    * frame pair whose mean-brightness delta exceeds 5% of full scale. The
+    * comparison is exact-integer cross-multiplied (|Δsum|·20 > plane·255
+    * ⇔ |Δmean| > 5%), so the cut count is engine-exact; only the reported
+    * max delta takes one final division (trunc4'd, same op order as the
+    * oracle). */
+  def sceneCuts(media: Dataset[MediaRow]): Dataset[SceneCuts] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      val frames = decodeFrames(r.payload)
+      if (frames.size < 2) None
+      else {
+        val plane = frames.head._1.toLong * frames.head._2 * 3
+        val deltas = frames.map(_._3).sliding(2)
+          .map { case Vector(a, b) => math.abs(b - a) }.toVector
+        val cuts = deltas.count(d => d * 20L > plane * 255L)
+        val maxD = deltas.max.toDouble / (plane * 255L)
+        Some(SceneCuts(r.media_id, frames.size, cuts,
+          math.floor(maxD * 10000) / 10000.0))
+      }
+    })
+  }
+
   case class VideoFeatures(media_id: Long, n_frames: Int, n_sampled: Int,
       brightness: Double)
 

@@ -136,9 +136,46 @@ object QRound7c extends QueryPack {
        |FROM merged ORDER BY merge_rank""".stripMargin
   }
 
+  // ---- multimodal scene-cut detection ----
+
+  /** Scene cuts over the synthesized multi-frame lake: per video, count
+    * adjacent frame pairs whose mean-brightness delta exceeds 5% of full
+    * scale (exact-integer cross-multiplied compare — Multimodal.sceneCuts)
+    * plus the max observed delta. The shot-boundary primitive a video
+    * curation pipeline dedups and samples by; decode runs per partition,
+    * only (video → 4 columns) rows ever shuffle. Oracle recomputes every
+    * frame's pixel sum analytically from the synthesis formula. */
+  private def mmSceneCuts(s: SparkSession, d: String): DataFrame =
+    Multimodal.sceneCuts(Multimodal.videosFromDocuments(s, d))
+      .toDF().orderBy("media_id")
+
+  private val oMmSceneCuts =
+    """WITH d AS (SELECT doc_id, CAST(4 + doc_id % 5 AS INT) AS w,
+      |             CAST(3 + doc_id % 4 AS INT) AS h,
+      |             CAST(2 + doc_id % 4 AS INT) AS nf FROM documents),
+      |  fr AS (SELECT doc_id, w, h, nf, unnest(generate_series(0, nf - 1)) AS f
+      |         FROM d),
+      |  px AS (SELECT doc_id, w, h, nf, f,
+      |           unnest(generate_series(0, w*h*3 - 1)) AS i FROM fr),
+      |  fs AS (SELECT doc_id, nf, w, h, f,
+      |           sum((doc_id*31 + f*13 + i*7) % 256) AS s
+      |         FROM px GROUP BY doc_id, nf, w, h, f),
+      |  dl AS (SELECT doc_id, nf, w, h,
+      |           abs(lead(s) OVER (PARTITION BY doc_id ORDER BY f) - s) AS dv
+      |         FROM fs),
+      |  ag AS (SELECT doc_id, nf, w, h,
+      |           CAST(SUM(CASE WHEN dv*20 > w*h*3*255 THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+      |           max(dv) AS mx
+      |         FROM dl WHERE dv IS NOT NULL GROUP BY doc_id, nf, w, h)
+      |SELECT doc_id AS media_id, nf AS n_frames, CAST(n_cuts AS INT) AS n_cuts,
+      |  floor(CAST(mx AS DOUBLE) / (w*h*3*255) * 10000)/10000.0 AS max_delta
+      |FROM ag ORDER BY media_id""".stripMargin
+
   val queries: Map[String, QFn] = Map(
-    "text_bpe_merges" -> textBpeMerges _)
+    "text_bpe_merges" -> textBpeMerges _,
+    "mm_scene_cuts"   -> mmSceneCuts _)
 
   val oracles: Map[String, String] = Map(
-    "text_bpe_merges" -> oTextBpeMerges)
+    "text_bpe_merges" -> oTextBpeMerges,
+    "mm_scene_cuts"   -> oMmSceneCuts)
 }

@@ -40,6 +40,25 @@ class Round7cSpec extends SparkSpec {
       s"merge table was $out")
   }
 
+  test("mm_scene_cuts: a hard cut is detected, identical frames are not") {
+    import graft.operators.Multimodal
+    def frame(w: Int, h: Int, byte: Int): Array[Byte] =
+      s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++
+        Array.fill(w * h * 3)(byte.toByte)
+    // video 1: black -> white (100% delta, one cut); video 2: flat
+    val v1 = frame(4, 3, 0) ++ frame(4, 3, 255)
+    val v2 = frame(4, 3, 100) ++ frame(4, 3, 100) ++ frame(4, 3, 100)
+    val media = Seq(
+      Multimodal.MediaRow(1L, v1, "video"),
+      Multimodal.MediaRow(2L, v2, "video")).toDS()
+    val out = Multimodal.sceneCuts(media).collect()
+      .map(r => r.media_id -> r).toMap
+    assert(out(1L).n_frames === 2 && out(1L).n_cuts === 1)
+    assert(out(1L).max_delta === 1.0)
+    assert(out(2L).n_frames === 3 && out(2L).n_cuts === 0)
+    assert(out(2L).max_delta === 0.0)
+  }
+
   test("text_bpe_merges: real corpus learns 8 distinct merges with positive weighted counts") {
     val out = SparkEntry.queries("text_bpe_merges")(spark, sf)
       .as[(Int, String, String, Long)].collect().toSeq
