@@ -63,4 +63,26 @@ object Memo {
       if (prev != null) prev.df else built.df
     }
   }
+
+  private val anyCache =
+    new ConcurrentHashMap[(String, String, String, String), (SparkSession, Any)]()
+
+  /** `memo` for non-DataFrame model state (e.g. the BPE fit returns a
+    * merge table AND a tokenized-state DataFrame). Same keying, eviction,
+    * and putIfAbsent publication discipline as `memo`. */
+  def memoAny[T](s: SparkSession, tag: String, d: String)(build: => T): T = {
+    val it = anyCache.entrySet().iterator()
+    while (it.hasNext) {
+      if (it.next().getValue._1.sparkContext.isStopped) it.remove()
+    }
+    val parts = s.conf.get("spark.sql.shuffle.partitions", "")
+    val key = (uuid(s), parts, tag, d)
+    val existing = anyCache.get(key)
+    if (existing != null) existing._2.asInstanceOf[T]
+    else {
+      val built = (s, build: Any)
+      val prev = anyCache.putIfAbsent(key, built)
+      (if (prev != null) prev._2 else built._2).asInstanceOf[T]
+    }
+  }
 }

@@ -77,7 +77,8 @@ class HarnessSpec extends SparkSpec {
     "emb_pca_project", "sample_importance_weight",
     // round 7c: iterative BPE merge loop (argmax + island windows per
     // round), watermark-bounded dedup batch twin
-    "text_bpe_merges", "stream_dedup_within_wm", "mm_scene_cuts")
+    "text_bpe_merges", "text_bpe_encode", "stream_dedup_within_wm",
+    "mm_scene_cuts")
 
   probeKeys.foreach { key =>
     test(s"$key: identical at shuffle.partitions 1 and 32") {

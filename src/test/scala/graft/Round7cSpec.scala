@@ -40,6 +40,31 @@ class Round7cSpec extends SparkSpec {
       s"merge table was $out")
   }
 
+  test("text_bpe_encode: planted corpus compresses to whole-word tokens (fertility 1.0)") {
+    // same corpus as the merge test: after (a,b), (ab,ab), (ab,c) every
+    // word is a single token
+    val dir = corpus(Seq("abab abab abc", "abab abc"))
+    val out = SparkEntry.queries("text_bpe_encode")(spark, dir)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(out === Seq(("en", 5L, 5L, 1.0)), s"profile was $out")
+  }
+
+  test("text_bpe_encode: word stream agrees with text_vocab_tokenize's (same corpus, different tokenizer)") {
+    val bpe = SparkEntry.queries("text_bpe_encode")(spark, sf)
+      .select("lang", "n_words", "n_tokens")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val voc = SparkEntry.queries("text_vocab_tokenize")(spark, sf)
+      .select("lang", "n_words", "n_tokens")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(bpe.keySet === voc.keySet)
+    bpe.foreach { case (lang, (nw, nt)) =>
+      assert(nw === voc(lang)._1, s"$lang word streams diverged")
+      // 8 merges cannot beat a 16-entry greedy vocab here, but both must
+      // be genuine subword encodes: more tokens than words
+      assert(nt > nw, s"$lang BPE encode degenerated to whole words")
+    }
+  }
+
   test("mm_scene_cuts: a hard cut is detected, identical frames are not") {
     import graft.operators.Multimodal
     def frame(w: Int, h: Int, byte: Int): Array[Byte] =
