@@ -184,6 +184,49 @@ object QRound7c extends QueryPack {
        |GROUP BY c.lang ORDER BY c.lang""".stripMargin
   }
 
+  // ---- Spark 4 SQL-defined functions ----
+
+  /** SQL UDFs (Spark 4 `CREATE FUNCTION … RETURN expr`): business logic
+    * declared IN SQL — a scalar pricing function and a banding function —
+    * then used inside an aggregation. Because the body is a plain
+    * expression, Catalyst inlines it into the plan (no black-box UDF
+    * penalty, full codegen + pushdown) — which is exactly why this surface
+    * beats a Scala UDF for simple logic and why the DuckDB oracle can
+    * replay it by textual inlining. Decimal arithmetic inside the function
+    * keeps the money sums exact (the sql_text_tpch_q3 spelling). */
+  private def sqlUdfInline(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "lineitem").createOrReplaceTempView("g_lineitem")
+    s.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION g_disc_price(
+        |  p DECIMAL(12,2), disc DECIMAL(4,2)) RETURNS DECIMAL(18,4)
+        |RETURN p * (1 - disc)""".stripMargin)
+    s.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION g_qty_band(q DOUBLE)
+        |RETURNS STRING
+        |RETURN CASE WHEN q < 10 THEN 'low' WHEN q < 30 THEN 'mid'
+        |            ELSE 'high' END""".stripMargin)
+    s.sql(
+      """SELECT l_returnflag, g_qty_band(l_quantity) AS qty_band,
+        |  count(*) AS n,
+        |  CAST(SUM(g_disc_price(CAST(l_extendedprice AS DECIMAL(12,2)),
+        |                        CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+        |    AS revenue
+        |FROM g_lineitem
+        |GROUP BY l_returnflag, g_qty_band(l_quantity)
+        |ORDER BY l_returnflag, qty_band""".stripMargin)
+  }
+
+  private val oSqlUdfInline =
+    """SELECT l_returnflag,
+      |  CASE WHEN l_quantity < 10 THEN 'low' WHEN l_quantity < 30 THEN 'mid'
+      |       ELSE 'high' END AS qty_band,
+      |  count(*) AS n,
+      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+      |    * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4)))
+      |    AS DOUBLE) AS revenue
+      |FROM lineitem
+      |GROUP BY 1, 2 ORDER BY l_returnflag, qty_band""".stripMargin
+
   // ---- multimodal scene-cut detection ----
 
   /** Scene cuts over the synthesized multi-frame lake: per video, count
@@ -222,10 +265,12 @@ object QRound7c extends QueryPack {
   val queries: Map[String, QFn] = Map(
     "text_bpe_merges" -> textBpeMerges _,
     "text_bpe_encode" -> textBpeEncode _,
+    "sql_udf_inline"  -> sqlUdfInline _,
     "mm_scene_cuts"   -> mmSceneCuts _)
 
   val oracles: Map[String, String] = Map(
     "text_bpe_merges" -> oTextBpeMerges,
     "text_bpe_encode" -> oTextBpeEncode,
+    "sql_udf_inline"  -> oSqlUdfInline,
     "mm_scene_cuts"   -> oMmSceneCuts)
 }

@@ -78,7 +78,7 @@ class HarnessSpec extends SparkSpec {
     // round 7c: iterative BPE merge loop (argmax + island windows per
     // round), watermark-bounded dedup batch twin
     "text_bpe_merges", "text_bpe_encode", "stream_dedup_within_wm",
-    "mm_scene_cuts")
+    "mm_scene_cuts", "sql_udf_inline")
 
   probeKeys.foreach { key =>
     test(s"$key: identical at shuffle.partitions 1 and 32") {

@@ -65,6 +65,26 @@ class Round7cSpec extends SparkSpec {
     }
   }
 
+  test("sql_udf_inline: SQL-defined functions inline into the plan and match the hand-inlined query") {
+    val df = SparkEntry.queries("sql_udf_inline")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the function body must be inlined by Catalyst — a black-box UDF call
+    // would kill codegen and pushdown, which is the point of SQL UDFs
+    assert(!plan.toLowerCase.contains("scalaudf"),
+      s"SQL UDF compiled to a black-box UDF call:\n$plan")
+    val twin = spark.sql(
+      """SELECT l_returnflag,
+        |  CASE WHEN l_quantity < 10 THEN 'low' WHEN l_quantity < 30 THEN 'mid'
+        |       ELSE 'high' END AS qty_band,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4)))
+        |    AS DOUBLE) AS revenue
+        |FROM g_lineitem
+        |GROUP BY 1, 2 ORDER BY l_returnflag, qty_band""".stripMargin)
+    assert(df.collect().toSeq === twin.collect().toSeq)
+  }
+
   test("mm_scene_cuts: a hard cut is detected, identical frames are not") {
     import graft.operators.Multimodal
     def frame(w: Int, h: Int, byte: Int): Array[Byte] =
