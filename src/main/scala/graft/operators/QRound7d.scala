@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.QueryPack
+import graft.sources.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-7 fourth wave — corpus governance operators: benchmark
+  * decontamination over a deterministic train/eval split.
+  */
+object QRound7d extends QueryPack {
+
+  // ---- benchmark decontamination (train/eval n-gram overlap) ----
+
+  private val dcW = 13 // the 13-gram window GPT-3's decontamination used
+
+  /** Deterministic split column: ~19% of docs land in `eval` by the first
+    * hex digit of md5(doc_id) — hash-based so the split is stable across
+    * partitioning, retries, and engines (the `sample_stratified_hash`
+    * rule; RNG splits are not reproducible across any of those). */
+  private[graft] def splitCol =
+    when(substring(md5(col("doc_id").cast(StringType)), 1, 1)
+      .isin("0", "1", "2"), lit("eval")).otherwise(lit("train"))
+
+  /** Benchmark decontamination audit (the check every training-data
+    * pipeline runs before reporting eval numbers — overlapping 13-gram
+    * containment, the GPT-3 appendix-C recipe): split the corpus into
+    * train/eval by content-independent hash, fingerprint every stride-1
+    * 13-token shingle, and report — per eval doc — how many of its
+    * distinct shingles appear ANYWHERE in the train split, plus the
+    * contamination fraction and a 5% flag. A flagged eval doc's metrics
+    * are meaningless: the model saw its text.
+    *
+    * Scale shape: the shingle explode is map-side; the train side
+    * collapses to DISTINCT fingerprints (uniform md5 keys) and the
+    * containment test is a left-semi equi-join on that key — never a
+    * pair join, so hot boilerplate cannot explode it; per-doc rollups
+    * group on uniform doc_id. At 100 TB the train fingerprint set is the
+    * big side and the semi-join shuffles both sides once on h — the
+    * minimum possible for exact containment (a bloom pre-filter on h is
+    * the standard cheapening and drops in transparently). */
+  private[graft] def decontamAudit(docs: DataFrame): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), splitCol.as("split"),
+        filter(split(col("text"), " "), x => x =!= "").as("tk"))
+      .filter(size(col("tk")) >= dcW)
+    val sh = base.select(col("doc_id"), col("split"), explode(expr(
+      s"transform(sequence(1, size(tk) - ${dcW - 1}), " +
+        s"i -> md5(array_join(slice(tk, i, $dcW), ' ')))")).as("h"))
+    val train = sh.filter(col("split") === "train").select("h").distinct()
+    val ev = sh.filter(col("split") === "eval")
+      .select("doc_id", "h").distinct()
+    val hits = ev.join(train, Seq("h"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    ev.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("contam_frac",
+        trunc4(col("n_hit").cast(DoubleType) / col("n_grams")))
+      .withColumn("flagged",
+        (col("contam_frac") > lit(5e-2)).cast(IntegerType))
+      .orderBy("doc_id")
+  }
+
+  private def textDecontaminate(s: SparkSession, d: String): DataFrame =
+    decontamAudit(t(s, d, "documents"))
+
+  private val oTextDecontaminate =
+    s"""WITH d AS (SELECT doc_id,
+       |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,1) IN ('0','1','2')
+       |         THEN 'eval' ELSE 'train' END AS split,
+       |    list_filter(string_split(text, ' '), x -> x <> '') AS tk
+       |  FROM documents),
+       |toks AS (SELECT doc_id, split, tk FROM d WHERE len(tk) >= $dcW),
+       |sh AS (SELECT doc_id, split, md5(array_to_string(tk[i:i+${dcW - 1}], ' ')) AS h
+       |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk)-${dcW - 1})) AS i)),
+       |tr AS (SELECT DISTINCT h FROM sh WHERE split = 'train'),
+       |ev AS (SELECT DISTINCT doc_id, h FROM sh WHERE split = 'eval'),
+       |hit AS (SELECT e.doc_id, count(*) AS n_hit FROM ev e
+       |  JOIN tr USING (h) GROUP BY e.doc_id),
+       |ng AS (SELECT doc_id, count(*) AS n_grams FROM ev GROUP BY doc_id)
+       |SELECT ng.doc_id, ng.n_grams, coalesce(hit.n_hit, 0) AS n_hit,
+       |  ${oTrunc4("CAST(coalesce(hit.n_hit, 0) AS DOUBLE) / ng.n_grams")} AS contam_frac,
+       |  CAST(${oTrunc4("CAST(coalesce(hit.n_hit, 0) AS DOUBLE) / ng.n_grams")} > 5e-2 AS INT) AS flagged
+       |FROM ng LEFT JOIN hit ON hit.doc_id = ng.doc_id
+       |ORDER BY ng.doc_id""".stripMargin
+
+  val queries: Map[String, QFn] = Map(
+    "text_decontaminate" -> textDecontaminate _)
+
+  val oracles: Map[String, String] = Map(
+    "text_decontaminate" -> oTextDecontaminate)
+}

@@ -78,7 +78,9 @@ class HarnessSpec extends SparkSpec {
     // round 7c: iterative BPE merge loop (argmax + island windows per
     // round), watermark-bounded dedup batch twin
     "text_bpe_merges", "text_bpe_encode", "stream_dedup_within_wm",
-    "mm_scene_cuts", "sql_udf_inline")
+    "mm_scene_cuts", "sql_udf_inline",
+    // round 7d: corpus governance (hash-split decontamination)
+    "text_decontaminate")
 
   probeKeys.foreach { key =>
     test(s"$key: identical at shuffle.partitions 1 and 32") {
