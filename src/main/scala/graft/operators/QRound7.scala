@@ -197,8 +197,9 @@ object QRound7 extends QueryPack {
     * this corpus's max fingerprint frequency is single-digit so the cap
     * is not wired into the contract semantics here. */
   /** Stride-1 16-token shingle table (doc_id, pos, h) — shared by the
-    * span miner and the per-doc duplication summary. */
-  private def shingleTable(docs: DataFrame): DataFrame =
+    * span miner, the per-doc duplication summary, and the df-capped
+    * variant in QRound7d. */
+  private[operators] def shingleTable(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
       .filter(size(col("tk")) >= ssW)
@@ -209,14 +210,17 @@ object QRound7 extends QueryPack {
       .select(col("doc_id"), col("sh.pos").as("pos"), col("sh.h").as("h"))
 
   /** Cross-document shingle matches (a_id < b_id) with position pair. */
-  private def shingleMatches(sh: DataFrame): DataFrame =
+  private[operators] def shingleMatches(sh: DataFrame): DataFrame =
     sh.select(col("doc_id").as("a_id"), col("pos").as("pa"), col("h"))
       .join(sh.select(col("doc_id").as("b_id"), col("pos").as("pb"), col("h")),
         "h")
       .filter(col("a_id") < col("b_id"))
 
-  private[graft] def substringSpans(docs: DataFrame): DataFrame = {
-    val m = shingleMatches(shingleTable(docs))
+  /** Gaps-and-islands merge of matched (posA, posB) pairs at constant
+    * offset into maximal shared spans — shared by the uncapped and the
+    * df-capped (QRound7d) span miners. */
+  private[operators] def mergeSpans(matches: DataFrame): DataFrame = {
+    val m = matches
       .select(col("a_id"), col("b_id"), col("pa"), col("pb"),
         (col("pa") - col("pb")).as("d"))
     val w = org.apache.spark.sql.expressions.Window
@@ -230,6 +234,9 @@ object QRound7 extends QueryPack {
         col("span_tokens"))
       .orderBy("a_id", "b_id", "a_start", "b_start")
   }
+
+  private[graft] def substringSpans(docs: DataFrame): DataFrame =
+    mergeSpans(shingleMatches(shingleTable(docs)))
 
   private def textDedupSubstring(s: SparkSession, d: String): DataFrame =
     substringSpans(t(s, d, "documents"))

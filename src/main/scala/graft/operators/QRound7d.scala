@@ -87,9 +87,65 @@ object QRound7d extends QueryPack {
        |FROM ng LEFT JOIN hit ON hit.doc_id = ng.doc_id
        |ORDER BY ng.doc_id""".stripMargin
 
+  // ---- df-capped shift-tolerant dedup (the boilerplate guard, wired) ----
+
+  private val dfCap = 2 // fingerprints in more docs than this are boilerplate
+
+  /** The document-frequency cap `text_dedup_substring`'s scale notes name
+    * as the 100 TB guard, WIRED INTO the contract instead of documented:
+    * shingle fingerprints appearing in more than `dfCap` documents are
+    * boilerplate (headers, licenses, navigation chrome) — a fingerprint
+    * shared by 10k docs creates 10k²/2 position pairs in the match join,
+    * which is exactly how an unguarded substring miner dies at scale.
+    * Those fingerprints are dropped BEFORE the pair join; genuine 2-doc
+    * shared passages survive untouched. Output schema and island merge
+    * are identical to `text_dedup_substring`, so diffing the two keys
+    * shows precisely what the guard removed.
+    *
+    * Scale shape: the df table is one uniform-key aggregate over the
+    * shingle stream; the cap turns the match join's worst case from
+    * O(max_df²) per fingerprint into O(dfCap²) — the same bound the LSH
+    * band join relies on. dfCap=2 here (this corpus's max df is 3);
+    * production sets it ~1000 — the semantics are threshold-parametric,
+    * not threshold-dependent. */
+  private[graft] def substringSpansCapped(docs: DataFrame): DataFrame = {
+    val sh = QRound7.shingleTable(docs)
+    val hot = sh.groupBy("h")
+      .agg(count_distinct(col("doc_id")).as("dfreq"))
+      .filter(col("dfreq") > dfCap).select("h")
+    QRound7.mergeSpans(
+      QRound7.shingleMatches(sh.join(hot, Seq("h"), "left_anti")))
+  }
+
+  private def dedupSubstringCapped(s: SparkSession, d: String): DataFrame =
+    substringSpansCapped(t(s, d, "documents"))
+
+  private val oDedupSubstringCapped =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |sh0 AS (SELECT doc_id, CAST(i AS INT) AS pos,
+       |    md5(array_to_string(tk[i+1:i+16], ' ')) AS h
+       |  FROM toks, LATERAL (SELECT unnest(generate_series(0, len(tk)-16)) AS i)),
+       |hot AS (SELECT h FROM (
+       |  SELECT h, count(DISTINCT doc_id) AS dfreq FROM sh0 GROUP BY h)
+       |  WHERE dfreq > $dfCap),
+       |sh AS (SELECT * FROM sh0 WHERE h NOT IN (SELECT h FROM hot)),
+       |m AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.pos AS pa, b.pos AS pb,
+       |    a.pos - b.pos AS d
+       |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id),
+       |isl AS (SELECT a_id, b_id, d, pa, pb,
+       |    pa - row_number() OVER (PARTITION BY a_id, b_id, d ORDER BY pa) AS grp
+       |  FROM m)
+       |SELECT a_id, b_id, CAST(min(pa) AS INT) AS a_start,
+       |  CAST(min(pb) AS INT) AS b_start,
+       |  CAST(max(pa) - min(pa) + 16 AS BIGINT) AS span_tokens
+       |FROM isl GROUP BY a_id, b_id, d, grp
+       |ORDER BY a_id, b_id, a_start, b_start""".stripMargin
+
   val queries: Map[String, QFn] = Map(
-    "text_decontaminate" -> textDecontaminate _)
+    "text_decontaminate"     -> textDecontaminate _,
+    "dedup_substring_capped" -> dedupSubstringCapped _)
 
   val oracles: Map[String, String] = Map(
-    "text_decontaminate" -> oTextDecontaminate)
+    "text_decontaminate"     -> oTextDecontaminate,
+    "dedup_substring_capped" -> oDedupSubstringCapped)
 }

@@ -49,6 +49,43 @@ class Round7dSpec extends SparkSpec {
       s"clean doc must be unflagged, row was $clean")
   }
 
+  test("dedup_substring_capped: boilerplate shared by many docs is dropped, a genuine 2-doc passage survives") {
+    import graft.operators.{QRound7, QRound7d}
+    val boiler = (1 to 20).map(i => s"b$i").mkString(" ")  // in 4 docs: df=4 > 2
+    val genuine = (1 to 20).map(i => s"g$i").mkString(" ") // in 2 docs: df=2
+    val docs = Seq(
+      1L -> s"$boiler x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 x12 x13 x14 x15 x16",
+      2L -> s"y1 y2 y3 y4 y5 y6 y7 y8 y9 y10 y11 y12 y13 y14 y15 y16 $boiler",
+      3L -> s"$boiler $genuine",
+      4L -> s"z1 z2 z3 $genuine z4 z5 z6 z7 z8 z9 z10 z11 z12 z13 z14 z15 z16",
+      5L -> s"$boiler w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16")
+    val df = spark.createDataFrame(docs.map { case (id, t) => (id, "en", t, t.length) })
+      .toDF("doc_id", "lang", "text", "n_chars")
+    val capped = QRound7d.substringSpansCapped(df)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    // only the genuine pair survives the cap
+    assert(capped === Set((3L, 4L)), s"capped pairs were $capped")
+    // sanity contrast: the uncapped miner reports every boilerplate pair too
+    val uncapped = QRound7.substringSpans(df)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(Set((1L, 2L), (1L, 3L), (1L, 5L), (2L, 3L), (2L, 5L), (3L, 5L))
+      .subsetOf(uncapped), s"uncapped pairs were $uncapped")
+  }
+
+  test("dedup_substring_capped: span geometry of the surviving passage is exact") {
+    import graft.operators.QRound7d
+    val genuine = (1 to 20).map(i => s"g$i").mkString(" ")
+    val docs = Seq(
+      1L -> s"a1 a2 a3 a4 a5 $genuine a6 a7 a8 a9 a10 a11",
+      2L -> s"$genuine b1 b2 b3 b4 b5 b6 b7 b8 b9 b10 b11 b12 b13 b14 b15 b16")
+    val df = spark.createDataFrame(docs.map { case (id, t) => (id, "en", t, t.length) })
+      .toDF("doc_id", "lang", "text", "n_chars")
+    val spans = QRound7d.substringSpansCapped(df)
+      .as[(Long, Long, Int, Int, Long)].collect().toSeq
+    // 20-token passage at token offset 5 in doc1, 0 in doc2
+    assert(spans === Seq((1L, 2L, 5, 0, 20L)), s"spans were $spans")
+  }
+
   test("text_decontaminate: real corpus — fractions bounded, flags match fractions, train docs absent") {
     val rows = SparkEntry.queries("text_decontaminate")(spark, sf)
       .as[(Long, Long, Long, Double, Int)].collect()
