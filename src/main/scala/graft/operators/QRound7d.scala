@@ -141,11 +141,85 @@ object QRound7d extends QueryPack {
        |FROM isl GROUP BY a_id, b_id, d, grp
        |ORDER BY a_id, b_id, a_start, b_start""".stripMargin
 
+  // ---- bigram language-model quality scoring (CCNet-style) ----
+
+  /** Per-document fluency score under a corpus-trained bigram language
+    * model — the CCNet recipe (Wenzek et al. 2020): production pipelines
+    * keep/drop/re-weight web documents by LM score, because gibberish and
+    * keyword-stuffed spam have improbable word transitions. The model is
+    * the corpus's own bigram table with add-one (Laplace) damping,
+    * p(w2|w1) = (c12 + 1)/(c1 + V); each document scores the mean
+    * probability of its transitions.
+    *
+    * Determinism (the reason this emits mean-probability, not perplexity):
+    * log/exp are libm calls Spark and DuckDB may round differently, so the
+    * per-bigram probability — one IEEE division and one multiplication,
+    * both correctly-rounded operations on integer-derived operands — is
+    * quantized to a scaled long (floor(p·10¹²)) and summed EXACTLY; the
+    * single lossy division happens once per doc, in oracle-identical
+    * order.
+    *
+    * Scale shape: bigram extraction is a map-side array zip (no window,
+    * no self-join); c12/c1 are uniform-key aggregates; scoring joins the
+    * bigram stream back on those same uniform keys; V is one broadcast
+    * scalar row. At 100 TB everything shuffles on word keys — the word
+    * frequency skew ceiling is the Zipf head, which partial aggregation
+    * absorbs map-side. */
+  private[graft] def bigramScores(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), col("lang"),
+        filter(split(col("text"), " "), x => x =!= "").as("tk"))
+      .filter(size(col("tk")) >= 2)
+    val bg = toks.select(col("doc_id"), col("lang"), explode(expr(
+      "transform(sequence(1, size(tk) - 1), " +
+        "i -> struct(element_at(tk, i) AS w1, element_at(tk, i + 1) AS w2))"))
+      .as("b"))
+      .select(col("doc_id"), col("lang"), col("b.w1"), col("b.w2"))
+    val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val v = toks.select(explode(col("tk")).as("w"))
+      .agg(count_distinct(col("w")).as("v"))
+    bg.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .withColumn("sp",
+        floor((col("c12") + lit(1)).cast(DoubleType)
+          / (col("c1") + col("v")) * lit(1e12)).cast(LongType))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("sp")).as("ssum"))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"),
+        trunc4(col("ssum").cast(DoubleType) / col("n_bigrams") / lit(1e12))
+          .as("lm_score"))
+      .orderBy("doc_id")
+  }
+
+  private def textLmBigramScore(s: SparkSession, d: String): DataFrame =
+    bigramScores(t(s, d, "documents"))
+
+  private val oTextLmBigramScore =
+    """WITH d AS (SELECT doc_id, lang,
+      |    list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      |  FROM documents),
+      |toks AS (SELECT doc_id, lang, tk FROM d WHERE len(tk) >= 2),
+      |bg AS (SELECT doc_id, lang, tk[i] AS w1, tk[i+1] AS w2
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk)-1)) AS i)),
+      |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+      |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+      |v AS (SELECT count(DISTINCT w) AS v FROM (
+      |  SELECT unnest(tk) AS w FROM toks)),
+      |sc AS (SELECT bg.doc_id, bg.lang,
+      |    CAST(floor(CAST(c12.c12 + 1 AS DOUBLE) / (c1.c1 + v.v) * 1e12) AS BIGINT) AS sp
+      |  FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+      |SELECT doc_id, lang, count(*) AS n_bigrams,
+      |  floor(CAST(sum(sp) AS DOUBLE) / count(*) / 1e12 * 10000)/10000.0 AS lm_score
+      |FROM sc GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "text_decontaminate"     -> textDecontaminate _,
-    "dedup_substring_capped" -> dedupSubstringCapped _)
+    "dedup_substring_capped" -> dedupSubstringCapped _,
+    "text_lm_bigram_score"   -> textLmBigramScore _)
 
   val oracles: Map[String, String] = Map(
     "text_decontaminate"     -> oTextDecontaminate,
-    "dedup_substring_capped" -> oDedupSubstringCapped)
+    "dedup_substring_capped" -> oDedupSubstringCapped,
+    "text_lm_bigram_score"   -> oTextLmBigramScore)
 }

@@ -86,6 +86,35 @@ class Round7dSpec extends SparkSpec {
     assert(spans === Seq((1L, 2L, 5, 0, 20L)), s"spans were $spans")
   }
 
+  test("text_lm_bigram_score: hand-computed Laplace bigram probabilities on a planted corpus") {
+    import graft.operators.QRound7d
+    // doc 1 "a b a b": bigrams (a,b)x2 (b,a)x1; doc 2 "c d": (c,d)x1
+    // c12: (a,b)=2 (b,a)=1 (c,d)=1; c1: a=2 b=1 c=1; V=4 (a b c d)
+    // doc1: p(a,b)=(2+1)/(2+4)=0.5 twice, p(b,a)=(1+1)/(1+4)=0.4
+    //   mean = (0.5+0.5+0.4)/3 = 0.4666...; doc2: (1+1)/(1+4) = 0.4
+    val df = spark.createDataFrame(Seq(
+      (1L, "en", "a b a b", 7), (2L, "en", "c d", 3)))
+      .toDF("doc_id", "lang", "text", "n_chars")
+    val out = QRound7d.bigramScores(df)
+      .as[(Long, String, Long, Double)].collect().toSeq
+    assert(out === Seq((1L, "en", 3L, 0.4666), (2L, "en", 1L, 0.4)),
+      s"scores were $out")
+  }
+
+  test("text_lm_bigram_score: repeated common transitions outscore a doc of singleton transitions") {
+    import graft.operators.QRound7d
+    val fluent = Seq.fill(10)("the cat sat").mkString(" ")
+    val noise = (1 to 30).map(i => s"n$i").mkString(" ")
+    val df = spark.createDataFrame(Seq(
+      (1L, "en", fluent, fluent.length), (2L, "en", noise, noise.length)))
+      .toDF("doc_id", "lang", "text", "n_chars")
+    val out = QRound7d.bigramScores(df)
+      .as[(Long, String, Long, Double)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(out(1L) > out(2L),
+      s"fluent ${out(1L)} must outscore noise ${out(2L)}")
+  }
+
   test("text_decontaminate: real corpus — fractions bounded, flags match fractions, train docs absent") {
     val rows = SparkEntry.queries("text_decontaminate")(spark, sf)
       .as[(Long, Long, Long, Double, Int)].collect()
