@@ -213,13 +213,62 @@ object QRound7d extends QueryPack {
       |  floor(CAST(sum(sp) AS DOUBLE) / count(*) / 1e12 * 10000)/10000.0 AS lm_score
       |FROM sc GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin
 
+  // ---- last-touch revenue attribution ----
+
+  /** Last-touch attribution over the event stream: every purchase is
+    * credited to the user's most recent PRECEDING non-purchase event type
+    * (the marketing-analytics staple next to the funnel/retention/Markov
+    * keys); purchases with no prior touch credit `(none)`. One window
+    * pass with `last(..., ignoreNulls)` over an unbounded-preceding frame
+    * — the conditional-carry-forward idiom `ts_fill_forward` uses — then
+    * a 5-key rollup of purchase count and exact decimal revenue.
+    *
+    * Scale shape: the single window is partitioned on uniform user_id
+    * (per-user event counts are bounded); no self-join of the stream
+    * against itself — the naive spelling is "for each purchase, max-ts
+    * preceding touch", a range self-join that dies at scale; the final
+    * aggregate is 5 rows. Ordering ties broken by event_id (total order →
+    * partition-count invariant). */
+  private[graft] def attributionLast(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        col("value"))
+      .withColumn("attr",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("attr"), lit("(none)")).as("channel"))
+      .agg(count(lit(1)).as("n_purchases"), sum4(col("value")).as("total_value"))
+      .orderBy("channel")
+  }
+
+  private def chpAttributionLast(s: SparkSession, d: String): DataFrame =
+    attributionLast(t(s, d, "events"))
+
+  private val oChpAttributionLast =
+    s"""WITH s AS (SELECT user_id, ts, event_id, event_type, value,
+       |  last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+       |             IGNORE NULLS)
+       |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS attr
+       |  FROM events)
+       |SELECT coalesce(attr, '(none)') AS channel, count(*) AS n_purchases,
+       |  ${oSum4("value")} AS total_value
+       |FROM s WHERE event_type = 'purchase'
+       |GROUP BY 1 ORDER BY channel""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "text_decontaminate"     -> textDecontaminate _,
     "dedup_substring_capped" -> dedupSubstringCapped _,
-    "text_lm_bigram_score"   -> textLmBigramScore _)
+    "text_lm_bigram_score"   -> textLmBigramScore _,
+    "chp_attribution_last"   -> chpAttributionLast _)
 
   val oracles: Map[String, String] = Map(
     "text_decontaminate"     -> oTextDecontaminate,
     "dedup_substring_capped" -> oDedupSubstringCapped,
-    "text_lm_bigram_score"   -> oTextLmBigramScore)
+    "text_lm_bigram_score"   -> oTextLmBigramScore,
+    "chp_attribution_last"   -> oChpAttributionLast)
 }

@@ -80,7 +80,8 @@ class HarnessSpec extends SparkSpec {
     "text_bpe_merges", "text_bpe_encode", "stream_dedup_within_wm",
     "mm_scene_cuts", "sql_udf_inline",
     // round 7d: corpus governance (hash-split decontamination, df cap)
-    "text_decontaminate", "dedup_substring_capped", "text_lm_bigram_score")
+    "text_decontaminate", "dedup_substring_capped", "text_lm_bigram_score",
+    "chp_attribution_last")
 
   probeKeys.foreach { key =>
     test(s"$key: identical at shuffle.partitions 1 and 32") {

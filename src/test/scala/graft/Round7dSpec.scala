@@ -115,6 +115,28 @@ class Round7dSpec extends SparkSpec {
       s"fluent ${out(1L)} must outscore noise ${out(2L)}")
   }
 
+  test("chp_attribution_last: purchases credit the most recent preceding touch, or (none)") {
+    import graft.operators.QRound7d
+    import java.time.LocalDateTime
+    def ts(m: Int) = LocalDateTime.of(2024, 1, 1, 10, m)
+    // user 1: click -> purchase(10) -> view -> purchase(5)
+    // user 2: purchase(3) with no prior touch
+    // user 3: signup -> error -> purchase(7): error is the LAST touch
+    val events = Seq(
+      (1L, ts(0), 1L, "click", 0.0), (2L, ts(1), 1L, "purchase", 10.0),
+      (3L, ts(2), 1L, "view", 0.0), (4L, ts(3), 1L, "purchase", 5.0),
+      (5L, ts(0), 2L, "purchase", 3.0),
+      (6L, ts(0), 3L, "signup", 0.0), (7L, ts(1), 3L, "error", 0.0),
+      (8L, ts(2), 3L, "purchase", 7.0))
+    val df = spark.createDataFrame(events)
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = QRound7d.attributionLast(df)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(out === Seq(
+      ("(none)", 1L, 3.0), ("click", 1L, 10.0),
+      ("error", 1L, 7.0), ("view", 1L, 5.0)), s"attribution was $out")
+  }
+
   test("text_decontaminate: real corpus — fractions bounded, flags match fractions, train docs absent") {
     val rows = SparkEntry.queries("text_decontaminate")(spark, sf)
       .as[(Long, Long, Long, Double, Int)].collect()
