@@ -260,15 +260,48 @@ object QRound7d extends QueryPack {
        |FROM s WHERE event_type = 'purchase'
        |GROUP BY 1 ORDER BY channel""".stripMargin
 
+  // ---- parameterized SQL (named parameter markers) ----
+
+  /** Spark 4 parameterized SQL: the query text carries `:name` markers and
+    * the values arrive as a typed map — the injection-safe surface every
+    * SQL-facing application layer should use instead of string
+    * interpolation (values are bound as typed literals by the parser, so a
+    * hostile string can never terminate the statement). Catalyst sees
+    * plain literals after binding: the `:minp` predicate pushes down to
+    * the parquet scan exactly like a hand-written constant, which
+    * Round7dSpec asserts via PushedFilters. The oracle replays with the
+    * literals inlined — by construction the same query. */
+  private def sqlParameterized(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "orders").createOrReplaceTempView("g_orders")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM g_orders
+        |WHERE o_totalprice >= :minp AND o_orderpriority <> :skip
+        |GROUP BY o_orderstatus, o_orderpriority
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+      Map("minp" -> 50000, "skip" -> "3-MEDIUM"))
+  }
+
+  private val oSqlParameterized =
+    s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       |  ${oSum4("o_totalprice")} AS sum_price
+       |FROM orders
+       |WHERE o_totalprice >= 50000 AND o_orderpriority <> '3-MEDIUM'
+       |GROUP BY o_orderstatus, o_orderpriority
+       |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "text_decontaminate"     -> textDecontaminate _,
     "dedup_substring_capped" -> dedupSubstringCapped _,
     "text_lm_bigram_score"   -> textLmBigramScore _,
-    "chp_attribution_last"   -> chpAttributionLast _)
+    "chp_attribution_last"   -> chpAttributionLast _,
+    "sql_parameterized"      -> sqlParameterized _)
 
   val oracles: Map[String, String] = Map(
     "text_decontaminate"     -> oTextDecontaminate,
     "dedup_substring_capped" -> oDedupSubstringCapped,
     "text_lm_bigram_score"   -> oTextLmBigramScore,
-    "chp_attribution_last"   -> oChpAttributionLast)
+    "chp_attribution_last"   -> oChpAttributionLast,
+    "sql_parameterized"      -> oSqlParameterized)
 }

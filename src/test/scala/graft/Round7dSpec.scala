@@ -137,6 +137,19 @@ class Round7dSpec extends SparkSpec {
       ("error", 1L, 7.0), ("view", 1L, 5.0)), s"attribution was $out")
   }
 
+  test("sql_parameterized: bound parameters behave as typed literals — pushdown intact, injection inert") {
+    val df = SparkEntry.queries("sql_parameterized")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(o_totalprice,50000"),
+      s"bound :minp predicate did not reach the scan:\n$plan")
+    // a hostile value binds as an inert string, never as SQL text
+    val hostile = spark.sql(
+      "SELECT count(*) AS n FROM g_orders WHERE o_orderpriority = :p",
+      Map("p" -> "x' OR '1'='1"))
+    assert(hostile.as[Long].head() === 0L)
+  }
+
   test("text_decontaminate: real corpus — fractions bounded, flags match fractions, train docs absent") {
     val rows = SparkEntry.queries("text_decontaminate")(spark, sf)
       .as[(Long, Long, Long, Double, Int)].collect()
