@@ -260,6 +260,80 @@ object QRound7d extends QueryPack {
        |FROM s WHERE event_type = 'purchase'
        |GROUP BY 1 ORDER BY channel""".stripMargin
 
+  // ---- asymmetric containment dedup ----
+
+  private val ctW = 3      // trigram shingles (the LSH unit)
+  private val ctCap = 4    // trigram document-frequency boilerplate cap
+  // threshold compared on trunc4'd values so the cut is engine-identical
+
+  /** Asymmetric CONTAINMENT near-dup pairs: containment(A→B) =
+    * |shingles(A) ∩ shingles(B)| / |shingles(A)| — the signal that
+    * catches subset duplicates (a quoted article inside a longer page,
+    * a doc that is a fragment of another), which symmetric Jaccard — and
+    * therefore Jaccard-banded LSH — misses BY CONSTRUCTION: a small doc
+    * fully contained in a big one has near-zero Jaccard, so no LSH band
+    * ever collides. Candidates instead come from the df-capped trigram
+    * equi-join (the `dedup_substring_capped` guard at trigram
+    * granularity); |A|/|B| stay uncapped so the reported containment is
+    * a floor, never inflated by the cap. Emits both directions for every
+    * pair where either trunc4'd containment ≥ 0.5.
+    *
+    * Scale shape: distinct trigram explode is map-side; the df table and
+    * the match join are uniform-md5-key shuffles with the pair fan-out
+    * bounded by O(dfCap²) per fingerprint; per-doc sizes are one more
+    * uniform-key aggregate. No LSH pass, no all-pairs join anywhere. */
+  private[graft] def containmentPairs(docs: DataFrame): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), filter(split(col("text"), " "), x => x =!= "").as("tk"))
+      .filter(size(col("tk")) >= ctW)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(tk) - ${ctW - 1}), " +
+          s"i -> md5(array_join(slice(tk, i, $ctW), ' ')))")).as("h"))
+      .distinct()
+    val hot = sh.groupBy("h").agg(count(lit(1)).as("dfreq"))
+      .filter(col("dfreq") > ctCap).select("h")
+    val cold = sh.join(hot, Seq("h"), "left_anti")
+    val inter = cold.select(col("doc_id").as("a_id"), col("h"))
+      .join(cold.select(col("doc_id").as("b_id"), col("h")), "h")
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+    val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    inter
+      .join(n.select(col("doc_id").as("a_id"), col("n").as("n_a")), "a_id")
+      .join(n.select(col("doc_id").as("b_id"), col("n").as("n_b")), "b_id")
+      .withColumn("cont_ab", trunc4(col("inter").cast(DoubleType) / col("n_a")))
+      .withColumn("cont_ba", trunc4(col("inter").cast(DoubleType) / col("n_b")))
+      .filter(col("cont_ab") >= lit(5e-1) || col("cont_ba") >= lit(5e-1))
+      .select(col("a_id"), col("b_id"), col("inter"), col("n_a"), col("n_b"),
+        col("cont_ab"), col("cont_ba"))
+      .orderBy("a_id", "b_id")
+  }
+
+  private def textContainmentPairs(s: SparkSession, d: String): DataFrame =
+    containmentPairs(t(s, d, "documents"))
+
+  private val oTextContainmentPairs =
+    s"""WITH d AS (SELECT doc_id,
+       |    list_filter(string_split(text, ' '), x -> x <> '') AS tk
+       |  FROM documents),
+       |toks AS (SELECT doc_id, tk FROM d WHERE len(tk) >= $ctW),
+       |sh AS (SELECT DISTINCT doc_id, md5(array_to_string(tk[i:i+${ctW - 1}], ' ')) AS h
+       |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk)-${ctW - 1})) AS i)),
+       |hot AS (SELECT h FROM (SELECT h, count(*) AS dfreq FROM sh GROUP BY h)
+       |  WHERE dfreq > $ctCap),
+       |cold AS (SELECT * FROM sh WHERE h NOT IN (SELECT h FROM hot)),
+       |m AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+       |  FROM cold a JOIN cold b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |c AS (SELECT m.a_id, m.b_id, m.inter, x.n AS n_a, y.n AS n_b,
+       |    ${oTrunc4("CAST(m.inter AS DOUBLE) / x.n")} AS cont_ab,
+       |    ${oTrunc4("CAST(m.inter AS DOUBLE) / y.n")} AS cont_ba
+       |  FROM m JOIN n x ON x.doc_id = m.a_id JOIN n y ON y.doc_id = m.b_id)
+       |SELECT a_id, b_id, inter, n_a, n_b, cont_ab, cont_ba FROM c
+       |WHERE cont_ab >= 5e-1 OR cont_ba >= 5e-1
+       |ORDER BY a_id, b_id""".stripMargin
+
   // ---- parameterized SQL (named parameter markers) ----
 
   /** Spark 4 parameterized SQL: the query text carries `:name` markers and
@@ -296,12 +370,14 @@ object QRound7d extends QueryPack {
     "dedup_substring_capped" -> dedupSubstringCapped _,
     "text_lm_bigram_score"   -> textLmBigramScore _,
     "chp_attribution_last"   -> chpAttributionLast _,
-    "sql_parameterized"      -> sqlParameterized _)
+    "sql_parameterized"      -> sqlParameterized _,
+    "text_containment_pairs" -> textContainmentPairs _)
 
   val oracles: Map[String, String] = Map(
     "text_decontaminate"     -> oTextDecontaminate,
     "dedup_substring_capped" -> oDedupSubstringCapped,
     "text_lm_bigram_score"   -> oTextLmBigramScore,
     "chp_attribution_last"   -> oChpAttributionLast,
-    "sql_parameterized"      -> oSqlParameterized)
+    "sql_parameterized"      -> oSqlParameterized,
+    "text_containment_pairs" -> oTextContainmentPairs)
 }

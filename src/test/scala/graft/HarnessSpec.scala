@@ -81,7 +81,7 @@ class HarnessSpec extends SparkSpec {
     "mm_scene_cuts", "sql_udf_inline",
     // round 7d: corpus governance (hash-split decontamination, df cap)
     "text_decontaminate", "dedup_substring_capped", "text_lm_bigram_score",
-    "chp_attribution_last", "sql_parameterized")
+    "chp_attribution_last", "sql_parameterized", "text_containment_pairs")
 
   probeKeys.foreach { key =>
     test(s"$key: identical at shuffle.partitions 1 and 32") {

@@ -150,6 +150,26 @@ class Round7dSpec extends SparkSpec {
     assert(hostile.as[Long].head() === 0L)
   }
 
+  test("text_containment_pairs: a subset doc is caught at containment 1.0 where Jaccard would miss it") {
+    import graft.operators.QRound7d
+    val big = (1 to 60).map(i => s"w$i").mkString(" ")
+    val fragment = (20 to 29).map(i => s"w$i").mkString(" ") // 10 tokens of big
+    val other = (1 to 40).map(i => s"z$i").mkString(" ")
+    val df = spark.createDataFrame(Seq(
+      (1L, "en", big, big.length), (2L, "en", fragment, fragment.length),
+      (3L, "en", other, other.length)))
+      .toDF("doc_id", "lang", "text", "n_chars")
+    val out = QRound7d.containmentPairs(df)
+      .as[(Long, Long, Long, Long, Long, Double, Double)].collect().toSeq
+    // fragment: 8 trigrams, all inside big's 58 -> cont_ba = 1.0
+    assert(out === Seq((1L, 2L, 8L, 58L, 8L, 0.1379, 1.0)),
+      s"pairs were $out")
+    // and the Jaccard this pair would score under the symmetric keys is
+    // hopeless — which is exactly why containment is its own operator
+    val jaccard = 8.0 / (58 + 8 - 8)
+    assert(jaccard < 0.15)
+  }
+
   test("text_decontaminate: real corpus — fractions bounded, flags match fractions, train docs absent") {
     val rows = SparkEntry.queries("text_decontaminate")(spark, sf)
       .as[(Long, Long, Long, Double, Int)].collect()
