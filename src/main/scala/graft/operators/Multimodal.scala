@@ -366,6 +366,55 @@ object Multimodal {
     })
   }
 
+  case class AudioEnergy(media_id: Long, n_windows: Int, n_active: Int,
+      max_run: Int, active_frac: Double)
+
+  /** Windowed energy segmentation (the voice-activity-detection primitive
+    * an audio curation pipeline filters and chunks by): split the PCM
+    * stream into full `win`-sample windows, mark a window ACTIVE when its
+    * |amplitude| sum exceeds `thrPerSample * win` — a pure integer compare,
+    * so the active/silent cut is bit-exact in any engine — and report
+    * window counts plus the longest consecutive active run (the longest
+    * speech burst). Trailing partial windows are dropped (both engines
+    * agree on n/win full windows). The single division (active fraction)
+    * is trunc4'd last. */
+  def audioEnergy(media: Dataset[MediaRow], win: Int = 16,
+      thrPerSample: Long = 512L): Dataset[AudioEnergy] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      decodeWavSamples(r.payload).map { samples =>
+        val nw = samples.length / win
+        var active = 0; var run = 0; var maxRun = 0
+        var w = 0
+        while (w < nw) {
+          var s = 0L; var i = 0
+          while (i < win) { s += math.abs(samples(w * win + i).toLong); i += 1 }
+          if (s > thrPerSample * win) { active += 1; run += 1
+            if (run > maxRun) maxRun = run
+          } else run = 0
+          w += 1
+        }
+        AudioEnergy(r.media_id, nw, active, maxRun,
+          if (nw == 0) 0.0
+          else math.floor(active.toDouble / nw * 10000) / 10000.0)
+      }
+    })
+  }
+
+  /** Raw sample view of the canonical WAV layout `decodeWav` accepts. */
+  def decodeWavSamples(p: Array[Byte]): Option[Array[Short]] = {
+    def ascii(off: Int, s: String): Boolean =
+      p.length >= off + s.length && s.indices.forall(i => p(off + i) == s(i).toByte)
+    def le16(off: Int): Int = (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8)
+    def le32(off: Int): Int = le16(off) | (le16(off + 2) << 16)
+    if (p.length < 44 || !ascii(0, "RIFF") || !ascii(8, "WAVE") ||
+      !ascii(12, "fmt ") || le32(16) != 16 || le16(20) != 1 ||
+      le16(22) != 1 || le16(34) != 16 || !ascii(36, "data")) return None
+    val dataLen = le32(40)
+    if (dataLen < 0 || dataLen % 2 != 0 || p.length - 44 < dataLen) return None
+    Some(Array.tabulate(dataLen / 2)(i => le16(44 + 2 * i).toShort))
+  }
+
   /** Audio lake of synthesized WAV payloads keyed by doc_id. */
   def audioFromDocuments(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
     import spark.implicits._

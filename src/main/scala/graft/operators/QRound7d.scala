@@ -334,6 +334,47 @@ object QRound7d extends QueryPack {
        |WHERE cont_ab >= 5e-1 OR cont_ba >= 5e-1
        |ORDER BY a_id, b_id""".stripMargin
 
+  // ---- audio energy segmentation (VAD primitive) ----
+
+  /** Windowed energy segmentation over the WAV lake — the
+    * voice-activity-detection primitive an audio curation pipeline
+    * filters and chunks by: 16-sample windows, ACTIVE when the integer
+    * |amplitude| sum exceeds 512/sample (exact compare, no floats), per
+    * clip: window counts, longest active run (longest speech burst), and
+    * the active fraction. Decode + segmentation run per partition over
+    * opaque payloads (Multimodal.audioEnergy); only the 5-column summary
+    * ever shuffles. Oracle replays every sample from the synthesis
+    * formula analytically, including the gaps-and-islands run length. */
+  private def mmAudioEnergy(s: SparkSession, d: String): DataFrame =
+    Multimodal.audioEnergy(Multimodal.audioFromDocuments(s, d))
+      .toDF().orderBy("media_id")
+
+  private val oMmAudioEnergy =
+    """WITH d AS (SELECT doc_id, CAST(64 + doc_id % 64 AS INT) AS n
+      |  FROM documents),
+      |sm AS (SELECT doc_id, n, i,
+      |    abs((doc_id*37 + i*11) % 2048 - 1024) AS a,
+      |    CAST(i // 16 AS INT) AS w
+      |  FROM d, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i)),
+      |wn AS (SELECT doc_id, n, w, sum(a) AS s FROM sm
+      |  WHERE w < n // 16 GROUP BY doc_id, n, w),
+      |act AS (SELECT doc_id, n, w, CASE WHEN s > 8192 THEN 1 ELSE 0 END AS active
+      |  FROM wn),
+      |runs AS (SELECT doc_id,
+      |    w - row_number() OVER (PARTITION BY doc_id ORDER BY w) AS g
+      |  FROM act WHERE active = 1),
+      |rl AS (SELECT doc_id, count(*) AS len FROM runs GROUP BY doc_id, g),
+      |mr AS (SELECT doc_id, max(len) AS max_run FROM rl GROUP BY doc_id),
+      |ag AS (SELECT doc_id, CAST(n // 16 AS INT) AS n_windows,
+      |    CAST(sum(active) AS INT) AS n_active
+      |  FROM act GROUP BY doc_id, n)
+      |SELECT ag.doc_id AS media_id, ag.n_windows, ag.n_active,
+      |  CAST(coalesce(mr.max_run, 0) AS INT) AS max_run,
+      |  floor(CAST(ag.n_active AS DOUBLE) / ag.n_windows * 10000)/10000.0
+      |    AS active_frac
+      |FROM ag LEFT JOIN mr ON mr.doc_id = ag.doc_id
+      |ORDER BY media_id""".stripMargin
+
   // ---- parameterized SQL (named parameter markers) ----
 
   /** Spark 4 parameterized SQL: the query text carries `:name` markers and
@@ -371,7 +412,8 @@ object QRound7d extends QueryPack {
     "text_lm_bigram_score"   -> textLmBigramScore _,
     "chp_attribution_last"   -> chpAttributionLast _,
     "sql_parameterized"      -> sqlParameterized _,
-    "text_containment_pairs" -> textContainmentPairs _)
+    "text_containment_pairs" -> textContainmentPairs _,
+    "mm_audio_energy"        -> mmAudioEnergy _)
 
   val oracles: Map[String, String] = Map(
     "text_decontaminate"     -> oTextDecontaminate,
@@ -379,5 +421,6 @@ object QRound7d extends QueryPack {
     "text_lm_bigram_score"   -> oTextLmBigramScore,
     "chp_attribution_last"   -> oChpAttributionLast,
     "sql_parameterized"      -> oSqlParameterized,
-    "text_containment_pairs" -> oTextContainmentPairs)
+    "text_containment_pairs" -> oTextContainmentPairs,
+    "mm_audio_energy"        -> oMmAudioEnergy)
 }

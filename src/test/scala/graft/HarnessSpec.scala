@@ -81,7 +81,8 @@ class HarnessSpec extends SparkSpec {
     "mm_scene_cuts", "sql_udf_inline",
     // round 7d: corpus governance (hash-split decontamination, df cap)
     "text_decontaminate", "dedup_substring_capped", "text_lm_bigram_score",
-    "chp_attribution_last", "sql_parameterized", "text_containment_pairs")
+    "chp_attribution_last", "sql_parameterized", "text_containment_pairs",
+    "mm_audio_energy")
 
   probeKeys.foreach { key =>
     test(s"$key: identical at shuffle.partitions 1 and 32") {

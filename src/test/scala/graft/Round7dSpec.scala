@@ -170,6 +170,41 @@ class Round7dSpec extends SparkSpec {
     assert(jaccard < 0.15)
   }
 
+  test("mm_audio_energy: silent and loud regions segment exactly, with the longest run reported") {
+    import graft.operators.Multimodal
+    def wav(samples: Seq[Int]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(8000).putInt(16000)
+        .putShort(2).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach(v => buf.putShort(v.toShort))
+      buf.array()
+    }
+    // 2 silent windows, then 2 loud windows, then a trailing partial
+    // window (dropped) -> 4 windows, 2 active, run 2, frac 0.5
+    val speech = wav(Seq.fill(32)(0) ++ Seq.fill(32)(1000) ++ Seq.fill(7)(1000))
+    // loud / silent / loud -> runs of 1, max_run 1
+    val choppy = wav(Seq.fill(16)(1000) ++ Seq.fill(16)(0) ++ Seq.fill(16)(1000))
+    val silent = wav(Seq.fill(32)(3))
+    val media = Seq(
+      Multimodal.MediaRow(1L, speech, "wav"),
+      Multimodal.MediaRow(2L, choppy, "wav"),
+      Multimodal.MediaRow(3L, silent, "wav")).toDS()
+    val out = Multimodal.audioEnergy(media).collect()
+      .map(r => r.media_id -> r).toMap
+    assert(out(1L).n_windows === 4 && out(1L).n_active === 2 &&
+      out(1L).max_run === 2 && out(1L).active_frac === 0.5)
+    assert(out(2L).n_windows === 3 && out(2L).n_active === 2 &&
+      out(2L).max_run === 1)
+    assert(out(3L).n_windows === 2 && out(3L).n_active === 0 &&
+      out(3L).max_run === 0 && out(3L).active_frac === 0.0)
+  }
+
   test("text_decontaminate: real corpus — fractions bounded, flags match fractions, train docs absent") {
     val rows = SparkEntry.queries("text_decontaminate")(spark, sf)
       .as[(Long, Long, Long, Double, Int)].collect()
