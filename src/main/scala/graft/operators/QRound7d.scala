@@ -375,6 +375,55 @@ object QRound7d extends QueryPack {
       |FROM ag LEFT JOIN mr ON mr.doc_id = ag.doc_id
       |ORDER BY media_id""".stripMargin
 
+  // ---- training-mixture domain weights ----
+
+  /** Domain-mixture rebalancing weights — the table a training pipeline
+    * feeds its sampler to hit a target data mixture: per (lang, source)
+    * domain, doc/token counts, the domain's realized token share, and the
+    * sampling weight that moves the mixture to the UNIFORM target
+    * (weight = total / (n_domains · domain_tokens): domains over-
+    * represented in tokens get weight < 1, rare domains > 1; any other
+    * target mixture is the same query with a different numerator). The
+    * HT-sampling key consumes exactly such weights.
+    *
+    * Determinism: counts are exact longs; share and weight are each ONE
+    * correctly-rounded division off integer operands, trunc4'd last.
+    * Scale shape: one map-side tokenize + one uniform-key aggregate; the
+    * totals are a broadcast single-row cross join (never a global
+    * window). */
+  private[graft] def domainMix(docs: DataFrame): DataFrame = {
+    val dom = docs
+      .select(col("lang"), col("source"),
+        size(filter(split(col("text"), " "), x => x =!= "")).as("n_toks"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+    val tot = dom.agg(sum(col("n_tokens")).as("total"),
+      count(lit(1)).as("n_dom"))
+    dom.crossJoin(broadcast(tot))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
+        trunc4(col("n_tokens").cast(DoubleType) / col("total"))
+          .as("token_share"),
+        trunc4(col("total").cast(DoubleType) / (col("n_dom") * col("n_tokens")))
+          .as("mix_weight"))
+      .orderBy("lang", "source")
+  }
+
+  private def pipelineDomainMix(s: SparkSession, d: String): DataFrame =
+    domainMix(t(s, d, "documents"))
+
+  private val oPipelineDomainMix =
+    s"""WITH dm AS (SELECT lang, source, count(*) AS n_docs,
+       |    CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT)
+       |      AS n_tokens
+       |  FROM documents GROUP BY lang, source),
+       |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total,
+       |    count(*) AS n_dom FROM dm)
+       |SELECT dm.lang, dm.source, dm.n_docs, dm.n_tokens,
+       |  ${oTrunc4("CAST(dm.n_tokens AS DOUBLE) / tot.total")} AS token_share,
+       |  ${oTrunc4("CAST(tot.total AS DOUBLE) / (tot.n_dom * dm.n_tokens)")} AS mix_weight
+       |FROM dm CROSS JOIN tot
+       |ORDER BY dm.lang, dm.source""".stripMargin
+
   // ---- parameterized SQL (named parameter markers) ----
 
   /** Spark 4 parameterized SQL: the query text carries `:name` markers and
@@ -413,7 +462,8 @@ object QRound7d extends QueryPack {
     "chp_attribution_last"   -> chpAttributionLast _,
     "sql_parameterized"      -> sqlParameterized _,
     "text_containment_pairs" -> textContainmentPairs _,
-    "mm_audio_energy"        -> mmAudioEnergy _)
+    "mm_audio_energy"        -> mmAudioEnergy _,
+    "pipeline_domain_mix"    -> pipelineDomainMix _)
 
   val oracles: Map[String, String] = Map(
     "text_decontaminate"     -> oTextDecontaminate,
@@ -422,5 +472,6 @@ object QRound7d extends QueryPack {
     "chp_attribution_last"   -> oChpAttributionLast,
     "sql_parameterized"      -> oSqlParameterized,
     "text_containment_pairs" -> oTextContainmentPairs,
-    "mm_audio_energy"        -> oMmAudioEnergy)
+    "mm_audio_energy"        -> oMmAudioEnergy,
+    "pipeline_domain_mix"    -> oPipelineDomainMix)
 }

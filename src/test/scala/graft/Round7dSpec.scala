@@ -205,6 +205,25 @@ class Round7dSpec extends SparkSpec {
       out(3L).max_run === 0 && out(3L).active_frac === 0.0)
   }
 
+  test("pipeline_domain_mix: weights move a skewed mixture to the uniform target") {
+    import graft.operators.QRound7d
+    val df = spark.createDataFrame(Seq(
+      (1L, "en", "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 a11 a12 a13 a14 a15", "web", 1),
+      (2L, "en", "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10 b11 b12 b13 b14 b15", "web", 1),
+      (3L, "en", "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10", "books", 1)))
+      .toDF("doc_id", "lang", "text", "source", "n_chars")
+    val out = QRound7d.domainMix(df)
+      .as[(String, String, Long, Long, Double, Double)].collect().toSeq
+    // books: 10/40 tokens -> share 0.25, weight 40/(2*10) = 2.0
+    // web: 30/40 -> share 0.75, weight 40/(2*30) = 0.6666
+    assert(out === Seq(
+      ("en", "books", 1L, 10L, 0.25, 2.0),
+      ("en", "web", 2L, 30L, 0.75, 0.6666)), s"mix was $out")
+    // the defining property: weight * tokens is equal across domains
+    val w = out.map(r => r._6 * r._4)
+    assert(math.abs(w.head - w.last) < w.head * 0.001)
+  }
+
   test("text_decontaminate: real corpus — fractions bounded, flags match fractions, train docs absent") {
     val rows = SparkEntry.queries("text_decontaminate")(spark, sf)
       .as[(Long, Long, Long, Double, Int)].collect()
