@@ -208,7 +208,7 @@ object QPipeline extends QueryPack {
   // `0.02` parses as DECIMAL there, and mixed decimal/double arithmetic
   // drifts one ulp from Spark's pure-double chain (caught at sf0.1: one
   // row sat exactly on a trunc4 boundary)
-  private val oChpScoreChain =
+  private[operators] val oChpScoreChain =
     s"""WITH f AS ($oChpFeaturesLabel),
        |  sc AS (SELECT user_id, n_purchases, total_value,
        |    ${oTrunc4("greatest(least(((2e-2 * n_clicks + 1e-1 * n_purchases) " +

@@ -424,6 +424,38 @@ object QRound7d extends QueryPack {
        |FROM dm CROSS JOIN tot
        |ORDER BY dm.lang, dm.source""".stripMargin
 
+  // ---- model calibration (reliability table) ----
+
+  /** Model calibration / reliability table: per score decile, user count,
+    * mean model score, and the OBSERVED churn rate — the artifact that
+    * answers "does the score mean what it claims" (`chp_eval_lift` ranks
+    * value concentration; this key checks probability alignment, the
+    * other half of model evaluation). A well-ordered engagement score
+    * shows churn falling monotonically with decile — Round7dSpec gates
+    * the endpoint ordering. Composes the memoized scored table with the
+    * label source on the uniform user key; the rollup is 10 rows.
+    * Deterministic: exact decile (the bounded-histogram two-pass spelling
+    * `chp_score_linear` carries), avg4 means. */
+  private def chpCalibrationBins(s: SparkSession, d: String): DataFrame = {
+    val scored = QPipeline.queries("chp_score_linear")(s, d)
+      .select("user_id", "score", "decile")
+    val labels = QPipeline.queries("chp_features_label")(s, d)
+      .select("user_id", "churn_label")
+    scored.join(labels, "user_id")
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_users"), avg4(col("score")).as("avg_score"),
+        avg4(col("churn_label")).as("churn_rate"))
+      .orderBy("decile")
+  }
+
+  private val oChpCalibrationBins =
+    s"""${QPipeline.oChpScoreChain}
+       |SELECT dc.decile, count(*) AS n_users,
+       |  ${oAvg4("dc.score")} AS avg_score,
+       |  ${oAvg4("f.churn_label")} AS churn_rate
+       |FROM dc JOIN f ON f.user_id = dc.user_id
+       |GROUP BY dc.decile ORDER BY dc.decile""".stripMargin
+
   // ---- parameterized SQL (named parameter markers) ----
 
   /** Spark 4 parameterized SQL: the query text carries `:name` markers and
@@ -463,7 +495,8 @@ object QRound7d extends QueryPack {
     "sql_parameterized"      -> sqlParameterized _,
     "text_containment_pairs" -> textContainmentPairs _,
     "mm_audio_energy"        -> mmAudioEnergy _,
-    "pipeline_domain_mix"    -> pipelineDomainMix _)
+    "pipeline_domain_mix"    -> pipelineDomainMix _,
+    "chp_calibration_bins"   -> chpCalibrationBins _)
 
   val oracles: Map[String, String] = Map(
     "text_decontaminate"     -> oTextDecontaminate,
@@ -473,5 +506,6 @@ object QRound7d extends QueryPack {
     "sql_parameterized"      -> oSqlParameterized,
     "text_containment_pairs" -> oTextContainmentPairs,
     "mm_audio_energy"        -> oMmAudioEnergy,
-    "pipeline_domain_mix"    -> oPipelineDomainMix)
+    "pipeline_domain_mix"    -> oPipelineDomainMix,
+    "chp_calibration_bins"   -> oChpCalibrationBins)
 }

@@ -224,6 +224,20 @@ class Round7dSpec extends SparkSpec {
     assert(math.abs(w.head - w.last) < w.head * 0.001)
   }
 
+  test("chp_calibration_bins: ten full bins, user conservation, and churn falling from bottom to top decile") {
+    val rows = SparkEntry.queries("chp_calibration_bins")(spark, sf)
+      .as[(Int, Long, Double, Double)].collect().toSeq
+    assert(rows.map(_._1) === (1 to 10), s"deciles were ${rows.map(_._1)}")
+    val nUsers = SparkEntry.queries("chp_features_label")(spark, sf).count()
+    assert(rows.map(_._2).sum === nUsers, "calibration bins must conserve users")
+    rows.foreach { case (_, _, _, rate) => assert(rate >= 0.0 && rate <= 1.0) }
+    // decile 1 = highest engagement score: it must churn no more than decile 10
+    assert(rows.head._4 <= rows.last._4,
+      s"top decile churn ${rows.head._4} vs bottom ${rows.last._4}")
+    // scores must be non-increasing across deciles (the ntile ordering)
+    assert(rows.map(_._3) === rows.map(_._3).sorted.reverse)
+  }
+
   test("text_decontaminate: real corpus — fractions bounded, flags match fractions, train docs absent") {
     val rows = SparkEntry.queries("text_decontaminate")(spark, sf)
       .as[(Long, Long, Long, Double, Int)].collect()
