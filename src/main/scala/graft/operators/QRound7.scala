@@ -238,8 +238,18 @@ object QRound7 extends QueryPack {
   private[graft] def substringSpans(docs: DataFrame): DataFrame =
     mergeSpans(shingleMatches(shingleTable(docs)))
 
+  /** Memoized + persisted stride-1 shingle table of the documents corpus:
+    * three declared keys consume it (span miner, per-doc summary, df-
+    * capped variant) and each would otherwise re-tokenize and re-hash the
+    * whole corpus — the same share-the-expensive-leaf pattern as
+    * `shingledPersisted` in the LSH family. */
+  private[operators] def shingleTablePersisted(s: SparkSession, d: String): DataFrame =
+    graft.Memo.memo(s, "subshingles", d)(
+      shingleTable(t(s, d, "documents"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   private def textDedupSubstring(s: SparkSession, d: String): DataFrame =
-    substringSpans(t(s, d, "documents"))
+    mergeSpans(shingleMatches(shingleTablePersisted(s, d)))
 
   /** Per-document shift-tolerant duplication audit — the actionable
     * curation signal on top of the span miner: for every document (with
@@ -250,7 +260,7 @@ object QRound7 extends QueryPack {
     * sits. Scale shape: same md5 equi-join as the span miner, then one
     * distinct + count per doc — all uniform keys, no window at all. */
   private def dedupSubstringSummary(s: SparkSession, d: String): DataFrame = {
-    val sh = shingleTable(t(s, d, "documents"))
+    val sh = shingleTablePersisted(s, d)
     val m = shingleMatches(sh)
     val dup = m.select(col("a_id").as("doc_id"), col("pa").as("pos"))
       .unionAll(m.select(col("b_id").as("doc_id"), col("pb").as("pos")))

@@ -108,8 +108,7 @@ object QRound7d extends QueryPack {
     * band join relies on. dfCap=2 here (this corpus's max df is 3);
     * production sets it ~1000 — the semantics are threshold-parametric,
     * not threshold-dependent. */
-  private[graft] def substringSpansCapped(docs: DataFrame): DataFrame = {
-    val sh = QRound7.shingleTable(docs)
+  private def cappedSpansFrom(sh: DataFrame): DataFrame = {
     val hot = sh.groupBy("h")
       .agg(count_distinct(col("doc_id")).as("dfreq"))
       .filter(col("dfreq") > dfCap).select("h")
@@ -117,8 +116,11 @@ object QRound7d extends QueryPack {
       QRound7.shingleMatches(sh.join(hot, Seq("h"), "left_anti")))
   }
 
+  private[graft] def substringSpansCapped(docs: DataFrame): DataFrame =
+    cappedSpansFrom(QRound7.shingleTable(docs))
+
   private def dedupSubstringCapped(s: SparkSession, d: String): DataFrame =
-    substringSpansCapped(t(s, d, "documents"))
+    cappedSpansFrom(QRound7.shingleTablePersisted(s, d))
 
   private val oDedupSubstringCapped =
     s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
