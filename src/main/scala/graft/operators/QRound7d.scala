@@ -284,14 +284,22 @@ object QRound7d extends QueryPack {
     * the match join are uniform-md5-key shuffles with the pair fan-out
     * bounded by O(dfCap²) per fingerprint; per-doc sizes are one more
     * uniform-key aggregate. No LSH pass, no all-pairs join anywhere. */
-  private[graft] def containmentPairs(docs: DataFrame): DataFrame = {
-    val sh = docs
+  private def ctShingles(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), filter(split(col("text"), " "), x => x =!= "").as("tk"))
       .filter(size(col("tk")) >= ctW)
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(1, size(tk) - ${ctW - 1}), " +
           s"i -> md5(array_join(slice(tk, i, $ctW), ' ')))")).as("h"))
       .distinct()
+
+  private[graft] def containmentPairs(docs: DataFrame): DataFrame =
+    containmentFrom(ctShingles(docs))
+
+  /** The distinct-trigram table feeds FOUR plan branches (df cap, both
+    * join sides, per-doc sizes) — persist it once per (session, sfDir)
+    * instead of re-tokenizing the corpus four times. */
+  private def containmentFrom(sh: DataFrame): DataFrame = {
     val hot = sh.groupBy("h").agg(count(lit(1)).as("dfreq"))
       .filter(col("dfreq") > ctCap).select("h")
     val cold = sh.join(hot, Seq("h"), "left_anti")
@@ -312,7 +320,9 @@ object QRound7d extends QueryPack {
   }
 
   private def textContainmentPairs(s: SparkSession, d: String): DataFrame =
-    containmentPairs(t(s, d, "documents"))
+    containmentFrom(graft.Memo.memo(s, "ctshingles", d)(
+      ctShingles(t(s, d, "documents"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
 
   private val oTextContainmentPairs =
     s"""WITH d AS (SELECT doc_id,
