@@ -275,7 +275,7 @@ object QRound7 extends QueryPack {
       .orderBy("doc_id")
   }
 
-  private val oDedupSubstringSummary =
+  private[operators] val oDedupSubstringSummary =
     s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
        |sh AS (SELECT doc_id, CAST(i AS INT) AS pos,
        |    md5(array_to_string(tk[i+1:i+$ssW], ' ')) AS h

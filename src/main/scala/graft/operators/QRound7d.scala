@@ -436,6 +436,46 @@ object QRound7d extends QueryPack {
        |FROM dm CROSS JOIN tot
        |ORDER BY dm.lang, dm.source""".stripMargin
 
+  // ---- composed curation verdict ----
+
+  /** The curation pipeline's FINAL verdict table — the composition every
+    * training-data pipeline actually ships: per document, the bigram-LM
+    * fluency score and the shift-tolerant duplication fraction joined on
+    * the uniform doc key, thresholded into a keep/drop decision with a
+    * reason bitmask (bit 1 = low fluency, bit 2 = duplicated) so a
+    * curation report can account for every dropped doc. Thresholds
+    * compare trunc4'd values, so the cut is engine-identical. Inner join:
+    * the verdict covers docs long enough for both signals (≥ 16 tokens),
+    * the same universe the duplication audit defines.
+    *
+    * Scale shape: pure composition — both inputs are declared keys with
+    * their own scale stories; this adds one uniform doc-key join and a
+    * per-row projection. */
+  private def pipelineCurationVerdict(s: SparkSession, d: String): DataFrame = {
+    val lm = textLmBigramScore(s, d).select("doc_id", "lang", "lm_score")
+    val dup = QRound7.queries("dedup_substring_summary")(s, d)
+      .select("doc_id", "dup_frac")
+    lm.join(dup, "doc_id")
+      .withColumn("low_fluency", (col("lm_score") < lit(33e-3)).cast(IntegerType))
+      .withColumn("duplicated", (col("dup_frac") > lit(5e-1)).cast(IntegerType))
+      .select(col("doc_id"), col("lang"), col("lm_score"), col("dup_frac"),
+        (lit(1) - greatest(col("low_fluency"), col("duplicated"))).as("keep"),
+        (col("low_fluency") + col("duplicated") * lit(2)).as("reasons"))
+      .orderBy("doc_id")
+  }
+
+  private val oPipelineCurationVerdict =
+    s"""WITH lm AS ($oTextLmBigramScore),
+       |dup AS (${QRound7.oDedupSubstringSummary}),
+       |v AS (SELECT lm.doc_id, lm.lang, lm.lm_score, dup.dup_frac,
+       |    CASE WHEN lm.lm_score < 33e-3 THEN 1 ELSE 0 END AS low_fluency,
+       |    CASE WHEN dup.dup_frac > 5e-1 THEN 1 ELSE 0 END AS duplicated
+       |  FROM lm JOIN dup ON dup.doc_id = lm.doc_id)
+       |SELECT doc_id, lang, lm_score, dup_frac,
+       |  CAST(1 - greatest(low_fluency, duplicated) AS INT) AS keep,
+       |  CAST(low_fluency + duplicated * 2 AS INT) AS reasons
+       |FROM v ORDER BY doc_id""".stripMargin
+
   // ---- model calibration (reliability table) ----
 
   /** Model calibration / reliability table: per score decile, user count,
@@ -508,7 +548,8 @@ object QRound7d extends QueryPack {
     "text_containment_pairs" -> textContainmentPairs _,
     "mm_audio_energy"        -> mmAudioEnergy _,
     "pipeline_domain_mix"    -> pipelineDomainMix _,
-    "chp_calibration_bins"   -> chpCalibrationBins _)
+    "chp_calibration_bins"   -> chpCalibrationBins _,
+    "pipeline_curation_verdict" -> pipelineCurationVerdict _)
 
   val oracles: Map[String, String] = Map(
     "text_decontaminate"     -> oTextDecontaminate,
@@ -519,5 +560,6 @@ object QRound7d extends QueryPack {
     "text_containment_pairs" -> oTextContainmentPairs,
     "mm_audio_energy"        -> oMmAudioEnergy,
     "pipeline_domain_mix"    -> oPipelineDomainMix,
-    "chp_calibration_bins"   -> oChpCalibrationBins)
+    "chp_calibration_bins"   -> oChpCalibrationBins,
+    "pipeline_curation_verdict" -> oPipelineCurationVerdict)
 }

@@ -238,6 +238,21 @@ class Round7dSpec extends SparkSpec {
     assert(rows.map(_._3) === rows.map(_._3).sorted.reverse)
   }
 
+  test("pipeline_curation_verdict: keep/reasons agree with the two source signals row by row") {
+    val verdict = SparkEntry.queries("pipeline_curation_verdict")(spark, sf)
+      .as[(Long, String, Double, Double, Int, Int)].collect()
+    assert(verdict.nonEmpty)
+    verdict.foreach { case (id, _, lm, dup, keep, reasons) =>
+      val lowF = if (lm < 0.033) 1 else 0
+      val dupd = if (dup > 0.5) 1 else 0
+      assert(reasons === lowF + dupd * 2, s"doc $id reason mismatch")
+      assert(keep === (if (lowF == 0 && dupd == 0) 1 else 0), s"doc $id keep mismatch")
+    }
+    // the verdict must actually discriminate on this corpus
+    assert(verdict.exists(_._5 == 1) && verdict.exists(_._5 == 0),
+      "verdict is degenerate: all-keep or all-drop")
+  }
+
   test("text_decontaminate: real corpus — fractions bounded, flags match fractions, train docs absent") {
     val rows = SparkEntry.queries("text_decontaminate")(spark, sf)
       .as[(Long, Long, Long, Double, Int)].collect()
