@@ -6,8 +6,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Round-7 fourth wave — corpus governance operators: benchmark
-  * decontamination over a deterministic train/eval split.
+/** Round-7 fourth wave — corpus governance and the evaluation tier
+  * (SURVEY §2.25): benchmark decontamination over a deterministic
+  * train/eval split, the wired-in shingle document-frequency boilerplate
+  * cap, CCNet-style bigram-LM fluency scoring, asymmetric containment
+  * dedup, last-touch revenue attribution, model calibration bins,
+  * training-mixture domain weights, VAD-style audio energy segmentation,
+  * parameterized SQL, and the composed per-document curation verdict.
   */
 object QRound7d extends QueryPack {
 
