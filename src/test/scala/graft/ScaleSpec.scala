@@ -53,6 +53,27 @@ class ScaleSpec extends SparkSpec {
       s"c4=$c4 is not << all-pairs $allPairs4")
   }
 
+  test("the substring df cap suppresses the replica-boilerplate blowup under 4x corpus") {
+    // in the replicated corpus every interior shingle is shared by all 4
+    // copies (df >= 4) — exactly the hot-boilerplate profile; the uncapped
+    // miner pairs every doc with its replicas over its whole length, the
+    // capped one must refuse that blowup
+    val docs1 = spark.read.parquet(s"$sf/documents.parquet")
+    val docs4 = spark.read.parquet(s"$x4dir/documents.parquet")
+    val base = graft.operators.QRound7.substringSpans(docs1)
+      .select("a_id", "b_id").distinct().count()
+    val uncapped = graft.operators.QRound7.substringSpans(docs4)
+      .select("a_id", "b_id").distinct().count()
+    val capped = graft.operators.QRound7d.substringSpansCapped(docs4)
+      .select("a_id", "b_id").distinct().count()
+    // replica families alone contribute C(4,2) = 6 pairs per original doc
+    val n1 = docs1.count()
+    assert(uncapped >= 6 * n1 / 2,
+      s"uncapped=$uncapped did not explode — the scenario is vacuous")
+    assert(capped < uncapped / 10,
+      s"capped=$capped vs uncapped=$uncapped (base=$base): cap did not bound the blowup")
+  }
+
   test("cc clustering converges and respects every LSH edge under 4x corpus") {
     // the replicated corpus multiplies the near-dup graph (replica families
     // are near-cliques) — CC must still converge inside its round cap and
