@@ -304,7 +304,22 @@ object QRound7b extends QueryPack {
     * (session, shuffle-partitions, sfDir): the scatter matrix + power
     * iteration is a training fit like the k-means codebooks — warm calls
     * pay only the projection pass. */
-  private def pcaFit(s: SparkSession, d: String): (Array[Double], Array[Long]) =
+  /** Integer power iteration: `pcaIters` rounds of exact matvec + integer
+    * max-renormalization over a ≤~2·10⁶-magnitude matrix (entries × 10⁶
+    * vector × 64 dims stays far under 2⁶³). */
+  private def pcaPower(c: Array[Array[Long]]): Array[Long] = {
+    var z = Array.fill(pcaDim)(1000000L)
+    for (_ <- 1 to pcaIters) {
+      val y = Array.tabulate(pcaDim)(i =>
+        (0 until pcaDim).map(j => c(i)(j) * z(j)).sum)
+      val maxY = y.map(math.abs).max
+      require(maxY > 0, "power iteration collapsed to zero")
+      z = y.map(v => math.floor(v.toDouble / maxY.toDouble * 1e6 + 0.5).toLong)
+    }
+    z
+  }
+
+  private def pcaFit(s: SparkSession, d: String): (Array[Double], Array[Long], Array[Long]) =
     graft.Memo.memoAny(s, "pca", d) {
       val e = QSim.embPersisted(s, d)
       val mean = e.agg(expr("vec_centroid(v)").as("m"))
@@ -332,30 +347,60 @@ object QRound7b extends QueryPack {
         "scatter magnitude nears 2^53 — raise the rescale stage")
       // rescale to <=1e6 integers; all further matvec arithmetic is exact
       val c = sm.map(_.map(x => math.floor(x.toDouble / maxS.toDouble * 1e6).toLong))
-      var z = Array.fill(pcaDim)(1000000L)
-      for (_ <- 1 to pcaIters) {
-        val y = Array.tabulate(pcaDim)(i =>
-          (0 until pcaDim).map(j => c(i)(j) * z(j)).sum)
-        val maxY = y.map(math.abs).max
-        require(maxY > 0, "power iteration collapsed to zero")
-        z = y.map(v => math.floor(v.toDouble / maxY.toDouble * 1e6 + 0.5).toLong)
+      val z1 = pcaPower(c)
+      // Hotelling deflation for the SECOND component, still exact:
+      // S' = S − (zᵀSz / (zᵀz)²)·zzᵀ with the quotient taken as one
+      // BigInt division truncating toward zero — the same semantics as
+      // DuckDB's `//` on HUGEINT, so the oracle replays it bit-for-bit
+      val zB = z1.map(BigInt(_))
+      val zz = zB.map(x => x * x).sum
+      val sv = (for (i <- 0 until pcaDim; j <- 0 until pcaDim)
+        yield zB(i) * BigInt(c(i)(j)) * zB(j)).sum
+      val den = zz * zz
+      val c2 = Array.tabulate(pcaDim, pcaDim) { (i, j) =>
+        (BigInt(c(i)(j)) - (sv * zB(i) * zB(j)) / den).toLong
       }
-      (mean, z)
+      val z2 = pcaPower(c2)
+      (mean, z1, z2)
     }
 
-  private def embPcaProject(s: SparkSession, d: String): DataFrame = {
-    graft.functions.VecCentroid.register(s)
-    val (mean, z) = pcaFit(s, d)
+  /** Quantized centered components (the shared projection input). */
+  private def pcaCentered(s: SparkSession, d: String, mean: Array[Double]) = {
     val meanCol = array(mean.map(lit).toIndexedSeq: _*)
-    val zCol = array(z.map(lit).toIndexedSeq: _*)
     QSim.embPersisted(s, d)
       .select(col("vec_id"),
         transform(col("v"), (x, i) =>
           floor((x - element_at(meanCol, i + 1)) * lit(1e6) + lit(0.5)))
           .as("qv"))
-      .select(col("vec_id"),
-        trunc4(aggregate(zip_with(col("qv"), zCol, (a, b) => a * b),
-          lit(0L), (acc, x) => acc + x).cast(DoubleType) / lit(1e12)).as("pc1"))
+  }
+
+  private def pcaProjCol(z: Array[Long]): Column = {
+    val zCol = array(z.map(lit).toIndexedSeq: _*)
+    trunc4(aggregate(zip_with(col("qv"), zCol, (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x).cast(DoubleType) / lit(1e12))
+  }
+
+  private def embPcaProject(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VecCentroid.register(s)
+    val (mean, z1, _) = pcaFit(s, d)
+    pcaCentered(s, d, mean)
+      .select(col("vec_id"), pcaProjCol(z1).as("pc1"))
+      .orderBy("vec_id")
+  }
+
+  /** Top-2 PCA projection table: the PC1 direction plus the SECOND
+    * component obtained by exact-integer Hotelling deflation of the
+    * rescaled scatter matrix (S' = S − (zᵀSz/(zᵀz)²)·zzᵀ, one BigInt
+    * truncating division per entry — DuckDB replays it with HUGEINT `//`)
+    * and a second unrolled power iteration. The 2-D embedding every
+    * corpus-visualization / coarse-clustering pass wants, produced with
+    * the determinism guarantees of the PC1 key; the fit is shared via the
+    * same Memo, so the pair of keys trains once. */
+  private def embPcaProject2(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VecCentroid.register(s)
+    val (mean, z1, z2) = pcaFit(s, d)
+    pcaCentered(s, d, mean)
+      .select(col("vec_id"), pcaProjCol(z1).as("pc1"), pcaProjCol(z2).as("pc2"))
       .orderBy("vec_id")
   }
 
@@ -392,6 +437,71 @@ object QRound7b extends QueryPack {
        |    FROM q JOIN z$pcaIters z ON q.i = z.i GROUP BY q.vec_id)
        |SELECT vec_id, ${oTrunc4("CAST(praw AS DOUBLE) / 1e12")} AS pc1
        |FROM pr ORDER BY vec_id""".stripMargin
+  }
+
+  /** Oracle for the top-2 projection: the PC1 chain verbatim, then the
+    * deflation in HUGEINT (`//` truncates toward zero — the probed twin
+    * of BigInt division) and a second unrolled power iteration. */
+  private val oEmbPcaProject2 = {
+    // every chained CTE is MATERIALIZED: DuckDB inlines plain CTEs, and the
+    // doubled power-iteration chain re-evaluates its whole upstream per
+    // reference otherwise ("Too many open files" — the oTextBpeMerges
+    // failure mode)
+    val rounds = (1 to pcaIters).map { it =>
+      s"""y$it AS MATERIALIZED (SELECT c.i, SUM(c.cv * z${it - 1}.zv) AS yv
+         |    FROM c JOIN z${it - 1} ON c.j = z${it - 1}.i GROUP BY c.i),
+         |  m$it AS MATERIALIZED (SELECT max(abs(yv)) AS m FROM y$it),
+         |  z$it AS MATERIALIZED (SELECT i, CAST(floor(CAST(yv AS DOUBLE) /
+         |      CAST((SELECT m FROM m$it) AS DOUBLE) * 1e6 + 5e-1) AS BIGINT) AS zv
+         |    FROM y$it),""".stripMargin
+    }.mkString("\n  ")
+    val rounds2 = (1 to pcaIters).map { it =>
+      s"""w_y$it AS MATERIALIZED (SELECT c2.i, SUM(c2.cv * w${it - 1}.zv) AS yv
+         |    FROM c2 JOIN w${it - 1} ON c2.j = w${it - 1}.i GROUP BY c2.i),
+         |  w_m$it AS MATERIALIZED (SELECT max(abs(yv)) AS m FROM w_y$it),
+         |  w$it AS MATERIALIZED (SELECT i, CAST(floor(CAST(yv AS DOUBLE) /
+         |      CAST((SELECT m FROM w_m$it) AS DOUBLE) * 1e6 + 5e-1) AS BIGINT) AS zv
+         |    FROM w_y$it),""".stripMargin
+    }.mkString("\n  ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |  ex AS (SELECT vec_id, i, v[i] AS x
+       |    FROM e, (SELECT unnest(generate_series(1, $pcaDim)) AS i)),
+       |  mn AS MATERIALIZED (SELECT i,
+       |      CAST(SUM(${graft.functions.VecCentroid.oQuant("x")}) AS DOUBLE)
+       |        / count(*) / 1000000 AS m
+       |    FROM ex GROUP BY i),
+       |  q AS MATERIALIZED (SELECT vec_id, ex.i,
+       |      CAST(floor((x - m) * 1e6 + 5e-1) AS BIGINT) AS q
+       |    FROM ex JOIN mn ON ex.i = mn.i),
+       |  S AS MATERIALIZED (SELECT a.i AS i, b.i AS j, SUM(a.q * b.q) AS sij
+       |    FROM q a JOIN q b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+       |  mx AS MATERIALIZED (SELECT max(abs(sij)) AS m FROM S),
+       |  c AS MATERIALIZED (SELECT i, j, CAST(floor(CAST(sij AS DOUBLE) /
+       |      CAST((SELECT m FROM mx) AS DOUBLE) * 1e6) AS BIGINT) AS cv FROM S),
+       |  z0 AS (SELECT unnest(generate_series(1, $pcaDim)) AS i,
+       |         CAST(1000000 AS BIGINT) AS zv),
+       |  $rounds
+       |  zz AS MATERIALIZED (SELECT CAST(SUM(CAST(zv AS HUGEINT) * zv) AS HUGEINT) AS s
+       |    FROM z$pcaIters),
+       |  sv AS MATERIALIZED (SELECT SUM(CAST(a.zv AS HUGEINT) * c.cv * b.zv) AS s
+       |    FROM c JOIN z$pcaIters a ON a.i = c.i
+       |    JOIN z$pcaIters b ON b.i = c.j),
+       |  c2 AS MATERIALIZED (SELECT c.i, c.j,
+       |      CAST(c.cv - ((SELECT s FROM sv) * a.zv * b.zv)
+       |        // ((SELECT s FROM zz) * (SELECT s FROM zz)) AS BIGINT) AS cv
+       |    FROM c JOIN z$pcaIters a ON a.i = c.i
+       |    JOIN z$pcaIters b ON b.i = c.j),
+       |  w0 AS (SELECT unnest(generate_series(1, $pcaDim)) AS i,
+       |         CAST(1000000 AS BIGINT) AS zv),
+       |  $rounds2
+       |  pr AS (SELECT q.vec_id, SUM(q.q * z.zv) AS praw
+       |    FROM q JOIN z$pcaIters z ON q.i = z.i GROUP BY q.vec_id),
+       |  pr2 AS (SELECT q.vec_id, SUM(q.q * w.zv) AS praw
+       |    FROM q JOIN w$pcaIters w ON q.i = w.i GROUP BY q.vec_id)
+       |SELECT pr.vec_id, ${oTrunc4("CAST(pr.praw AS DOUBLE) / 1e12")} AS pc1,
+       |  ${oTrunc4("CAST(pr2.praw AS DOUBLE) / 1e12")} AS pc2
+       |FROM pr JOIN pr2 ON pr2.vec_id = pr.vec_id
+       |ORDER BY pr.vec_id""".stripMargin
   }
 
   // ---- quality-proportional importance sampling ----
@@ -441,6 +551,7 @@ object QRound7b extends QueryPack {
     "graph_lpa_community"      -> graphLpaCommunity _,
     "mm_phash_groups"          -> mmPhashGroups _,
     "emb_pca_project"          -> embPcaProject _,
+    "emb_pca_project2"         -> embPcaProject2 _,
     "sample_importance_weight" -> sampleImportanceWeight _)
 
   val oracles: Map[String, String] = Map(
@@ -449,5 +560,6 @@ object QRound7b extends QueryPack {
     "graph_lpa_community"      -> oGraphLpaCommunity,
     "mm_phash_groups"          -> oMmPhashGroups,
     "emb_pca_project"          -> oEmbPcaProject,
+    "emb_pca_project2"         -> oEmbPcaProject2,
     "sample_importance_weight" -> oSampleImportanceWeight)
 }

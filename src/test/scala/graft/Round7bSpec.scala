@@ -202,6 +202,51 @@ class Round7bSpec extends SparkSpec {
       s"PC1 projection should recover the planted direction; |corr| = ${math.abs(c)}")
   }
 
+  test("emb_pca_project2: deflation recovers a planted SECOND direction, decorrelated from the first") {
+    graft.functions.VecCentroid.register(spark)
+    graft.plans.CosineSim.register(spark)
+    val rnd = new scala.util.Random(13)
+    val dim = 64
+    val u1r = Array.fill(dim)(rnd.nextDouble() - 0.5)
+    val u1 = { val n = math.sqrt(u1r.map(x => x * x).sum); u1r.map(_ / n) }
+    // second direction orthogonalized against the first (Gram-Schmidt)
+    val u2r = Array.fill(dim)(rnd.nextDouble() - 0.5)
+    val d12 = u1.zip(u2r).map { case (a, b) => a * b }.sum
+    val u2o = u2r.zip(u1).map { case (b, a) => b - d12 * a }
+    val u2 = { val n = math.sqrt(u2o.map(x => x * x).sum); u2o.map(_ / n) }
+    val rows = (0 until 200).map { i =>
+      val t1 = (i % 21) - 10.0       // dominant coefficient (var ~36)
+      val t2 = ((i * 7) % 11) - 5.0  // secondary coefficient (var ~10)
+      (i.toLong,
+        (0 until dim).map(k =>
+          (t1 * u1(k) * 0.5 + t2 * u2(k) * 0.3 +
+            (rnd.nextDouble() - 0.5) * 0.02).toFloat),
+        0)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_pca2_").toString
+    rows.toDF("vec_id", "embedding", "label").coalesce(2)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("emb_pca_project2")(spark, dir)
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out.size === 200)
+    def corr(a: Seq[Double], b: Seq[Double]): Double = {
+      val n = a.length
+      val (ma, mb) = (a.sum / n, b.sum / n)
+      val cov = a.zip(b).map { case (x, y) => (x - ma) * (y - mb) }.sum
+      cov / math.sqrt(a.map(x => (x - ma) * (x - ma)).sum *
+        b.map(x => (x - mb) * (x - mb)).sum)
+    }
+    val ids = rows.map(_._1)
+    val t1 = ids.map(i => (i % 21) - 10.0)
+    val t2 = ids.map(i => ((i * 7) % 11) - 5.0)
+    val p1 = ids.map(i => out(i)._1)
+    val p2 = ids.map(i => out(i)._2)
+    assert(math.abs(corr(t1, p1)) > 0.95, s"pc1 lost the dominant direction: ${corr(t1, p1)}")
+    assert(math.abs(corr(t2, p2)) > 0.9, s"pc2 missed the planted second direction: ${corr(t2, p2)}")
+    assert(math.abs(corr(t1, p2)) < 0.3, s"pc2 leaked the first direction: ${corr(t1, p2)}")
+    assert(math.abs(corr(p1, p2)) < 0.3, s"projections not decorrelated: ${corr(p1, p2)}")
+  }
+
   // ---- sample_importance_weight ----
 
   test("sample_importance_weight: Horvitz-Thompson weight sums estimate the true counts") {
