@@ -441,6 +441,53 @@ object QRound7d extends QueryPack {
        |FROM dm CROSS JOIN tot
        |ORDER BY dm.lang, dm.source""".stripMargin
 
+  // ---- activity-streak islands ----
+
+  /** Per-user activity streaks over the event stream — the engagement
+    * analytic next to retention cohorts: distinct active DAYS per user,
+    * grouped into maximal runs of consecutive days by the gaps-and-islands
+    * rule on integer day numbers (epoch-micros div 86400e6 — exact integer
+    * arithmetic, no date/interval types cross the engine boundary), then
+    * per user: active days, number of streaks, longest streak. The
+    * longest-streak column is what an engagement model buckets users by.
+    *
+    * Scale shape: one distinct on (user, day) — uniform keys with
+    * map-side partial — one window partitioned by user (bounded rows per
+    * user), two small rollups. No self-join of the stream. */
+  private[graft] def streakIslands(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("day_num")
+    val days = events
+      .select(col("user_id"),
+        expr("unix_micros(cast(date_trunc('DAY', ts) as timestamp)) div 86400000000")
+          .as("day_num"))
+      .distinct()
+    days
+      .withColumn("grp", col("day_num") - row_number().over(w))
+      .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+      .groupBy("user_id")
+      .agg(sum(col("len")).as("n_days"), count(lit(1)).as("n_streaks"),
+        max(col("len")).as("max_streak"))
+      .orderBy("user_id")
+  }
+
+  private def winStreakIslands(s: SparkSession, d: String): DataFrame =
+    streakIslands(t(s, d, "events"))
+
+  private val oWinStreakIslands =
+    """WITH days AS (SELECT DISTINCT user_id,
+      |    epoch_us(date_trunc('day', ts)) // 86400000000 AS day_num
+      |  FROM events),
+      |isl AS (SELECT user_id, day_num,
+      |    day_num - row_number() OVER (PARTITION BY user_id ORDER BY day_num)
+      |      AS grp
+      |  FROM days),
+      |runs AS (SELECT user_id, grp, count(*) AS len
+      |  FROM isl GROUP BY user_id, grp)
+      |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_days,
+      |  count(*) AS n_streaks, CAST(max(len) AS BIGINT) AS max_streak
+      |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // ---- composed curation verdict ----
 
   /** The curation pipeline's FINAL verdict table — the composition every
@@ -554,7 +601,8 @@ object QRound7d extends QueryPack {
     "mm_audio_energy"        -> mmAudioEnergy _,
     "pipeline_domain_mix"    -> pipelineDomainMix _,
     "chp_calibration_bins"   -> chpCalibrationBins _,
-    "pipeline_curation_verdict" -> pipelineCurationVerdict _)
+    "pipeline_curation_verdict" -> pipelineCurationVerdict _,
+    "win_streak_islands"     -> winStreakIslands _)
 
   val oracles: Map[String, String] = Map(
     "text_decontaminate"     -> oTextDecontaminate,
@@ -566,5 +614,6 @@ object QRound7d extends QueryPack {
     "mm_audio_energy"        -> oMmAudioEnergy,
     "pipeline_domain_mix"    -> oPipelineDomainMix,
     "chp_calibration_bins"   -> oChpCalibrationBins,
-    "pipeline_curation_verdict" -> oPipelineCurationVerdict)
+    "pipeline_curation_verdict" -> oPipelineCurationVerdict,
+    "win_streak_islands"     -> oWinStreakIslands)
 }

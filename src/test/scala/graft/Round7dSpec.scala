@@ -253,6 +253,24 @@ class Round7dSpec extends SparkSpec {
       "verdict is degenerate: all-keep or all-drop")
   }
 
+  test("win_streak_islands: consecutive days merge, gaps split, exact streak geometry") {
+    import graft.operators.QRound7d
+    import java.time.LocalDateTime
+    def ts(day: Int, h: Int) = LocalDateTime.of(2024, 1, day, h, 0)
+    // user 1: days 1,2,3 then 5,6 -> streaks [3, 2]; duplicate events on
+    // day 2 must not inflate anything
+    // user 2: days 10, 12, 14 -> three 1-day streaks
+    val events = Seq(
+      (1L, ts(1, 9), 1L), (2L, ts(2, 9), 1L), (3L, ts(2, 17), 1L),
+      (4L, ts(3, 9), 1L), (5L, ts(5, 9), 1L), (6L, ts(6, 9), 1L),
+      (7L, ts(10, 9), 2L), (8L, ts(12, 9), 2L), (9L, ts(14, 9), 2L))
+    val df = spark.createDataFrame(events).toDF("event_id", "ts", "user_id")
+    val out = QRound7d.streakIslands(df)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 5L, 2L, 3L), (2L, 3L, 3L, 1L)),
+      s"streaks were $out")
+  }
+
   test("text_decontaminate: real corpus — fractions bounded, flags match fractions, train docs absent") {
     val rows = SparkEntry.queries("text_decontaminate")(spark, sf)
       .as[(Long, Long, Long, Double, Int)].collect()
