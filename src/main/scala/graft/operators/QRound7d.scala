@@ -488,6 +488,46 @@ object QRound7d extends QueryPack {
       |  count(*) AS n_streaks, CAST(max(len) AS BIGINT) AS max_streak
       |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---- equi-width histogram profiling ----
+
+  private val phBins = 20
+
+  /** Equi-width histogram of order totals — the distribution-shape
+    * profile `profile_columns` (moments/nulls) and `profile_key_skew`
+    * (hot keys) don't give: data-derived [min, max] split into 20 equal
+    * bins, per bin count + share. The bin rule runs the identical
+    * correctly-rounded double sequence in both engines ((x−mn)/width,
+    * floored, clamped to the last bin so x = max lands inside).
+    *
+    * Scale shape: the extremes are one agg broadcast back as a single
+    * row (never a sort); binning is a per-row map into a 20-key
+    * aggregate with map-side partials. */
+  private def profileHistogram(s: SparkSession, d: String): DataFrame = {
+    val o = t(s, d, "orders").select(col("o_totalprice").as("x"))
+    val ext = o.agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val n = o.crossJoin(broadcast(ext))
+      .select(least(floor((col("x") - col("mn"))
+          / ((col("mx") - col("mn")) / lit(phBins.toDouble))),
+        lit((phBins - 1).toDouble)).cast(IntegerType).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+    val tot = n.agg(sum(col("n")).as("total"))
+    n.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n"),
+        trunc4(col("n").cast(DoubleType) / col("total")).as("share"))
+      .orderBy("bin")
+  }
+
+  private val oProfileHistogram =
+    s"""WITH o AS (SELECT o_totalprice AS x FROM orders),
+       |ext AS (SELECT min(x) AS mn, max(x) AS mx FROM o),
+       |b AS (SELECT CAST(least(floor((x - mn) / ((mx - mn) / ${phBins}e0)),
+       |    ${phBins - 1}e0) AS INT) AS bin
+       |  FROM o CROSS JOIN ext),
+       |n AS (SELECT bin, count(*) AS n FROM b GROUP BY bin),
+       |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM n)
+       |SELECT bin, n, ${oTrunc4("CAST(n AS DOUBLE) / total")} AS share
+       |FROM n CROSS JOIN tot ORDER BY bin""".stripMargin
+
   // ---- composed curation verdict ----
 
   /** The curation pipeline's FINAL verdict table — the composition every
@@ -602,7 +642,8 @@ object QRound7d extends QueryPack {
     "pipeline_domain_mix"    -> pipelineDomainMix _,
     "chp_calibration_bins"   -> chpCalibrationBins _,
     "pipeline_curation_verdict" -> pipelineCurationVerdict _,
-    "win_streak_islands"     -> winStreakIslands _)
+    "win_streak_islands"     -> winStreakIslands _,
+    "profile_histogram"      -> profileHistogram _)
 
   val oracles: Map[String, String] = Map(
     "text_decontaminate"     -> oTextDecontaminate,
@@ -615,5 +656,6 @@ object QRound7d extends QueryPack {
     "pipeline_domain_mix"    -> oPipelineDomainMix,
     "chp_calibration_bins"   -> oChpCalibrationBins,
     "pipeline_curation_verdict" -> oPipelineCurationVerdict,
-    "win_streak_islands"     -> oWinStreakIslands)
+    "win_streak_islands"     -> oWinStreakIslands,
+    "profile_histogram"      -> oProfileHistogram)
 }

@@ -83,7 +83,8 @@ class HarnessSpec extends SparkSpec {
     "text_decontaminate", "dedup_substring_capped", "text_lm_bigram_score",
     "chp_attribution_last", "sql_parameterized", "text_containment_pairs",
     "mm_audio_energy", "pipeline_domain_mix", "chp_calibration_bins",
-    "pipeline_curation_verdict", "emb_pca_project2", "win_streak_islands")
+    "pipeline_curation_verdict", "emb_pca_project2", "win_streak_islands",
+    "profile_histogram")
 
   probeKeys.foreach { key =>
     test(s"$key: identical at shuffle.partitions 1 and 32") {

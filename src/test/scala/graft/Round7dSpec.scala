@@ -271,6 +271,16 @@ class Round7dSpec extends SparkSpec {
       s"streaks were $out")
   }
 
+  test("profile_histogram: bins cover every row, shares sum to ~1, extremes land inside") {
+    val rows = SparkEntry.queries("profile_histogram")(spark, sf)
+      .as[(Int, Long, Double)].collect().toSeq
+    assert(rows.map(_._1).forall(b => b >= 0 && b <= 19))
+    val total = spark.read.parquet(s"$sf/orders.parquet").count()
+    assert(rows.map(_._2).sum === total, "histogram must conserve rows")
+    val shareSum = rows.map(_._3).sum
+    assert(shareSum > 0.99 && shareSum <= 1.0001, s"shares sum to $shareSum")
+  }
+
   test("text_decontaminate: real corpus — fractions bounded, flags match fractions, train docs absent") {
     val rows = SparkEntry.queries("text_decontaminate")(spark, sf)
       .as[(Long, Long, Long, Double, Int)].collect()
