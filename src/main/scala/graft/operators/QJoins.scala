@@ -137,38 +137,79 @@ object QJoins extends QueryPack {
     """SELECT r_name, n_name FROM region CROSS JOIN nation
       |ORDER BY r_name, n_name""".stripMargin
 
-  /** Equi + range theta join: same-brand part pairs with increasing size.
+  /** Equi + range theta join: same-brand part pairs with increasing size,
+    * aggregated to per-brand pair count + size-gap sum.
     *
-    * The equi-key is composite (brand, size-bucket): brand alone has ~25
-    * distinct values, which caps the shuffle-join parallelism at 25 tasks
-    * and makes per-group pair work O(G²) — at 100× data that is 10,000×
-    * work on 25 tasks. Bucketing p_size into width-10 bands and enumerating
-    * (a_bucket → every bucket ≥ it) turns the join key into
-    * (brand, bucket-pair): ~125 distinct keys, and every cross-bucket pair
-    * satisfies a_size < b_size by construction, so the residual range
-    * predicate only filters within same-bucket groups. Identical output;
-    * the ~3× map-side expansion of side A is the standard price of a
-    * band/range join and stays embarrassingly parallel. */
+    * Brands are a FIXED-cardinality key (~25 values), so enumerated pairs
+    * grow quadratically with the corpus: a 100× part table is 10,000× pair
+    * rows — the one quadratic-by-semantics plan left in the engine after
+    * round 7 (VERDICT r7 "What's wrong"). Since the downstream here is a
+    * pure count/gap-sum aggregate, the pairs never need to materialize:
+    * per-brand prefix sums over size order compute the identical aggregate
+    * in O(N log N) (`win_theta_rewrite`'s spelling, QExtra). Routing, in
+    * the triangle-broadcast pattern (QRound5c): one tiny stats job over the
+    * ~25 brand groups yields the exact enumerated-pair bound Σ G(G−1)/2;
+    * under `graft.thetaRange.enumMaxPairs` (default 1M) keep the bucketed
+    * pair enumeration as the bounded theta-join surface (it generalizes to
+    * aggregates prefix sums can't express), above it switch to the
+    * prefix-sum plan — join-free, so pair blowup is structurally
+    * impossible. PlanSpec gates that the forced rewrite path returns the
+    * identical result with zero joins; ScaleSpec gates the 4× corpus
+    * routes join-free. */
   private def joinThetaRange(s: SparkSession, d: String): DataFrame = {
-    val bucketW = 10
-    val maxBucket = 4 // p_size ∈ 1..50 (probed)
-    val a = t(s, d, "part").select(col("p_partkey").as("a_key"),
-      col("p_brand").as("a_brand"), col("p_size").as("a_size"))
-      .withColumn("tb",
-        explode(sequence(
-          least(((col("a_size") - 1) / bucketW).cast(IntegerType), lit(maxBucket)),
-          lit(maxBucket))))
-    val b = t(s, d, "part").select(col("p_partkey").as("b_key"),
-      col("p_brand").as("b_brand"), col("p_size").as("b_size"))
-      // clamp into the last bucket so out-of-range sizes can never be lost
-      .withColumn("b_bucket",
-        least(((col("b_size") - 1) / bucketW).cast(IntegerType), lit(maxBucket)))
-    a.join(b, col("a_brand") === col("b_brand") && col("tb") === col("b_bucket")
-        && col("a_size") < col("b_size"))
-      .groupBy(col("a_brand").as("p_brand"))
-      .agg(count(lit(1)).as("n_pairs"),
-        sum(col("b_size").cast(LongType) - col("a_size").cast(LongType)).as("sum_gap"))
-      .orderBy("p_brand")
+    val p = t(s, d, "part")
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val enumMaxPairs =
+      s.conf.get("graft.thetaRange.enumMaxPairs", "1000000").toLong
+    // one tiny job over the ~25 brand groups: exact upper bound on
+    // enumerated pairs (equal sizes would be filtered by a_size < b_size)
+    val pairBound = p.groupBy("p_brand").agg(count(lit(1)).as("g"))
+      .agg(coalesce(sum(col("g") * (col("g") - 1)), lit(0L)).as("p2"))
+      .collect()(0).getLong(0) / 2
+    if (pairBound <= enumMaxPairs) {
+      // Bounded theta surface: equi prefix (brand, size-bucket) so Spark
+      // plans a hash/SMJ join with a residual range predicate instead of a
+      // BNLJ. Bucketing p_size into width-10 bands and enumerating
+      // (a_bucket → every bucket ≥ it) makes the join key (brand,
+      // bucket-pair): ~125 distinct keys; cross-bucket pairs satisfy
+      // a_size < b_size by construction so the residual only filters
+      // same-bucket groups. The ~3× map-side expansion of side A is the
+      // standard price of a band/range join.
+      val bucketW = 10
+      val maxBucket = 4 // p_size ∈ 1..50 (probed)
+      val a = p.select(col("p_partkey").as("a_key"),
+        col("p_brand").as("a_brand"), col("p_size").as("a_size"))
+        .withColumn("tb",
+          explode(sequence(
+            least(((col("a_size") - 1) / bucketW).cast(IntegerType), lit(maxBucket)),
+            lit(maxBucket))))
+      val b = p.select(col("p_partkey").as("b_key"),
+        col("p_brand").as("b_brand"), col("p_size").as("b_size"))
+        // clamp into the last bucket so out-of-range sizes can never be lost
+        .withColumn("b_bucket",
+          least(((col("b_size") - 1) / bucketW).cast(IntegerType), lit(maxBucket)))
+      a.join(b, col("a_brand") === col("b_brand") && col("tb") === col("b_bucket")
+          && col("a_size") < col("b_size"))
+        .groupBy(col("a_brand").as("p_brand"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("b_size").cast(LongType) - col("a_size").cast(LongType)).as("sum_gap"))
+        .orderBy("p_brand")
+    } else {
+      // Prefix-sum rewrite: per brand, sort by size; each row contributes
+      // cnt_lt pairs and (size·cnt_lt − sum_lt) total gap. One shuffle on
+      // p_brand, no join anywhere in the plan. Brands with zero qualifying
+      // pairs (all sizes equal) drop out, matching inner-join semantics.
+      val w = Window.partitionBy("p_brand").orderBy("p_size")
+        .rangeBetween(Window.unboundedPreceding, -1)
+      p.select(col("p_brand"), col("p_size").cast(LongType).as("p_size"))
+        .withColumn("cnt_lt", count(lit(1)).over(w))
+        .withColumn("sum_lt", coalesce(sum(col("p_size")).over(w), lit(0L)))
+        .groupBy("p_brand")
+        .agg(sum(col("cnt_lt")).as("n_pairs"),
+          sum(col("p_size") * col("cnt_lt") - col("sum_lt")).as("sum_gap"))
+        .filter(col("n_pairs") > 0)
+        .orderBy("p_brand")
+    }
   }
 
   private val oJoinThetaRange =

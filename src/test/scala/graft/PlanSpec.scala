@@ -210,6 +210,30 @@ class PlanSpec extends SparkSpec {
       s"shingle match degenerated to a cartesian in:\n$p")
   }
 
+  test("theta range: forced prefix-sum rewrite is join-free and agrees with enumeration") {
+    // VERDICT r7: the pair enumeration is quadratic by semantics (fixed
+    // brand cardinality), so past the pair budget the count/gap-sum
+    // aggregate must route through the prefix-sum spelling — a plan with
+    // NO join, making pair blowup structurally impossible.
+    val k = "graft.thetaRange.enumMaxPairs"
+    val saved = spark.conf.getOption(k)
+    val expected = SparkEntry.queries("join_theta_range")(spark, sf)
+      .collect().toSeq
+    try {
+      spark.conf.set(k, "0")
+      val df = SparkEntry.queries("join_theta_range")(spark, sf)
+      assert(df.collect().toSeq === expected,
+        "prefix-sum rewrite disagrees with the enumeration path")
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Join"), s"rewrite path still plans a join:\n$p")
+      assert(p.contains("Window"), s"rewrite path lost its window stage:\n$p")
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set(k, v); case None => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("no unpartitioned window anywhere in the declared inventory") {
     // VERDICT r4: an unpartitioned Window (e.g. a global ntile) funnels
     // EVERY input row through one task — the one plan shape that cannot

@@ -105,4 +105,43 @@ class ScaleSpec extends SparkSpec {
     assert(found >= 15,
       s"only $found/20 sampled originals kept their perturbed copies at Hamming<=3")
   }
+
+  test("theta range rejects quadratic pair growth: the 4x corpus routes join-free") {
+    // VERDICT r7: brands are fixed-cardinality, so enumerated pairs grow
+    // k² under a k× corpus. With the pair budget between the 1× and 4×
+    // pair volumes, the 1× corpus may enumerate (bounded theta surface)
+    // but the 4× corpus MUST re-route to the join-free prefix-sum plan —
+    // and still return the enumeration answer.
+    val dir = java.nio.file.Files.createTempDirectory("graft_x4part_").toString
+    val p1 = spark.read.parquet(s"$sf/part.parquet")
+      .select("p_partkey", "p_brand", "p_size")
+    val copies = (0 until 4).map { k =>
+      p1.select((col("p_partkey") + lit(k * 10000000)).as("p_partkey"),
+        col("p_brand"), col("p_size"))
+    }
+    copies.reduce(_ unionByName _).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val key = "graft.thetaRange.enumMaxPairs"
+    val saved = spark.conf.getOption(key)
+    try {
+      // exact 1x pair bound is ~700 at sf0.001 (25 brands, G≈8); 4x is
+      // ~16x that. 2000 sits strictly between.
+      spark.conf.set(key, "2000")
+      val routed = SparkEntry.queries("join_theta_range")(spark, dir)
+      val pr = routed.queryExecution.executedPlan.toString
+      assert(!pr.contains("Join"),
+        s"4x corpus exceeded the pair budget but still planned a join:\n$pr")
+      spark.conf.set(key, Long.MaxValue.toString)
+      val enumerated = SparkEntry.queries("join_theta_range")(spark, dir)
+      val pe = enumerated.queryExecution.executedPlan.toString
+      assert(pe.contains("Join"), s"forced enumeration lost its join:\n$pe")
+      assert(routed.collect().toSeq === enumerated.collect().toSeq,
+        "routed prefix-sum result disagrees with enumeration on the 4x corpus")
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
