@@ -173,7 +173,7 @@ object QRound7 extends QueryPack {
 
   // ---- shift-tolerant sub-document dedup (overlapping shingles) ----
 
-  private val ssW = 16 // shingle width in tokens
+  private[operators] val ssW = 16 // shingle width in tokens
 
   /** Maximal shared token spans between document pairs, built from
     * OVERLAPPING stride-1 16-token shingle fingerprints — the shift-
@@ -251,6 +251,11 @@ object QRound7 extends QueryPack {
   private def textDedupSubstring(s: SparkSession, d: String): DataFrame =
     mergeSpans(shingleMatches(shingleTablePersisted(s, d)))
 
+  /** Span table over the memoized shingle table — the reusable entry for
+    * downstream consumers (round-8 span-cut rewrite). */
+  private[operators] def substringSpansPersisted(s: SparkSession, d: String): DataFrame =
+    mergeSpans(shingleMatches(shingleTablePersisted(s, d)))
+
   /** Per-document shift-tolerant duplication audit — the actionable
     * curation signal on top of the span miner: for every document (with
     * ≥ 16 tokens), how many of its stride-1 shingles also appear in ANY
@@ -294,8 +299,12 @@ object QRound7 extends QueryPack {
        |FROM ns LEFT JOIN dup ON dup.doc_id = ns.doc_id
        |ORDER BY ns.doc_id""".stripMargin
 
-  private val oTextDedupSubstring =
-    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+  /** The span-mining CTE chain (toks → stride-1 shingles → cross-doc
+    * matches → islands) — shared verbatim by this key's oracle and the
+    * round-8 span-cut corpus rewrite so both engines agree on span
+    * semantics by construction. */
+  private[operators] val oSpanCtes =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
        |sh AS (SELECT doc_id, CAST(i AS INT) AS pos,
        |    md5(array_to_string(tk[i+1:i+$ssW], ' ')) AS h
        |  FROM toks, LATERAL (SELECT unnest(generate_series(0, len(tk)-$ssW)) AS i)),
@@ -304,7 +313,10 @@ object QRound7 extends QueryPack {
        |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id),
        |isl AS (SELECT a_id, b_id, d, pa, pb,
        |    pa - row_number() OVER (PARTITION BY a_id, b_id, d ORDER BY pa) AS grp
-       |  FROM m)
+       |  FROM m)""".stripMargin
+
+  private val oTextDedupSubstring =
+    s"""WITH $oSpanCtes
        |SELECT a_id, b_id, CAST(min(pa) AS INT) AS a_start,
        |  CAST(min(pb) AS INT) AS b_start,
        |  CAST(max(pa) - min(pa) + $ssW AS BIGINT) AS span_tokens
