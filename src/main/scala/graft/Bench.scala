@@ -15,7 +15,11 @@ import java.nio.file.{Files, Paths}
   * is the number regressions should be adjudicated on (VERDICT r5/r6: two
   * judge rounds were spent re-measuring because only cold was emitted).
   * `load_avg_start`/`load_avg_end` record the 1-min system load average so
-  * a noisy-neighbor run is visible in the artifact itself.
+  * a noisy-neighbor run is visible in the artifact itself; when start load
+  * is > 2 the run first waits (≤3 min) for the machine to go quiet, and if
+  * it never does, emits a `load_warn` field naming the cold column
+  * non-adjudicable. Keys that succeed cold but fail warm are listed in
+  * `warm_errors` (they are invisible in totals otherwise).
   *
   * Output contract: ONE JSON line on stdout as the final line (after
   * spark.stop(), so no shutdown logging can interleave), sized to fit the
@@ -39,7 +43,20 @@ object Bench {
     def loadAvg: Double =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean
         .getSystemLoadAverage
+    def f3s(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    // Noisy-neighbor guard (VERDICT r7 #7): two rounds shipped cold columns
+    // polluted by system load > 4. If the 1-min load average is above 2 at
+    // start, wait (up to 3 min, re-checking every 15 s) for it to settle
+    // before measuring; if it never does, proceed but emit load_warn so the
+    // artifact itself says "cold is not adjudicable, use warm".
+    val loadFirst = loadAvg
+    var settleWait = 0
+    while (loadAvg > 2.0 && settleWait < 180) {
+      System.err.println(s"[bench] load ${f3s(loadAvg)} > 2; waiting 15s for quiet machine")
+      Thread.sleep(15000); settleWait += 15
+    }
     val load0 = loadAvg
+    val loadWarn = load0 > 2.0
     def noop(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
@@ -59,8 +76,12 @@ object Bench {
       (name, cold, warm)
     }
     val load1 = loadAvg
-    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    def f3(v: Double): String = f3s(v)
     val errs = results.collect { case (k, c, _) if c < 0 => "\"" + k + "\"" }
+    // A key that succeeds cold but fails warm must not vanish from the
+    // artifact (ADVICE r7): total_warm silently omits it and the compact
+    // line keeps only the slowest keys, so surface it explicitly.
+    val warmErrs = results.collect { case (k, c, w) if c >= 0 && w < 0 => "\"" + k + "\"" }
     val total = results.map(_._2).filter(_ >= 0).sum
     val totalWarm = results.map(_._3).filter(_ >= 0).sum
     def mkJson(qs: Seq[(String, Double, Double)], omitted: Int): String = {
@@ -70,10 +91,14 @@ object Bench {
         .mkString("{", ",", "}")
       val om = if (omitted > 0)
         s""","queries_omitted":$omitted,"queries_full":"BENCH_LOCAL.json"""" else ""
+      val lw = if (loadWarn)
+        s""","load_warn":"start load ${f3(load0)} > 2 after ${settleWait}s wait; adjudicate on warm"""" else ""
+      val we = if (warmErrs.nonEmpty)
+        s""","warm_errors":[${warmErrs.mkString(",")}]""" else ""
       s"""{"metric":"total","value":${f3(total)},"unit":"sec"""" +
         s""","total_warm":${f3(totalWarm)}""" +
-        s""","load_avg_start":${f3(load0)},"load_avg_end":${f3(load1)}""" +
-        s""","queries":$cm,"warm":$wm,"errors":[${errs.mkString(",")}]$om""" +
+        s""","load_avg_start":${f3(load0)},"load_avg_end":${f3(load1)}$lw""" +
+        s""","queries":$cm,"warm":$wm,"errors":[${errs.mkString(",")}]$we$om""" +
         s""","sf":"$sfDir"}"""
     }
     // Full per-query map to a committed file: the complete JSON line is far
@@ -90,7 +115,7 @@ object Bench {
     // envelope + omitted-fields slack + the errors array (ADVICE r3: a run
     // with many failures must not push the line past the 2000-char tail);
     // each kept key appears in BOTH maps, so it costs 2x(name + number)
-    var len = 260 + errs.map(_.length + 1).sum
+    var len = 360 + (errs ++ warmErrs).map(_.length + 1).sum
     for ((k, c, w) <- bySlowest if len + 2 * (k.length + 12) <= budget) {
       keep += ((k, c, w)); len += 2 * (k.length + 12)
     }

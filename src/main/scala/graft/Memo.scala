@@ -68,8 +68,16 @@ object Memo {
     new ConcurrentHashMap[(String, String, String, String), (SparkSession, Any)]()
 
   /** `memo` for non-DataFrame model state (e.g. the BPE fit returns a
-    * merge table AND a tokenized-state DataFrame). Same keying, eviction,
-    * and putIfAbsent publication discipline as `memo`. */
+    * merge table AND a tokenized-state DataFrame). Same keying and
+    * eviction as `memo`, but publication is computeIfAbsent: exactly one
+    * caller builds (ADVICE r7 — a racing duplicate BPE fit would
+    * localCheckpoint(true) a tokenized state nobody references, pinning
+    * orphaned RDD blocks for the session lifetime). Safe here, unlike in
+    * `memo`, because no memoAny build nests another memoAny call — the
+    * fits only nest into the DataFrame memo's SEPARATE map, and a nested
+    * computeIfAbsent only throws on the SAME map. If a future fit does
+    * nest, CHM fails loudly (IllegalStateException "Recursive update"),
+    * not silently. */
   def memoAny[T](s: SparkSession, tag: String, d: String)(build: => T): T = {
     val it = anyCache.entrySet().iterator()
     while (it.hasNext) {
@@ -77,12 +85,6 @@ object Memo {
     }
     val parts = s.conf.get("spark.sql.shuffle.partitions", "")
     val key = (uuid(s), parts, tag, d)
-    val existing = anyCache.get(key)
-    if (existing != null) existing._2.asInstanceOf[T]
-    else {
-      val built = (s, build: Any)
-      val prev = anyCache.putIfAbsent(key, built)
-      (if (prev != null) prev._2 else built._2).asInstanceOf[T]
-    }
+    anyCache.computeIfAbsent(key, _ => (s, build: Any))._2.asInstanceOf[T]
   }
 }

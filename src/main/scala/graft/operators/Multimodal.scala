@@ -254,13 +254,23 @@ object Multimodal {
     * comparison is exact-integer cross-multiplied (|Δsum|·20 > plane·255
     * ⇔ |Δmean| > 5%), so the cut count is engine-exact; only the reported
     * max delta takes one final division (trunc4'd, same op order as the
-    * oracle). */
+    * oracle).
+    *
+    * Precondition: all frames in a payload share the head frame's
+    * dimensions (every Δmean is normalized by ONE plane size). A payload
+    * with mid-stream dimension changes is rejected loudly rather than
+    * silently mis-normalizing the cut threshold (ADVICE r7). */
   def sceneCuts(media: Dataset[MediaRow]): Dataset[SceneCuts] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.flatMap { r =>
       val frames = decodeFrames(r.payload)
       if (frames.size < 2) None
       else {
+        require(frames.forall(fr =>
+          fr._1 == frames.head._1 && fr._2 == frames.head._2),
+          s"scene_cuts: media ${r.media_id} changes frame dims mid-stream " +
+            s"(head ${frames.head._1}x${frames.head._2}); constant dims " +
+            "are assumed by the single-plane normalization")
         val plane = frames.head._1.toLong * frames.head._2 * 3
         val deltas = frames.map(_._3).sliding(2)
           .map { case Vector(a, b) => math.abs(b - a) }.toVector

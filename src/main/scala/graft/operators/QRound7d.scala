@@ -505,6 +505,14 @@ object QRound7d extends QueryPack {
   private def profileHistogram(s: SparkSession, d: String): DataFrame = {
     val o = t(s, d, "orders").select(col("o_totalprice").as("x"))
     val ext = o.agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    // degenerate-domain guard (ADVICE r7): a constant column makes the bin
+    // width 0 and (x-mn)/0 would yield NaN bins silently; fail loudly
+    // instead (one 1-row collect, same driver-coordination shape as the
+    // decile guard)
+    val e0 = ext.collect()(0)
+    require(e0.getDouble(1) > e0.getDouble(0),
+      s"profile_histogram: degenerate domain min==max (${e0.getDouble(0)}); " +
+        "equi-width binning assumes a non-constant column")
     val n = o.crossJoin(broadcast(ext))
       .select(least(floor((col("x") - col("mn"))
           / ((col("mx") - col("mn")) / lit(phBins.toDouble))),
