@@ -23,22 +23,34 @@ object Tables {
 
   /** Load one of the driver-provided parquet tables (TESTDATA.md).
     *
-    * `events.parquet` stores ts as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects; we read it as raw nanos
-    * (legacy.parquet.nanosAsLong — set once at session build by every
-    * entry point: Verify/Bench/EntrySmoke/TimeOne/SparkSpec; mutating it
-    * here would be a racy hidden global) and rebuild a TIMESTAMP_NTZ at
-    * micro precision (probed: every value is microsecond-aligned, so this
-    * is lossless). NTZ matches the naive timestamps DuckDB and the other
-    * tables use.
+    * `events.parquet` has shipped with two physical encodings of the same
+    * logical `ts` column across testdata generations:
+    *   - TIMESTAMP(NANOS): Spark's vectorized reader surfaces it as raw
+    *     BIGINT nanos (with legacy.parquet.nanosAsLong=true, set at session
+    *     build by every entry point); we rebuild a TIMESTAMP_NTZ at micro
+    *     precision (lossless: values are microsecond-aligned).
+    *   - TIMESTAMP_MICROS (isAdjustedToUTC=false): Spark reads it natively
+    *     as TIMESTAMP_NTZ (or TIMESTAMP under older session defaults); we
+    *     just normalize to NTZ.
+    * A lake engine must tolerate benign physical re-encodings of the same
+    * logical schema, so we branch on the *actual read schema* rather than
+    * assuming one encoding. NTZ matches the naive timestamps DuckDB and the
+    * other tables use.
     */
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
-      require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-        "session must set spark.sql.legacy.parquet.nanosAsLong=true to read events")
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts",
-          expr("timestamp_micros(ts div 1000)").cast(TimestampNTZType))
+      val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case LongType => // legacy TIMESTAMP(NANOS) read as raw nanos
+          raw.withColumn("ts",
+            expr("timestamp_micros(ts div 1000)").cast(TimestampNTZType))
+        case TimestampNTZType => raw
+        case _: TimestampType =>
+          raw.withColumn("ts", col("ts").cast(TimestampNTZType))
+        case other =>
+          throw new IllegalStateException(
+            s"events.ts has unsupported physical type $other")
+      }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
 
   val D184: DecimalType = DecimalType(18, 4)
