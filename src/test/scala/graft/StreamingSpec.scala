@@ -284,4 +284,76 @@ class StreamingSpec extends SparkSpec {
       .orderBy("win_start").collect()
     assert(streamed.toSeq === batch.toSeq)
   }
+
+  private def doc(id: Long, t: String, text: String): MhDoc =
+    MhDoc(id, java.sql.Timestamp.valueOf(t), text)
+
+  private val mhTextA = (1 to 40).map(i => s"tok$i").mkString(" ")
+  private val mhTextB = (1 to 40).map(i => s"alt$i").mkString(" ")
+
+  test("stream_dedup_minhash: near-dup suppressed within watermark, re-admitted after expiry") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[MhDoc]
+    val q = operators.QRound9.minhashSurviving(ms.toDF(), streaming = true)
+      .select("doc_id")
+      .writeStream.format("memory").queryName("mhdd")
+      .outputMode("append").start()
+    // batch 1: doc 1 admits all 8 band buckets
+    ms.addData(doc(1, "2024-01-01 10:00:00", mhTextA))
+    q.processAllAvailable()
+    // batch 2: doc 2 is an exact near-dup 5 min later — every band bucket
+    // already seen within the 10-min delay → all its rows suppressed
+    ms.addData(doc(2, "2024-01-01 10:05:00", mhTextA))
+    q.processAllAvailable()
+    // batch 3: unrelated doc advances the watermark to 11:50, expiring the
+    // 10:00-epoch band-bucket state
+    ms.addData(doc(3, "2024-01-01 12:00:00", mhTextB))
+    q.processAllAvailable()
+    // batch 4: the same near-dup content AFTER expiry → re-admitted (the
+    // bounded-state property: dedup state lives delay-window long, not
+    // forever)
+    ms.addData(doc(4, "2024-01-01 12:01:00", mhTextA))
+    q.processAllAvailable(); q.stop()
+    val n = spark.table("mhdd").collect().map(_.getLong(0))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(n.getOrElse(1L, 0) === 8, s"doc 1 must win all 8 bands: $n")
+    assert(!n.contains(2L), s"near-dup doc 2 must be fully suppressed: $n")
+    assert(n.getOrElse(3L, 0) === 8, s"distinct doc 3 must win all 8 bands: $n")
+    assert(n.getOrElse(4L, 0) === 8,
+      s"doc 4 must be re-admitted after state expiry: $n")
+  }
+
+  test("stream_dedup_minhash: stream == batch twin on in-order arrivals") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val docs = Seq(
+      doc(1, "2024-01-01 10:00:00", mhTextA),
+      doc(2, "2024-01-01 10:01:00", mhTextB),
+      doc(3, "2024-01-01 10:02:00", mhTextA), // near-dup of 1, in window
+      doc(4, "2024-01-01 10:03:00", (1 to 40).map(i => s"z$i").mkString(" ")))
+    val ms = MemoryStream[MhDoc]
+    ms.addData(docs)
+    val q = operators.QRound9.minhashSurviving(ms.toDF(), streaming = true)
+      .writeStream.format("memory").queryName("mhdd_twin")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    // a doc is admitted iff it won ALL its band buckets — roll up the
+    // surviving stream rows and compare with the batch twin's verdict
+    val streamedWon = spark.table("mhdd_twin").groupBy("doc_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = operators.QRound9.minhashAdmitted(docs.toDF()).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Long]("n_won"), r.getAs[Boolean]("admitted")))).toMap
+    batch.foreach { case (id, (nWon, admitted)) =>
+      assert(streamedWon.getOrElse(id, 0L) === nWon,
+        s"doc $id: stream won ${streamedWon.get(id)} buckets, batch says $nWon")
+      assert((streamedWon.getOrElse(id, 0L) === 8L) === admitted,
+        s"doc $id admission verdict diverges")
+    }
+  }
 }
+
+/** Document row for the minhash-dedup streaming tests — top-level so the
+  * MemoryStream encoder can construct it. */
+case class MhDoc(doc_id: Long, ts: java.sql.Timestamp, text: String)
