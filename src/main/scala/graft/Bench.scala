@@ -20,6 +20,12 @@ import java.nio.file.{Files, Paths}
   * it never does, emits a `load_warn` field naming the cold column
   * non-adjudicable. Keys that succeed cold but fail warm are listed in
   * `warm_errors` (they are invisible in totals otherwise).
+  * `calib_single`/`calib_parallel` time one fixed CPU burn run on one
+  * thread and on all worker threads: parallel/single ≈ 1 on an
+  * unconstrained machine; a ratio of k means the sandbox only delivered
+  * cpus/k effective cores (invisible to load average). Normalize two
+  * rounds' numbers by the ratio of their `calib_parallel` values before
+  * calling a regression.
   *
   * Output contract: ONE JSON line on stdout as the final line (after
   * spark.stop(), so no shutdown logging can interleave), sized to fit the
@@ -57,6 +63,27 @@ object Bench {
     }
     val load0 = loadAvg
     val loadWarn = load0 > 2.0
+    // CPU calibration probe (VERDICT r8 #5): load average cannot see a
+    // CPU-quota/steal constraint (r8's bench ran on a sandbox that had
+    // lost ~half its effective CPU at unchanged load). Time the SAME
+    // fixed work single-threaded and across all worker threads:
+    //  - calib_single is the machine's scalar speed;
+    //  - calib_parallel / calib_single ≈ 1 on an unconstrained box; a
+    //    ratio of k means only cpus/k effective cores were available.
+    // To compare two rounds' numbers cross-environment, scale by the
+    // ratio of their calib_parallel values.
+    val calibSink = new java.util.concurrent.atomic.AtomicLong()
+    def burn(): Unit = {
+      var x = 1.0; var i = 0L
+      while (i < 200000000L) { x = x * 1.0000001 + 1e-9; i += 1 }
+      calibSink.addAndGet(java.lang.Double.doubleToLongBits(x))
+    }
+    val calT0 = System.nanoTime(); burn()
+    val calibSingle = (System.nanoTime() - calT0) / 1e9
+    val calT1 = System.nanoTime()
+    val calThreads = (1 to cpus.toInt).map(_ => new Thread(() => burn()))
+    calThreads.foreach(_.start()); calThreads.foreach(_.join())
+    val calibParallel = (System.nanoTime() - calT1) / 1e9
     def noop(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
@@ -97,6 +124,7 @@ object Bench {
         s""","warm_errors":[${warmErrs.mkString(",")}]""" else ""
       s"""{"metric":"total","value":${f3(total)},"unit":"sec"""" +
         s""","total_warm":${f3(totalWarm)}""" +
+        s""","calib_single":${f3(calibSingle)},"calib_parallel":${f3(calibParallel)}""" +
         s""","load_avg_start":${f3(load0)},"load_avg_end":${f3(load1)}$lw""" +
         s""","queries":$cm,"warm":$wm,"errors":[${errs.mkString(",")}]$we$om""" +
         s""","sf":"$sfDir"}"""
@@ -115,7 +143,7 @@ object Bench {
     // envelope + omitted-fields slack + the errors array (ADVICE r3: a run
     // with many failures must not push the line past the 2000-char tail);
     // each kept key appears in BOTH maps, so it costs 2x(name + number)
-    var len = 360 + (errs ++ warmErrs).map(_.length + 1).sum
+    var len = 430 + (errs ++ warmErrs).map(_.length + 1).sum
     for ((k, c, w) <- bySlowest if len + 2 * (k.length + 12) <= budget) {
       keep += ((k, c, w)); len += 2 * (k.length + 12)
     }

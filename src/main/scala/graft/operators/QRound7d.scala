@@ -289,30 +289,48 @@ object QRound7d extends QueryPack {
     * the match join are uniform-md5-key shuffles with the pair fan-out
     * bounded by O(dfCap²) per fingerprint; per-doc sizes are one more
     * uniform-key aggregate. No LSH pass, no all-pairs join anywhere. */
+  /** Distinct-within-doc via per-row `array_distinct` BEFORE the explode:
+    * distinctness here is a per-document property ((doc_id, h) pairs),
+    * so the row-local dedup is semantically identical to a global
+    * `.distinct()` — minus the corpus-wide shuffle the global spelling
+    * pays. */
   private def ctShingles(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), filter(split(col("text"), " "), x => x =!= "").as("tk"))
       .filter(size(col("tk")) >= ctW)
-      .select(col("doc_id"), explode(expr(
+      .select(col("doc_id"), explode(array_distinct(expr(
         s"transform(sequence(1, size(tk) - ${ctW - 1}), " +
-          s"i -> md5(array_join(slice(tk, i, $ctW), ' ')))")).as("h"))
-      .distinct()
+          s"i -> md5(array_join(slice(tk, i, $ctW), ' ')))"))).as("h"))
 
-  private[graft] def containmentPairs(docs: DataFrame): DataFrame =
-    containmentFrom(ctShingles(docs))
+  private[graft] def containmentPairs(docs: DataFrame): DataFrame = {
+    val sh = ctShingles(docs)
+    containmentFrom(sh, sh.groupBy("doc_id").agg(count(lit(1)).as("n")))
+  }
 
-  /** The distinct-trigram table feeds FOUR plan branches (df cap, both
-    * join sides, per-doc sizes) — persist it once per (session, sfDir)
-    * instead of re-tokenizing the corpus four times. */
-  private def containmentFrom(sh: DataFrame): DataFrame = {
-    val hot = sh.groupBy("h").agg(count(lit(1)).as("dfreq"))
-      .filter(col("dfreq") > ctCap).select("h")
-    val cold = sh.join(hot, Seq("h"), "left_anti")
-    val inter = cold.select(col("doc_id").as("a_id"), col("h"))
-      .join(cold.select(col("doc_id").as("b_id"), col("h")), "h")
-      .filter(col("a_id") < col("b_id"))
+  /** The distinct-trigram table feeds TWO plan branches (bucket
+    * enumeration, per-doc sizes) — persist it once per (session, sfDir)
+    * instead of re-tokenizing the corpus per branch.
+    *
+    * Candidate enumeration is the `lshCandidates` bucket-local pattern
+    * (one groupBy on the uniform md5 key, in-bucket pair explode over
+    * ≤ ctCap-element arrays) rather than the previous
+    * df-aggregate + left_anti + self-join chain: identical pair set
+    * (buckets over the cap are dropped by the size filter exactly as the
+    * hot-table anti-join dropped them), but ONE shuffle of the shingle
+    * stream instead of three — measured 2.6 s → 1.3 s warm at sf0.1.
+    * The per-doc size table `n` is passed in so the declared key can
+    * memoize it (r8 verdict: sizes were re-aggregated over the full
+    * explode on every run). */
+  private def containmentFrom(sh: DataFrame, n: DataFrame): DataFrame = {
+    val inter = sh.groupBy("h")
+      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, ctCap))
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)), y ->
+          |    struct(x AS a_id, y AS b_id))))""".stripMargin)).as("p"))
+      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
-    val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     inter
       .join(n.select(col("doc_id").as("a_id"), col("n").as("n_a")), "a_id")
       .join(n.select(col("doc_id").as("b_id"), col("n").as("n_b")), "b_id")
@@ -324,10 +342,18 @@ object QRound7d extends QueryPack {
       .orderBy("a_id", "b_id")
   }
 
-  private def textContainmentPairs(s: SparkSession, d: String): DataFrame =
-    containmentFrom(graft.Memo.memo(s, "ctshingles", d)(
+  private def textContainmentPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = graft.Memo.memo(s, "ctshingles", d)(
       ctShingles(t(s, d, "documents"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // per-doc distinct-trigram sizes: one row per doc — memoized derived
+    // state of the memoized shingle table, so warm runs skip the
+    // corpus-wide re-aggregate entirely
+    val n = graft.Memo.memo(s, "ctsizes", d)(
+      sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    containmentFrom(sh, n)
+  }
 
   private val oTextContainmentPairs =
     s"""WITH d AS (SELECT doc_id,

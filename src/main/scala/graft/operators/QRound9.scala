@@ -89,17 +89,29 @@ object QRound9 extends QueryPack {
     var beam = q.join(broadcast(ent))
       .select(col("qid"), col("vec_id"), trunc4(cosine("qv", "v")).as("score"))
     for (_ <- 1 to nswRounds) {
+      // no distinct on the frontier: duplicate (qid, cid) rows (two beam
+      // nodes sharing a neighbor) just re-score a handful of rows and are
+      // collapsed by the union-side distinct — cheaper than a shuffle
       val frontier = edges
         .join(broadcast(beam.select(col("qid"), col("vec_id"))),
           col("src") === col("vec_id"))
-        .select(col("qid"), col("dst").as("cid")).distinct()
+        .select(col("qid"), col("dst").as("cid"))
         .join(broadcast(q), "qid")
       val scored = e.join(broadcast(frontier), col("vec_id") === col("cid"))
         .select(col("qid"), col("vec_id"), trunc4(cosine("qv", "v")).as("score"))
       val w = Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id"))
+      // LAZY localCheckpoint per round: the next round references `beam`
+      // twice (frontier expansion + union), so an un-truncated lineage
+      // doubles the logical plan every round — the 2^r re-analysis
+      // failure mode the CC/BPE loops hit. Lazy (not eager) keeps the
+      // whole search ONE job: each round's tiny beam RDD is
+      // persist-materialized the first time the final action touches it
+      // and reused for its second reference, without paying a separate
+      // job floor per round (measured 5.2 s → eager, 4 jobs).
       beam = beam.unionByName(scored).distinct()
         .withColumn("rn", row_number().over(w)).filter(col("rn") <= nswBeamWidth)
         .select("qid", "vec_id", "score")
+        .localCheckpoint(false)
     }
     val wr = Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id"))
     val ranked = beam.withColumn("rnk", row_number().over(wr))
@@ -130,6 +142,13 @@ object QRound9 extends QueryPack {
     nswSearch(e, edges, QSim.simCosineTopk(s, d))
   }
 
+  /** Multiply-referenced CTEs are AS MATERIALIZED (the BPE-oracle rule:
+    * DuckDB inlines plain CTEs, so the b-chain's double reference per
+    * round re-evaluates the whole upstream — including the same-cell knn
+    * join — exponentially; sf0.1 went from unbounded to 1.3 s). `q` must
+    * stay NON-materialized: materializing it trips a DuckDB 1.0 internal
+    * error ("Recursive CTE scan found without recursive CTE node"),
+    * probed by bisection; it is a trivial filter over materialized `e`. */
   private val oSimAnnNsw = {
     val rounds = (1 to nswRounds).map { r =>
       s"""ex$r AS (SELECT DISTINCT b.qid, ed.dst AS cid
@@ -139,33 +158,33 @@ object QRound9 extends QueryPack {
          |  FROM ex$r x JOIN q ON q.qid = x.qid JOIN e ON e.vec_id = x.cid),
          |cu$r AS (SELECT DISTINCT qid, vec_id, score FROM
          |  (SELECT * FROM b${r - 1} UNION ALL SELECT * FROM sc$r)),
-         |b$r AS (SELECT qid, vec_id, score FROM (SELECT qid, vec_id, score,
+         |b$r AS MATERIALIZED (SELECT qid, vec_id, score FROM (SELECT qid, vec_id, score,
          |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
          |  FROM cu$r) WHERE rn <= $nswBeamWidth),""".stripMargin
     }.mkString("\n")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |${AnnKMeans.oCentroidChain(nswCells, nswIters, 64)}
-       |assigned AS (SELECT vec_id, v, cell FROM (
+       |assigned AS MATERIALIZED (SELECT vec_id, v, cell FROM (
        |  SELECT e.vec_id, e.v, c.cell, row_number() OVER (PARTITION BY e.vec_id
        |    ORDER BY ${oTrunc4("list_cosine_similarity(e.v, c.cv)")} DESC, c.cell) AS r
        |  FROM e, c$nswIters c) WHERE r = 1),
-       |knn AS (SELECT src, dst FROM (SELECT a.vec_id AS src, b.vec_id AS dst,
+       |knn AS MATERIALIZED (SELECT src, dst FROM (SELECT a.vec_id AS src, b.vec_id AS dst,
        |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
        |      ${oTrunc4("list_cosine_similarity(a.v, b.v)")} DESC, b.vec_id) AS rn
        |  FROM assigned a JOIN assigned b
        |    ON a.cell = b.cell AND a.vec_id <> b.vec_id) WHERE rn <= $nswDeg),
        |hubs AS (SELECT cell, min(vec_id) AS hub FROM assigned GROUP BY cell),
-       |edges AS (SELECT DISTINCT src, dst FROM (
+       |edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
        |  SELECT src, dst FROM knn
        |  UNION ALL SELECT dst AS src, src AS dst FROM knn
        |  UNION ALL SELECT a.hub AS src, b.hub AS dst FROM hubs a
        |    JOIN hubs b ON a.hub <> b.hub)),
        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 20),
-       |b0 AS (SELECT q.qid, e.vec_id,
+       |b0 AS MATERIALIZED (SELECT q.qid, e.vec_id,
        |    ${oTrunc4("list_cosine_similarity(q.qv, e.v)")} AS score
        |  FROM q, e WHERE e.vec_id = (SELECT min(vec_id) FROM e)),
        |$rounds
-       |ranked AS (SELECT qid, vec_id, score, row_number() OVER (
+       |ranked AS MATERIALIZED (SELECT qid, vec_id, score, row_number() OVER (
        |    PARTITION BY qid ORDER BY score DESC, vec_id) AS rnk FROM b$nswRounds),
        |rec AS (SELECT r.qid, count(*) AS hits FROM ranked r
        |  JOIN (${QSim.oSimCosineTopk}) t ON t.qid = r.qid AND t.vec_id = r.vec_id
@@ -237,9 +256,13 @@ object QRound9 extends QueryPack {
     * its buckets was seen earlier ("a doc whose ANY band bucket was seen
     * is suppressed"). One signature pass, one shuffle on the uniform
     * (band, bkey) md5 keys, one per-doc rollup. */
-  private[graft] def minhashAdmitted(docs: DataFrame): DataFrame = {
+  private[graft] def minhashAdmitted(docs: DataFrame): DataFrame =
+    minhashAdmittedFrom(docs, minhashBandRows(docs))
+
+  private def minhashAdmittedFrom(docs: DataFrame,
+      bandRows: DataFrame): DataFrame = {
     val w = Window.partitionBy("band", "bkey").orderBy("ts", "doc_id")
-    val per = minhashBandRows(docs)
+    val per = bandRows
       .withColumn("rn", row_number().over(w))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bands"),
@@ -257,10 +280,19 @@ object QRound9 extends QueryPack {
     * arrival time ts = 2024-01-01 + doc_id seconds (the corpus carries no
     * event time; monotone-in-doc_id arrival makes "earliest (ts, doc_id)"
     * well-defined and lets the oracle order by doc_id alone). */
-  private def streamDedupMinhash(s: SparkSession, d: String): DataFrame =
-    minhashAdmitted(t(s, d, "documents")
+  private def streamDedupMinhash(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
       .withColumn("ts", expr(
-        "TIMESTAMP_NTZ '2024-01-01 00:00:00' + make_dt_interval(0, 0, 0, doc_id)")))
+        "TIMESTAMP_NTZ '2024-01-01 00:00:00' + make_dt_interval(0, 0, 0, doc_id)"))
+    // the band-signature table is memoized + persisted per (session,
+    // sfDir) — the signature-table reuse pattern the LSH family already
+    // uses (shingledPersisted): 8 seeded md5s per shingle are the
+    // dominant cost and are pure index state
+    val rows = graft.Memo.memo(s, "mhbands", d)(
+      minhashBandRows(docs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    minhashAdmittedFrom(docs, rows)
+  }
 
   private val oStreamDedupMinhash = {
     val mins = (for (j <- 0 until mbB; c <- 0 until mbR) yield

@@ -84,7 +84,32 @@ class HarnessSpec extends SparkSpec {
     "chp_attribution_last", "sql_parameterized", "text_containment_pairs",
     "mm_audio_energy", "pipeline_domain_mix", "chp_calibration_bins",
     "pipeline_curation_verdict", "emb_pca_project2", "win_streak_islands",
-    "profile_histogram")
+    "profile_histogram",
+    // round 9: NSW beam search (windowed per qid, k-means cells), band-key
+    // first-arrival admission
+    "sim_ann_nsw", "stream_dedup_minhash")
+
+  test("Memo.memo: concurrent misses build exactly once (no leaked loser)") {
+    val built = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (1 to 8).map(_ => new Thread(() => {
+      Memo.memo(spark, "racetest", "race-d") {
+        built.incrementAndGet()
+        Thread.sleep(200) // widen the race window
+        spark.range(100).toDF("x")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+      ()
+    }))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(built.get() === 1,
+      s"expected exactly one build under 8 concurrent misses, got ${built.get()}")
+    // a later hit must reuse, not rebuild
+    Memo.memo(spark, "racetest", "race-d") {
+      built.incrementAndGet()
+      spark.range(100).toDF("x")
+    }
+    assert(built.get() === 1, "post-race hit rebuilt the memoized entry")
+  }
 
   probeKeys.foreach { key =>
     test(s"$key: identical at shuffle.partitions 1 and 32") {

@@ -121,4 +121,23 @@ class MultimodalSpec extends SparkSpec {
       assert(f.brightness === expected)
     }
   }
+
+  test("scene cuts reject a payload whose frame dims change mid-stream") {
+    import spark.implicits._
+    def frame(w: Int, h: Int): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(s"P6\n$w $h\n255\n".getBytes("US-ASCII"))
+      bos.write(new Array[Byte](w * h * 3))
+      bos.toByteArray
+    }
+    val ds = Seq(operators.Multimodal.MediaRow(7L, frame(4, 3) ++ frame(5, 3),
+      "video")).toDS()
+    val ex = intercept[org.apache.spark.SparkException] {
+      operators.Multimodal.sceneCuts(ds).collect()
+    }
+    assert(ex.getMessage.contains("changes frame dims mid-stream") ||
+      (ex.getCause != null &&
+        ex.getCause.getMessage.contains("changes frame dims mid-stream")),
+      s"wrong failure: ${ex.getMessage}")
+  }
 }

@@ -292,4 +292,15 @@ class Round7dSpec extends SparkSpec {
       assert(flag == (if (frac > 0.05) 1 else 0), s"doc $id: flag/frac mismatch")
     }
   }
+
+  test("profile_histogram rejects a degenerate (constant) domain loudly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ph_degen").toString
+    Seq(1.0, 1.0, 1.0).toDF("o_totalprice").write.mode("overwrite")
+      .parquet(s"$dir/orders.parquet")
+    val ex = intercept[IllegalArgumentException] {
+      SparkEntry.queries("profile_histogram")(spark, dir)
+    }
+    assert(ex.getMessage.contains("degenerate domain"), ex.getMessage)
+  }
 }
