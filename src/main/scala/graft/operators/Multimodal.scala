@@ -495,4 +495,32 @@ object Multimodal {
       .select(col("doc_id")).as[Long]
       .mapPartitions(_.map(id => MediaRow(id, synthPpm(id), "ppm")))
   }
+
+  // ---- per-channel statistics (color-balance features) ----
+
+  case class ChannelStats(media_id: Long, width: Int, height: Int,
+      r_sum: Long, g_sum: Long, b_sum: Long)
+
+  /** Per-channel EXACT byte sums over a P6 pixel plane (channel = byte
+    * index mod 3 in RGB interleave). Like the other decoders, the lossy
+    * division to a mean happens exactly once at the very end of the query,
+    * never inside the decode — cross-engine hash safety. Returns None on
+    * any malformed payload (same grammar as decodePpm). */
+  def channelSums(p: Array[Byte]): Option[ChannelStats] =
+    decodeP6At(p, 0).map { case (w, h, _, end) =>
+      val n = 3 * w * h
+      val start = end - n // plane location from the parse, not payload tail
+      val acc = new Array[Long](3)
+      var i = 0
+      while (i < n) { acc(i % 3) += (p(start + i) & 0xff); i += 1 }
+      ChannelStats(0L, w, h, acc(0), acc(1), acc(2))
+    }
+
+  /** Partition-batched per-channel decode over a PPM media lake. */
+  def channelStatsAll(media: Dataset[MediaRow]): Dataset[ChannelStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      channelSums(r.payload).map(_.copy(media_id = r.media_id))
+    })
+  }
 }
