@@ -523,4 +523,44 @@ object Multimodal {
       channelSums(r.payload).map(_.copy(media_id = r.media_id))
     })
   }
+
+  // ---- pixel-value entropy (texture/complexity signal) ----
+
+  case class ByteEntropy(media_id: Long, n_bytes: Long, n_distinct: Int,
+      s_scaled: Long)
+
+  /** Exact pixel-byte histogram statistics for entropy: the 256-bin count
+    * vector stays inside the decode; what leaves is n (plane bytes),
+    * distinct value count, and Σ floor(c·ln c·1e12 + 0.5) as an EXACT
+    * long (the scale-to-long engine-stable spelling) — the final
+    * H = ln n − s/1e12/n division happens once, in the query, with the
+    * identical expression on the oracle side. */
+  def byteEntropy(p: Array[Byte]): Option[ByteEntropy] =
+    decodeP6At(p, 0).map { case (w, h, _, end) =>
+      val n = 3 * w * h
+      val start = end - n
+      val hist = new Array[Long](256)
+      var i = 0
+      while (i < n) { hist(p(start + i) & 0xff) += 1; i += 1 }
+      var s = 0L
+      var k = 0
+      var distinct = 0
+      while (k < 256) {
+        val c = hist(k)
+        if (c > 0) {
+          distinct += 1
+          s += math.floor(c.toDouble * math.log(c.toDouble) * 1e12 + 0.5).toLong
+        }
+        k += 1
+      }
+      ByteEntropy(0L, n.toLong, distinct, s)
+    }
+
+  /** Partition-batched entropy decode over a PPM media lake. */
+  def byteEntropyAll(media: Dataset[MediaRow]): Dataset[ByteEntropy] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      byteEntropy(r.payload).map(_.copy(media_id = r.media_id))
+    })
+  }
 }
