@@ -1,0 +1,283 @@
+package graft.operators
+
+import graft.QueryPack
+import graft.sources.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-9 extension wave 5 (SURVEY §2.27):
+  *
+  *  - `text_ccnet_tiers`: CCNet-style head/mid/tail quality tiers per
+  *    language by LM-score terciles (Wenzek et al. 2020 §4.3 bucket the
+  *    corpus by perplexity tercile before sampling).
+  *  - `pipeline_token_budget`: fill a token budget with the highest-LM
+  *    docs — threshold found on the bounded score histogram, never a
+  *    global doc ranking.
+  *  - `join_asof_nearest`: nearest-in-time as-of (either direction, tie
+  *    → earlier) — sensor/event alignment beside the backward/forward
+  *    variants.
+  *  - `graph_degree_assort`: degree assortativity (Pearson correlation of
+  *    endpoint degrees over the edge list) — the mixing-pattern summary
+  *    statistic of the kNN graph.
+  */
+object QRound9f extends QueryPack {
+
+  /** Per-doc LM fluency scores (QRound7d.bigramScores), memoized +
+    * persisted per (session, sfDir): both wave-5 quality keys and any
+    * future consumer share one build of the bigram model. */
+  private[graft] def lmScoresPersisted(s: SparkSession, d: String): DataFrame =
+    graft.Memo.memo(s, "lmscores", d)(
+      QRound7d.bigramScores(t(s, d, "documents"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  private val oLmScores = QRound7d.oracles("text_lm_bigram_score")
+
+  // ---- text_ccnet_tiers ----
+
+  /** CCNet head/mid/tail: per language, tercile boundaries t1 ≤ t2 are
+    * found on the BOUNDED (lang, trunc4-score) histogram (probed 32–47
+    * buckets per lang at sf0.01; bounded by the 10⁴ trunc4 domain at any
+    * corpus size) — cum·3 ≥ n and cum·3 ≥ 2n in exact integers, ties
+    * share a tier. tail = score ≤ t1 (least fluent), head = score > t2.
+    * Per (lang, tier): docs, token mass, mean score (scale-to-long exact
+    * sum). The cumulative walk is a window over the bounded histogram
+    * partitioned per lang — never over docs. */
+  private[graft] def ccnetTiers(lm: DataFrame, docs: DataFrame): DataFrame = {
+    val hist = lm.groupBy("lang", "lm_score").agg(count(lit(1)).as("n"))
+    val wl = Window.partitionBy("lang").orderBy("lm_score")
+    val tot = lm.groupBy("lang").agg(count(lit(1)).as("nl"))
+    val th = hist.withColumn("cum", sum(col("n")).over(wl))
+      .join(broadcast(tot), "lang")
+      .groupBy("lang")
+      .agg(min(when(col("cum") * 3 >= col("nl"), col("lm_score"))).as("t1"),
+        min(when(col("cum") * 3 >= col("nl") * 2, col("lm_score"))).as("t2"))
+    val toks = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast(LongType).as("n_toks"))
+    lm.join(toks, "doc_id").join(broadcast(th), "lang")
+      .withColumn("tier",
+        when(col("lm_score") <= col("t1"), "tail")
+          .when(col("lm_score") <= col("t2"), "mid")
+          .otherwise("head"))
+      .groupBy("lang", "tier")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
+        sum(floor(col("lm_score") * lit(1e8) + lit(0.5)).cast(LongType))
+          .as("ss"))
+      .select(col("lang"), col("tier"), col("n_docs"), col("n_tokens"),
+        trunc4(col("ss").cast(DoubleType) / lit(1e8)
+          / col("n_docs").cast(DoubleType)).as("mean_score"))
+      .orderBy("lang", "tier")
+  }
+
+  private def textCcnetTiers(s: SparkSession, d: String): DataFrame =
+    ccnetTiers(lmScoresPersisted(s, d), t(s, d, "documents"))
+
+  private val oTextCcnetTiers =
+    s"""WITH lm AS MATERIALIZED (SELECT * FROM ($oLmScores)),
+       |hist AS (SELECT lang, lm_score, count(*) AS n FROM lm GROUP BY 1, 2),
+       |tot AS (SELECT lang, count(*) AS nl FROM lm GROUP BY 1),
+       |cum AS (SELECT lang, lm_score,
+       |    CAST(sum(n) OVER (PARTITION BY lang ORDER BY lm_score) AS BIGINT) AS cum
+       |  FROM hist),
+       |th AS (SELECT c.lang,
+       |    min(CASE WHEN c.cum * 3 >= t.nl THEN c.lm_score END) AS t1,
+       |    min(CASE WHEN c.cum * 3 >= t.nl * 2 THEN c.lm_score END) AS t2
+       |  FROM cum c JOIN tot t USING (lang) GROUP BY c.lang),
+       |tk AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+       |    AS n_toks FROM documents),
+       |x AS (SELECT lm.lang, lm.lm_score, tk.n_toks,
+       |    CASE WHEN lm.lm_score <= th.t1 THEN 'tail'
+       |         WHEN lm.lm_score <= th.t2 THEN 'mid' ELSE 'head' END AS tier
+       |  FROM lm JOIN tk USING (doc_id) JOIN th USING (lang))
+       |SELECT lang, tier, count(*) AS n_docs,
+       |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       |  ${oTrunc4("CAST(sum(CAST(floor(lm_score * 1e8 + 0.5) AS BIGINT)) AS DOUBLE) / 1e8 / count(*)")} AS mean_score
+       |FROM x GROUP BY lang, tier ORDER BY lang, tier""".stripMargin
+
+  // ---- pipeline_token_budget ----
+
+  /** Budget-constrained curation: fill a 40% token budget with the
+    * highest-LM-score docs. The keep threshold s* = MIN score whose
+    * at-or-above token mass fits the budget is found entirely on the
+    * bounded trunc4-score histogram — cum-above via a bounded triangular
+    * join (the KM pattern; never a global window, never a doc ranking) —
+    * and the keep set is `score ≥ s*`. All arithmetic is exact integers;
+    * the single division is the trunc4'd utilization. */
+  private[graft] def tokenBudget(lm: DataFrame, docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast(LongType).as("n_toks"))
+    val scored = lm.select(col("doc_id"), col("lm_score")).join(toks, "doc_id")
+    val tot = scored.agg(sum(col("n_toks")).as("total_tokens"),
+      count(lit(1)).as("n_docs_total"))
+      .withColumn("budget_tokens", expr("total_tokens * 2 div 5"))
+    val hist = scored.groupBy("lm_score").agg(sum(col("n_toks")).as("tk"))
+    val cumGe = hist.select(col("lm_score"))
+      .join(hist.select(col("lm_score").as("s2"), col("tk")),
+        col("s2") >= col("lm_score"))
+      .groupBy("lm_score").agg(sum(col("tk")).as("cum_ge"))
+    val thr = cumGe.join(broadcast(tot))
+      .agg(min(when(col("cum_ge") <= col("budget_tokens"), col("lm_score")))
+        .as("threshold_score"))
+    val sel = scored.join(broadcast(thr))
+      .filter(col("lm_score") >= coalesce(col("threshold_score"),
+        lit(Double.MaxValue)))
+      .agg(count(lit(1)).as("n_selected"),
+        coalesce(sum(col("n_toks")), lit(0L)).as("tokens_selected"))
+    broadcast(tot).join(sel).join(broadcast(thr))
+      .select(col("total_tokens"), col("budget_tokens"), col("n_docs_total"),
+        coalesce(col("threshold_score"), lit(-1.0)).as("threshold_score"),
+        col("n_selected"), col("tokens_selected"),
+        trunc4(col("tokens_selected").cast(DoubleType)
+          / col("budget_tokens").cast(DoubleType)).as("utilization"))
+  }
+
+  private def pipelineTokenBudget(s: SparkSession, d: String): DataFrame =
+    tokenBudget(lmScoresPersisted(s, d), t(s, d, "documents"))
+
+  private val oPipelineTokenBudget =
+    s"""WITH lm AS MATERIALIZED (SELECT * FROM ($oLmScores)),
+       |tk AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+       |    AS n_toks FROM documents),
+       |sc AS (SELECT lm.doc_id, lm.lm_score, tk.n_toks FROM lm JOIN tk USING (doc_id)),
+       |tot AS (SELECT CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+       |    count(*) AS n_docs_total,
+       |    CAST(sum(n_toks) AS BIGINT) * 2 // 5 AS budget_tokens FROM sc),
+       |hist AS (SELECT lm_score, CAST(sum(n_toks) AS BIGINT) AS tk
+       |  FROM sc GROUP BY 1),
+       |cg AS (SELECT a.lm_score, CAST(sum(b.tk) AS BIGINT) AS cum_ge
+       |  FROM hist a JOIN hist b ON b.lm_score >= a.lm_score GROUP BY 1),
+       |thr AS (SELECT min(CASE WHEN cg.cum_ge <= tot.budget_tokens
+       |    THEN cg.lm_score END) AS threshold_score FROM cg, tot),
+       |sel AS (SELECT count(*) AS n_selected,
+       |    coalesce(CAST(sum(sc.n_toks) AS BIGINT), 0) AS tokens_selected
+       |  FROM sc, thr WHERE sc.lm_score >= thr.threshold_score)
+       |SELECT tot.total_tokens, tot.budget_tokens, tot.n_docs_total,
+       |  coalesce(thr.threshold_score, -1.0) AS threshold_score,
+       |  sel.n_selected, sel.tokens_selected,
+       |  ${oTrunc4("CAST(sel.tokens_selected AS DOUBLE) / tot.budget_tokens")} AS utilization
+       |FROM tot, sel, thr""".stripMargin
+
+  // ---- join_asof_nearest ----
+
+  /** Nearest-in-time as-of: for each purchase, the user's closest click
+    * in EITHER direction (tie → the earlier one). One window pass with
+    * both frames — the backward max and forward min — then a per-row
+    * pick on exact micros; no self-join. Emits micros (never a rebuilt
+    * timestamp) so both engines compare pure integers; -1 = no click. */
+  private[graft] def asofNearest(events: DataFrame): DataFrame = {
+    val e = events.filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        expr("unix_micros(cast(ts as timestamp))").as("us"))
+    val base = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val prevC = max(when(col("event_type") === "click", col("us")))
+      .over(base.rowsBetween(Window.unboundedPreceding, -1))
+    val nextC = min(when(col("event_type") === "click", col("us")))
+      .over(base.rowsBetween(1, Window.unboundedFollowing))
+    val nearest = when(col("p").isNull, col("nx"))
+      .when(col("nx").isNull, col("p"))
+      .otherwise(when(col("us") - col("p") <= col("nx") - col("us"),
+        col("p")).otherwise(col("nx")))
+    e.withColumn("p", prevC).withColumn("nx", nextC)
+      .filter(col("event_type") === "purchase")
+      .withColumn("nearest_click_us", nearest)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        coalesce(col("nearest_click_us"), lit(-1L)).as("nearest_click_us"),
+        coalesce(abs(col("us") - col("nearest_click_us")), lit(-1L))
+          .as("diff_us"))
+      .orderBy("event_id")
+  }
+
+  private def joinAsofNearest(s: SparkSession, d: String): DataFrame =
+    asofNearest(t(s, d, "events"))
+
+  private val oJoinAsofNearest =
+    """WITH e AS (SELECT event_id, user_id, ts, event_type, epoch_us(ts) AS us
+      |  FROM events WHERE event_type IN ('click', 'purchase')),
+      |w AS (SELECT event_id, user_id, ts, event_type, us,
+      |    max(CASE WHEN event_type = 'click' THEN us END) OVER (
+      |      PARTITION BY user_id ORDER BY us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS p,
+      |    min(CASE WHEN event_type = 'click' THEN us END) OVER (
+      |      PARTITION BY user_id ORDER BY us, event_id
+      |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nx
+      |  FROM e),
+      |n AS (SELECT event_id, user_id, ts, us,
+      |    CASE WHEN p IS NULL THEN nx WHEN nx IS NULL THEN p
+      |         WHEN us - p <= nx - us THEN p ELSE nx END AS nearest_click_us
+      |  FROM w WHERE event_type = 'purchase')
+      |SELECT event_id, user_id, ts,
+      |  coalesce(nearest_click_us, -1) AS nearest_click_us,
+      |  coalesce(abs(us - nearest_click_us), -1) AS diff_us
+      |FROM n ORDER BY event_id""".stripMargin
+
+  // ---- graph_degree_assort ----
+
+  /** Degree assortativity of the kNN graph: Pearson correlation of
+    * (deg(src), deg(dst)) over the directed edge list (each undirected
+    * edge contributes both directions — the standard estimator). Positive
+    * = hubs link hubs; negative = hub-and-spoke. Exact integer moments
+    * (degrees ≤ corpus kNN degree bound), one trunc6'd division; the
+    * degree table joins back on the vertex key. */
+  private[graft] def degreeAssort(edges: DataFrame): DataFrame = {
+    val dd = DoubleType
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val xy = edges
+      .join(broadcast(deg.select(col("src"), col("deg").as("x"))), "src")
+      .join(broadcast(deg.select(col("src").as("dst"), col("deg").as("y"))),
+        "dst")
+    xy.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("n").as("n_edges"),
+        trunc6(
+          (col("n").cast(dd) * col("sxy").cast(dd)
+            - col("sx").cast(dd) * col("sy").cast(dd))
+          / sqrt(col("n").cast(dd) * col("sxx").cast(dd)
+            - col("sx").cast(dd) * col("sx").cast(dd))
+          / sqrt(col("n").cast(dd) * col("syy").cast(dd)
+            - col("sy").cast(dd) * col("sy").cast(dd)))
+          .as("assortativity"))
+  }
+
+  private def graphDegreeAssort(s: SparkSession, d: String): DataFrame = {
+    val knn = QSim.queries("sim_knn_join")(s, d)
+      .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+    val edges = graft.Memo.memo(s, "bfsedges", d)(
+      knn.unionByName(knn.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    degreeAssort(edges)
+  }
+
+  private val oGraphDegreeAssort =
+    s"""WITH knn AS MATERIALIZED (SELECT vec_id AS src, nbr_id AS dst
+       |  FROM (${QSim.oracles("sim_knn_join")})),
+       |edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+       |  SELECT src, dst FROM knn UNION ALL SELECT dst AS src, src AS dst FROM knn)),
+       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+       |xy AS (SELECT dx.deg AS x, dy.deg AS y FROM edges e
+       |  JOIN deg dx ON dx.src = e.src JOIN deg dy ON dy.src = e.dst),
+       |m AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+       |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x*y) AS BIGINT) AS sxy,
+       |    CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy
+       |  FROM xy)
+       |SELECT n AS n_edges,
+       |  ${oTrunc6("(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) " +
+                    "/ sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) " +
+                    "/ sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)")} AS assortativity
+       |FROM m""".stripMargin
+
+  val queries: Map[String, QFn] = Map(
+    "text_ccnet_tiers"      -> textCcnetTiers _,
+    "pipeline_token_budget" -> pipelineTokenBudget _,
+    "join_asof_nearest"     -> joinAsofNearest _,
+    "graph_degree_assort"   -> graphDegreeAssort _)
+
+  val oracles: Map[String, String] = Map(
+    "text_ccnet_tiers"      -> oTextCcnetTiers,
+    "pipeline_token_budget" -> oPipelineTokenBudget,
+    "join_asof_nearest"     -> oJoinAsofNearest,
+    "graph_degree_assort"   -> oGraphDegreeAssort)
+}
