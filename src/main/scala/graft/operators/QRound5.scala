@@ -615,8 +615,10 @@ object QRound5 extends QueryPack {
     * row-group stat skipping. This is the batch-engine twin of the
     * reference's key-indexed serving reads: at 100 TB a point read must
     * touch O(ids) buckets, never the table. */
-  private def servePointLookup(s: SparkSession, d: String): DataFrame = {
-    val tbl = graft.Memo.memo(s, "servetbl", d) {
+  /** The memoized bucketed score store — the "online" serving table the
+    * point-lookup and mget keys both read (built once per session/sfDir). */
+  private[graft] def serveTablePersisted(s: SparkSession, d: String): DataFrame =
+    graft.Memo.memo(s, "servetbl", d) {
       val n = bktCounter.incrementAndGet()
       val dir = newBktDir("graft_serve_")
       val name = s"graft_scores_b$n"
@@ -625,9 +627,10 @@ object QRound5 extends QueryPack {
         .bucketBy(8, "user_id").sortBy("user_id").saveAsTable(name)
       s.table(name)
     }
-    tbl.filter(col("user_id").isin(3, 7, 11))
+
+  private def servePointLookup(s: SparkSession, d: String): DataFrame =
+    serveTablePersisted(s, d).filter(col("user_id").isin(3, 7, 11))
       .orderBy("user_id")
-  }
 
   private val oServePointLookup = {
     val scored = QPipeline.oracles("chp_score_linear")
