@@ -67,8 +67,13 @@ object QRound9b extends QueryPack {
     val lt = gaps.groupBy("t").agg(
       sum(col("ev")).as("d"), sum(lit(1L) - col("ev")).as("c"))
     val tot = gaps.agg(count(lit(1)).as("n"))
+    // broadcast() on the ~80-row side: without the hint Spark has no size
+    // stats for the aggregate and plans the non-equi join as a
+    // CartesianProduct (both sides shuffled to one stream) instead of a
+    // BroadcastNestedLoopJoin — caught by the PlanSpec gate
     val cum = lt.select(col("t"))
-      .join(lt.select(col("t").as("t2"), (col("d") + col("c")).as("dc")),
+      .join(broadcast(lt.select(col("t").as("t2"),
+        (col("d") + col("c")).as("dc"))),
         col("t2") < col("t"), "left")
       .groupBy("t").agg(coalesce(sum(col("dc")), lit(0L)).as("cum_prev"))
     val risk = lt.join(cum, "t").join(broadcast(tot))
@@ -79,7 +84,7 @@ object QRound9b extends QueryPack {
         log((col("n_risk") - col("d")).cast(DoubleType)
           / col("n_risk").cast(DoubleType))).as("lnterm"),
       when(col("d") >= col("n_risk"), lit(1)).otherwise(lit(0)).as("z"))
-    risk.join(terms, col("t2") <= col("t"))
+    risk.join(broadcast(terms), col("t2") <= col("t"))
       .groupBy("t", "d", "c", "n_risk")
       .agg(max(col("z")).as("anyz"), sum(col("lnterm")).as("ls"))
       .select(col("t"), col("n_risk"), col("d").as("n_event"),

@@ -171,7 +171,7 @@ object QRound9c extends QueryPack {
       .groupBy("word").agg(count(lit(1)).as("c"))
     val top = tf.orderBy(col("c").desc, col("word")).limit(zipfTop)
     val b = top.select(col("word").as("w2"), col("c").as("c2"))
-    val ranked = top.join(b,
+    val ranked = top.join(broadcast(b),
         col("c2") > col("c") || (col("c2") === col("c") && col("w2") < col("word")),
         "left")
       .groupBy("word", "c").agg((count(col("w2")) + lit(1L)).as("rank"))

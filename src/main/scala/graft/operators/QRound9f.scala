@@ -113,7 +113,7 @@ object QRound9f extends QueryPack {
       .withColumn("budget_tokens", expr("total_tokens * 2 div 5"))
     val hist = scored.groupBy("lm_score").agg(sum(col("n_toks")).as("tk"))
     val cumGe = hist.select(col("lm_score"))
-      .join(hist.select(col("lm_score").as("s2"), col("tk")),
+      .join(broadcast(hist.select(col("lm_score").as("s2"), col("tk"))),
         col("s2") >= col("lm_score"))
       .groupBy("lm_score").agg(sum(col("tk")).as("cum_ge"))
     val thr = cumGe.join(broadcast(tot))

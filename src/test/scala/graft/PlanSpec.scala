@@ -248,4 +248,38 @@ class PlanSpec extends SparkSpec {
     }
     assert(offenders.isEmpty, s"global single-partition window in: $offenders")
   }
+
+  test("weighted reservoir sample is a distributed top-k, not a global sort") {
+    val p = plan("sample_reservoir_weighted")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k not TakeOrderedAndProject in:\n$p")
+  }
+
+  test("KM triangular joins are bounded broadcasts, never cartesian") {
+    val p = plan("chp_survival_km")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    // the two cumulative joins over the ~80-row KM table must be broadcast
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"bounded triangular join missing from:\n$p")
+  }
+
+  test("mget never shuffles the bucketed store: request list broadcasts") {
+    val p = plan("serve_mget_bucketed")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast probe in:\n$p")
+    // the big store side is never exchanged on the probe key — both the
+    // semi and anti probes broadcast the 100-row request list instead.
+    // (The scan legitimately reports "Bucketed: false (disabled by query
+    // planner)": bucketing is a shuffle-avoidance layout, and a broadcast
+    // probe needs no distribution at all.)
+    assert(!p.contains("Exchange hashpartitioning(user_id"),
+      s"store shuffled on the probe key in:\n$p")
+  }
+
+  test("graph rounds (BFS, k-core) never fall back to non-equi joins") {
+    for (key <- Seq("graph_bfs_distance", "graph_kcore",
+        "graph_jaccard_neighbors")) {
+      val p = plan(key)
+      assert(!p.contains("CartesianProduct"), s"$key: cartesian in:\n$p")
+    }
+  }
 }
