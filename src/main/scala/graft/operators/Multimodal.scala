@@ -486,6 +486,36 @@ object Multimodal {
       .as[MediaRow]
   }
 
+  /** Parse a P6 payload down to its raw pixel plane: (width, height,
+    * plane bytes). Same header discipline as `decodePpm` (comments,
+    * maxval ≤ 255, exact plane length) but exposes the bytes for
+    * kernel-based features (Laplacian sharpness, channel stats). */
+  def pixelPlane(p: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    var i = 0
+    def skipWsAndComments(): Unit = {
+      var more = true
+      while (more && i < p.length) {
+        val c = p(i).toChar
+        if (c == '#') { while (i < p.length && p(i) != '\n') i += 1 }
+        else if (c.isWhitespace) i += 1
+        else more = false
+      }
+    }
+    def readInt(): Option[Int] = {
+      skipWsAndComments()
+      val s = i
+      while (i < p.length && p(i).toChar.isDigit) i += 1
+      if (i == s) None else Some(new String(p, s, i - s, "US-ASCII").toInt)
+    }
+    if (p.length < 2 || p(0) != 'P' || p(1) != '6') return None
+    i = 2
+    for {
+      w <- readInt(); h <- readInt(); maxv <- readInt()
+      if maxv > 0 && maxv <= 255 && w > 0 && h > 0
+      if i + 1 + 3L * w * h <= p.length
+    } yield (w, h, java.util.Arrays.copyOfRange(p, i + 1, i + 1 + 3 * w * h))
+  }
+
   /** A media lake of synthesized PPM images keyed by doc_id — payloads are
     * generated executor-side inside the scan's mapPartitions, so nothing is
     * collected or broadcast. */
