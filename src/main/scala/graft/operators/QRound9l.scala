@@ -95,31 +95,42 @@ object QRound9l extends QueryPack {
     * checkpoint is needed. */
   private[graft] def hitsScores(nodes: DataFrame, edges: DataFrame)
       : DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // The per-round max is 1-row MODEL STATE: collecting it as a scalar
+    // (the k-means/k-center discipline) keeps each aggregate referenced
+    // exactly ONCE in the next state's plan — linear plan growth with no
+    // per-round checkpoint. The max collect doubles as the job that
+    // materializes the persisted aggregate; each cache is unpersisted as
+    // soon as its last consumer has run (one live round in memory).
     var hub = nodes.select(col("vec_id").as("node"), lit(1000000L).as("h"))
-    var auth = nodes.select(col("vec_id").as("node"), lit(0L).as("a"))
+    var auth = hub.select(col("node"), lit(0L).as("a"))
+    var prev: List[DataFrame] = Nil
     for (_ <- 1 to hitsRounds) {
-      // araw/hraw are each consumed TWICE (max + join): lazy
-      // localCheckpoint truncates the otherwise-4^r plan growth in one
-      // job per round (the CC/BPE loop discipline)
       val araw = edges.join(hub, col("src") === col("node"))
         .groupBy(col("dst")).agg(sum(col("h")).as("ar"))
-        .localCheckpoint(false)
-      val amax = araw.agg(max(col("ar")).as("am"))
+        .persist(MEMORY_AND_DISK)
+      val am = araw.agg(max(col("ar"))).head().getLong(0)
+      prev.foreach(_.unpersist(false)); prev = Nil
       auth = nodes.select(col("vec_id").as("node"))
         .join(araw, col("node") === col("dst"), "left")
-        .crossJoin(broadcast(amax))
         .select(col("node"),
-          coalesce(expr("ar * 1000000 div am"), lit(0L)).as("a"))
+          coalesce(expr(s"ar * 1000000 div ${am}L"), lit(0L)).as("a"))
       val hraw = edges.join(auth, col("dst") === col("node"))
         .groupBy(col("src")).agg(sum(col("a")).as("hr"))
-        .localCheckpoint(false)
-      val hmax = hraw.agg(max(col("hr")).as("hm"))
+        .persist(MEMORY_AND_DISK)
+      val hm = hraw.agg(max(col("hr"))).head().getLong(0)
+      araw.unpersist(false)
       hub = nodes.select(col("vec_id").as("node"))
         .join(hraw, col("node") === col("src"), "left")
-        .crossJoin(broadcast(hmax))
         .select(col("node"),
-          coalesce(expr("hr * 1000000 div hm"), lit(0L)).as("h"))
+          coalesce(expr(s"hr * 1000000 div ${hm}L"), lit(0L)).as("h"))
+      prev = List(hraw)
     }
+    // with the maxes baked in as literals the returned plan is one
+    // LINEAR 16-join chain — drop the loop caches and let the final
+    // materialization re-run it in a single job (callers memoize+persist
+    // the result, so the chain runs once per session)
+    prev.foreach(_.unpersist(false))
     hub.join(auth.withColumnRenamed("node", "n2"), col("node") === col("n2"))
       .select(col("node").as("vec_id"), col("h").as("hub_score"),
         col("a").as("auth_score"))
@@ -127,10 +138,12 @@ object QRound9l extends QueryPack {
   }
 
   private def graphHitsScores(s: SparkSession, d: String): DataFrame =
-    hitsScores(
-      QSim.embPersisted(s, d).select("vec_id"),
-      QSim.queries("sim_knn_join")(s, d)
-        .select(col("vec_id").as("src"), col("nbr_id").as("dst")))
+    graft.Memo.memo(s, "hitsscores", d)(
+      hitsScores(
+        QSim.embPersisted(s, d).select("vec_id"),
+        QSim.queries("sim_knn_join")(s, d)
+          .select(col("vec_id").as("src"), col("nbr_id").as("dst")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   private val oGraphHitsScores = {
     val rounds = (1 to hitsRounds).map { r =>
