@@ -282,4 +282,37 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"$key: cartesian in:\n$p")
     }
   }
+
+  test("spatial grid join probes on the cell key, never 20xN theta") {
+    val p = plan("join_spatial_grid")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    // the 9-cell probe side broadcasts into the bucketed corpus scan
+    assert(p.contains("BroadcastHashJoin"), s"no cell equi-join in:\n$p")
+  }
+
+  test("null-safe join plans as a hash join, not BNLJ") {
+    val p = plan("join_null_safe")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), s"non-equi fallback in:\n$p")
+  }
+
+  test("keyset pages are TakeOrderedAndProject, never a global sort") {
+    val p = plan("serve_keyset_page")
+    assert(p.contains("TakeOrderedAndProject"), s"no top-k in:\n$p")
+  }
+
+  test("PMI bounds the pair space with the vocab semi-join before pairing") {
+    val p = plan("text_pmi_cooccur")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"vocab not a bounded top-k in:\n$p")
+  }
+
+  test("stress/harmonic frontiers stay on vertex-keyed equi-joins") {
+    for (key <- Seq("graph_stress_sampled", "graph_harmonic_sampled",
+        "graph_clustering_coeff", "graph_hits_scores")) {
+      val p = plan(key)
+      assert(!p.contains("CartesianProduct"), s"$key: cartesian in:\n$p")
+    }
+  }
 }
