@@ -291,7 +291,7 @@ object QText extends QueryPack {
   private def dedupLshPairs(s: SparkSession, d: String): DataFrame =
     lshPairsPersisted(s, d).orderBy("a_id", "b_id")
 
-  private val oDedupLshPairs: String = {
+  private[operators] val oDedupLshPairs: String = {
     val mins = (for (j <- 0 until lshB; c <- 0 until lshR) yield
       s"min(substr(md5('$j|' || s), ${c * 8 + 1}, 8)) AS m${j}_$c")
       .mkString(",\n    ")
