@@ -92,7 +92,13 @@ object ChurnModel {
           .setMaxIter(15).setTol(1e-8)
           .setRegParam(reg).setElasticNetParam(0.0)
           .setStandardization(true).setFamily("binomial")
-        val model = lr.fit(train)
+        // drop the training summary before transform: the summary holds
+        // the SparkSession (ObservationManager is not serializable), and
+        // the prediction UDF's closure captures the whole model — with a
+        // summary attached the scoring job dies with Task-not-serializable
+        // when other session state is live (caught by the full-suite
+        // PlanSpec audit)
+        val model = lr.fit(train).copy(org.apache.spark.ml.param.ParamMap.empty)
         val auc = ev.evaluate(model.transform(test))
         val l2 = math.sqrt(model.coefficients.toArray.map(w => w * w).sum)
         (reg, t4(auc), t4(l2))
@@ -133,7 +139,8 @@ object ChurnModel {
       // binomial even if a tiny fold degenerates to one class (family
       // "auto" would fit a 1-column multinomial and break the evaluator)
       .setFamily("binomial")
-    val model = lr.fit(train)
+    // summary dropped before transform — see trainCv's serialization note
+    val model = lr.fit(train).copy(org.apache.spark.ml.param.ParamMap.empty)
     val pred = model.transform(test)
     val auc = new BinaryClassificationEvaluator()
       .setLabelCol("label").setRawPredictionCol("rawPrediction")
@@ -228,7 +235,8 @@ object ChurnModel {
       .setLayers(layers).setSolver("l-bfgs")
       .setMaxIter(60).setTol(1e-8)
       .setInitialWeights(init)
-    val model = mlp.fit(train)
+    // summary dropped before transform — see trainCv's serialization note
+    val model = mlp.fit(train).copy(org.apache.spark.ml.param.ParamMap.empty)
     val pred = model.transform(test)
     val ev = new BinaryClassificationEvaluator()
       .setLabelCol("label").setRawPredictionCol("rawPrediction")
