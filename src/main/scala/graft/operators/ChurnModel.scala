@@ -32,6 +32,26 @@ import org.apache.spark.sql.types._
   */
 object ChurnModel {
 
+  /** Strip the fitted model's training summary before `transform`.
+    *
+    * The summary (BinaryLogisticRegressionTrainingSummaryImpl) holds the
+    * SparkSession, whose `observationManager` is not serializable — and
+    * the prediction UDF's closure captures the whole model, so a scoring
+    * job can die with Task-not-serializable once the summary rides along
+    * (observed in the full-suite PlanSpec inventory audit). `copy()` is
+    * NOT sufficient: Spark ML's copy explicitly re-attaches the summary.
+    * The summary is evaluation-convenience state, never part of the
+    * deployed model — nulling the field is semantics-preserving. */
+  private def dropSummary[M <: AnyRef](m: M): M = {
+    var c: Class[_] = m.getClass
+    while (c != null) {
+      c.getDeclaredFields.filter(_.getName.endsWith("trainingSummary"))
+        .foreach { f => f.setAccessible(true); f.set(m, None) }
+      c = c.getSuperclass
+    }
+    m
+  }
+
   /** Feature columns. `days_inactive` is deliberately EXCLUDED: the label
     * is defined as days_inactive > 7, so using it would be label leakage
     * (the model would learn the threshold, AUC 1.0, and nothing else). */
@@ -98,7 +118,7 @@ object ChurnModel {
         // summary attached the scoring job dies with Task-not-serializable
         // when other session state is live (caught by the full-suite
         // PlanSpec audit)
-        val model = lr.fit(train).copy(org.apache.spark.ml.param.ParamMap.empty)
+        val model = dropSummary(lr.fit(train))
         val auc = ev.evaluate(model.transform(test))
         val l2 = math.sqrt(model.coefficients.toArray.map(w => w * w).sum)
         (reg, t4(auc), t4(l2))
@@ -140,7 +160,7 @@ object ChurnModel {
       // "auto" would fit a 1-column multinomial and break the evaluator)
       .setFamily("binomial")
     // summary dropped before transform — see trainCv's serialization note
-    val model = lr.fit(train).copy(org.apache.spark.ml.param.ParamMap.empty)
+    val model = dropSummary(lr.fit(train))
     val pred = model.transform(test)
     val auc = new BinaryClassificationEvaluator()
       .setLabelCol("label").setRawPredictionCol("rawPrediction")
@@ -236,7 +256,7 @@ object ChurnModel {
       .setMaxIter(60).setTol(1e-8)
       .setInitialWeights(init)
     // summary dropped before transform — see trainCv's serialization note
-    val model = mlp.fit(train).copy(org.apache.spark.ml.param.ParamMap.empty)
+    val model = dropSummary(mlp.fit(train))
     val pred = model.transform(test)
     val ev = new BinaryClassificationEvaluator()
       .setLabelCol("label").setRawPredictionCol("rawPrediction")

@@ -21,7 +21,7 @@ object QPipeline extends QueryPack {
     * One shuffle on user_id; the label threshold mirrors MorphL's
     * days-since-last-session rule. Day arithmetic is integer micros
     * division, so both engines agree exactly. */
-  private def chpFeaturesLabel(s: SparkSession, d: String): DataFrame = {
+  private[graft] def chpFeaturesLabel(s: SparkSession, d: String): DataFrame = {
     val e = t(s, d, "events")
     val now = e.agg(max(expr("unix_micros(cast(ts as timestamp))")).as("now_us"))
     e.groupBy("user_id")
@@ -41,7 +41,7 @@ object QPipeline extends QueryPack {
       .orderBy("user_id")
   }
 
-  private val oChpFeaturesLabel =
+  private[operators] val oChpFeaturesLabel =
     s"""WITH now AS (SELECT max(epoch_us(ts)) AS now_us FROM events),
        |  f AS (SELECT user_id, count(*) AS n_events,
        |      count(*) FILTER (event_type = 'click') AS n_clicks,

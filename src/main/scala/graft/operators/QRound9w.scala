@@ -39,31 +39,50 @@ object QRound9w extends QueryPack {
     * Scale shape: one pass → distinct-value aggregate (≤ value-domain
     * cardinality); windows partitioned per bucket; the bucket-total and
     * grand-total tables are bucket-bounded broadcasts. */
+  /** Distributed two-level prefix sum over a distinct-value count table
+    * `(v, c1[, c2...])`: within-bucket windows (v div width) plus
+    * broadcast bucket-prefix offsets from a bounded triangular join —
+    * the scalable spelling of a global cumulative (never a
+    * single-partition window; PlanSpec-gated inventory-wide). Returns
+    * the input columns plus `cum_<c>` for each count column. */
+  private[operators] def twoLevelCum(pv0: DataFrame, width: Int,
+      countCols: Seq[String]): DataFrame = {
+    val pv = pv0.withColumn("bkt", expr(s"v div $width"))
+    val w = Window.partitionBy("bkt").orderBy("v")
+    val cumIn = countCols.foldLeft(pv) { (df, c) =>
+      df.withColumn(s"w_$c", sum(col(c)).over(w))
+    }
+    val bt = pv.groupBy("bkt")
+      .agg(countCols.map(c => sum(col(c)).as(s"b_$c")).head,
+        countCols.map(c => sum(col(c)).as(s"b_$c")).tail: _*)
+    val off = bt.select(col("bkt").as("obkt"))
+      .join(broadcast(bt.select((col("bkt").as("pbkt") +:
+        countCols.map(c => col(s"b_$c"))): _*)),
+        col("pbkt") < col("obkt"), "left")
+      .groupBy("obkt")
+      .agg(countCols.map(c =>
+          coalesce(sum(col(s"b_$c")), lit(0L)).as(s"off_$c")).head,
+        countCols.map(c =>
+          coalesce(sum(col(s"b_$c")), lit(0L)).as(s"off_$c")).tail: _*)
+    countCols.foldLeft(
+      cumIn.join(broadcast(off), col("bkt") === col("obkt"))) { (df, c) =>
+        df.withColumn(s"cum_$c", col(s"w_$c") + col(s"off_$c"))
+      }
+      .drop((Seq("bkt", "obkt") ++
+        countCols.flatMap(c => Seq(s"w_$c", s"off_$c"))): _*)
+  }
+
   private[graft] def ksTwoSample(docs: DataFrame): DataFrame = {
     val en = col("lang") === lit("en")
     val pv = docs
       .groupBy(col("n_chars").as("v"))
       .agg(sum(when(en, 1L).otherwise(0L)).as("c1"),
         sum(when(en, 0L).otherwise(1L)).as("c2"))
-      .withColumn("bkt", expr(s"v div $ksBucket"))
-    val w = Window.partitionBy("bkt").orderBy("v")
-    val cumIn = pv
-      .withColumn("w1", sum(col("c1")).over(w))
-      .withColumn("w2", sum(col("c2")).over(w))
-    val bt = pv.groupBy("bkt")
-      .agg(sum(col("c1")).as("b1"), sum(col("c2")).as("b2"))
-    val off = bt.select(col("bkt").as("obkt"))
-      .join(broadcast(bt.select(col("bkt").as("pbkt"), col("b1"), col("b2"))),
-        col("pbkt") < col("obkt"), "left")
-      .groupBy("obkt")
-      .agg(coalesce(sum(col("b1")), lit(0L)).as("off1"),
-        coalesce(sum(col("b2")), lit(0L)).as("off2"))
     val tot = pv.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
-    cumIn.join(broadcast(off), col("bkt") === col("obkt"))
+    twoLevelCum(pv, ksBucket, Seq("c1", "c2"))
       .crossJoin(broadcast(tot))
       .select(col("v"),
-        (col("w1") + col("off1")).as("cum1"),
-        (col("w2") + col("off2")).as("cum2"),
+        col("cum_c1").as("cum1"), col("cum_c2").as("cum2"),
         col("n1"), col("n2"))
       .select(col("v"), col("n1"), col("n2"),
         abs(col("cum1") * col("n2") - col("cum2") * col("n1")).as("d_num"))
