@@ -18,7 +18,8 @@ object SparkEntry {
     QRound9k, QRound9l, QRound9m, QRound9n, QRound9o, QRound9p, QRound9q,
     QRound9r, QRound9s, QRound9t, QRound9u, QRound9v, QRound9w, QRound9x,
     QRound9y, QRound9z, QRound9aa, QRound9ab, QRound9ac, QRound9ad,
-    QRound9ae, QRound9af, QRound9ag, QRound9ah, QRound9ai, QStreaming)
+    QRound9ae, QRound9af, QRound9ag, QRound9ah, QRound9ai, QRound9aj,
+    QStreaming)
 
   /** Flagship query (TPC-H Q1 shape) on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
