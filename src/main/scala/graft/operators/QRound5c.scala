@@ -295,7 +295,7 @@ object QRound5c extends QueryPack {
         (shiftright(y, i) % 2) * lit(1L << (2 * i + 1))
     }.reduce(_ + _)
 
-  private def zvalSql(x: String, y: String): String =
+  private[operators] def zvalSql(x: String, y: String): String =
     (0 until zBits).map { i =>
       s"((($x >> $i) & 1) * ${1L << (2 * i)} + (($y >> $i) & 1) * ${1L << (2 * i + 1)})"
     }.mkString(" + ")
