@@ -45,7 +45,7 @@ object QRound4 extends QueryPack {
     * (session, sfDir) via graft.Memo: the propagation loop leaves its
     * result persisted (it is model state, like k-means centroids) — one
     * shared entry per session instead of one leaked cache entry per call. */
-  private def ccLabels(s: SparkSession, d: String): DataFrame =
+  private[operators] def ccLabels(s: SparkSession, d: String): DataFrame =
     graft.Memo.memo(s, "cc", d)(
       ConnectedComponents.labels(
         QText.queries("dedup_lsh_pairs")(s, d)
