@@ -20,7 +20,7 @@ object SparkEntry {
     QRound9y, QRound9z, QRound9aa, QRound9ab, QRound9ac, QRound9ad,
     QRound9ae, QRound9af, QRound9ag, QRound9ah, QRound9ai, QRound9aj,
     QRound9ak, QRound9al, QRound9am, QRound9an, QRound9ao, QRound9ap,
-    QRound9aq, QRound9ar, QRound9as, QRound9at, QRound9au, QRound9av,
+    QRound9aq, QRound9ar, QRound9as, QRound9at, QRound9au, QRound9av, QRound9aw,
     QStreaming)
 
   /** Flagship query (TPC-H Q1 shape) on sf0.001; driver smoke-checks rows>0. */
