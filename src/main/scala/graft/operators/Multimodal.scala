@@ -210,6 +210,23 @@ object Multimodal {
     })
   }
 
+  /** All frames of a concatenated-P6 payload with their raw pixel planes
+    * (w, h, plane bytes) in order; stops at the first malformed frame.
+    * The plane slice ends at the parse's reported end offset, so a header
+    * bug shifts every later frame and breaks downstream hashes. */
+  def decodeFramePlanes(p: Array[Byte]): Vector[(Int, Int, Array[Byte])] = {
+    val out = Vector.newBuilder[(Int, Int, Array[Byte])]
+    var off = 0
+    var ok = true
+    while (ok && off < p.length) decodeP6At(p, off) match {
+      case Some((w, h, _, end)) =>
+        out += ((w, h, java.util.Arrays.copyOfRange(p, end - 3 * w * h, end)))
+        off = end
+      case None => ok = false
+    }
+    out.result()
+  }
+
   /** All frames of a concatenated-P6 payload (w, h, pixel sum) in order;
     * stops at the first malformed frame. */
   def decodeFrames(p: Array[Byte]): Vector[(Int, Int, Long)] = {
