@@ -1,0 +1,235 @@
+package graft.operators
+
+import graft.QueryPack
+import graft.sources.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-9 extension wave 64 (SURVEY §2.28):
+  *
+  *  - `text_textrank_sentences`: TextRank extractive summarization
+  *    (Mihalcea & Tarau 2004) — sentence graph by shared-token overlap,
+  *    PageRank over it, top sentence per document; runs on the shared
+  *    deterministic PageRank primitive.
+  *  - `ts_runs_test`: Wald–Wolfowitz runs test on daily up/down moves —
+  *    is the series' direction sequence random; exact integer runs
+  *    accounting.
+  *  - `agg_tukey_fences`: the boxplot outlier fences (Q1/Q3 ± 1.5·IQR)
+  *    per event type with exact outlier counts — the standard EDA
+  *    screen.
+  */
+object QRound9bm extends QueryPack {
+
+  // ---- text_textrank_sentences ----
+
+  private val trSentLen = 8
+  private val trMinShared = 2
+
+  /** TextRank: sentences are fixed 8-token chunks (the corpus carries no
+    * punctuation); two sentences of a document link when they share ≥2
+    * distinct tokens; PageRank (the engine-wide exact primitive: scaled
+    * integer contributions, trunc8 per round, 5 iterations) scores the
+    * whole corpus' sentence graph at once — components are
+    * document-disjoint, so within-document ranking is unaffected by the
+    * global teleport constant. Reports each document's top sentence
+    * (max pr, min index tiebreak). Node ids pack (doc, sent) as
+    * doc·1000+sent.
+    *
+    * Scale shape: chunking/token-distinct are map-side; candidate
+    * sentence pairs join on the (doc, token) key — bounded per document;
+    * PageRank is the shared bounded-iteration primitive. */
+  private[graft] def textrankSentences(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .withColumnRenamed("col", "tok")
+      .withColumn("sent", expr(s"pos div $trSentLen"))
+      .select(col("doc_id"), col("sent"), col("tok")).distinct()
+    val pairs = toks.join(
+        toks.select(col("doc_id"), col("sent").as("sent_b"),
+          col("tok")), Seq("doc_id", "tok"))
+      .filter(col("sent") < col("sent_b"))
+      .groupBy("doc_id", "sent", "sent_b")
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= trMinShared)
+      .select((col("doc_id") * 1000 + col("sent")).as("src"),
+        (col("doc_id") * 1000 + col("sent_b")).as("dst"))
+    val pr = PageRank.ranks(pairs)
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("pr").desc, col("sent"))
+    pr.select(expr("id div 1000").as("doc_id"),
+        (col("id") % 1000).as("sent"), col("pr"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_sents_linked",
+        count(lit(1)).over(Window.partitionBy("doc_id")))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("n_sents_linked"),
+        col("sent").as("top_sent"), trunc4(col("pr") * lit(1e4))
+          .as("top_pr_x1e4"))
+      .orderBy("doc_id")
+  }
+
+  private def textTextrankSentences(s: SparkSession, d: String): DataFrame =
+    textrankSentences(t(s, d, "documents"))
+
+  private val oTextTextrankSentences =
+    s"""WITH toks AS (SELECT DISTINCT doc_id, (p.i - 1) // $trSentLen
+       |    AS sent, p.tok
+       |  FROM documents,
+       |    LATERAL (SELECT unnest(string_split(text, ' ')) AS tok,
+       |      generate_subscripts(string_split(text, ' '), 1) AS i) p),
+       |pr0 AS (SELECT a.doc_id, a.sent, b.sent AS sent_b,
+       |    count(*) AS shared
+       |  FROM toks a JOIN toks b
+       |    ON a.doc_id = b.doc_id AND a.tok = b.tok AND a.sent < b.sent
+       |  GROUP BY 1, 2, 3 HAVING count(*) >= $trMinShared),
+       |pairs AS (SELECT doc_id * 1000 + sent AS src,
+       |    doc_id * 1000 + sent_b AS dst FROM pr0),
+       |e AS (SELECT src, dst FROM pairs
+       |  UNION ALL SELECT dst, src FROM pairs),
+       |${PageRank.oRankChain}
+       |fin AS (SELECT p.id // 1000 AS doc_id, p.id % 1000 AS sent, p.pr
+       |  FROM p${PageRank.iters} p),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY pr DESC, sent) AS rn,
+       |    CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT)
+       |      AS n_sents_linked
+       |  FROM fin)
+       |SELECT doc_id, n_sents_linked, sent AS top_sent,
+       |  ${oTrunc4("pr * 1e4")} AS top_pr_x1e4
+       |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  // ---- ts_runs_test ----
+
+  /** Wald–Wolfowitz runs test per type: daily moves sign
+    * s_t = (c_t > c_{t−1}) (ties count down — deterministic); runs R =
+    * 1 + sign changes; with n₊ ups and n₋ downs,
+    * E[R] = 2n₊n₋/n + 1, Var = (E−1)(E−2)/(n−1),
+    * z = (R−E)/√Var — |z| > 1.96 rejects randomness of direction.
+    * Counts exact; one shared double formula.
+    *
+    * Scale shape: per-type lag windows; bounded rollups. */
+  private[graft] def runsTest(events: DataFrame): DataFrame = {
+    val dd = DoubleType
+    val wOrd = Window.partitionBy("event_type").orderBy("dt")
+    val daily = events
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).cast(DateType).as("dt"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("prev", lag("c", 1).over(wOrd))
+      .filter(col("prev").isNotNull)
+      .withColumn("s", (col("c") > col("prev")).cast(LongType))
+      .withColumn("sc",
+        (col("s") =!= lag("s", 1).over(wOrd)).cast(LongType))
+    val m = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("s").as("n_up"),
+        sum(coalesce(col("sc"), lit(0L))).as("changes"))
+      .withColumn("n_down", col("n") - col("n_up"))
+      .withColumn("runs", col("changes") + 1)
+      .withColumn("e_runs",
+        lit(2.0) * col("n_up").cast(dd) * col("n_down").cast(dd) /
+          col("n").cast(dd) + lit(1.0))
+      .withColumn("v_runs",
+        (col("e_runs") - 1) * (col("e_runs") - 2) / (col("n") - 1).cast(dd))
+    m.select(col("event_type"), col("n"), col("n_up"), col("n_down"),
+        col("runs"),
+        trunc4((col("runs").cast(dd) - col("e_runs")) / sqrt(col("v_runs")))
+          .as("z_score"))
+      .withColumn("nonrandom",
+        (abs(col("z_score")) > lit(196e-2)).cast(IntegerType))
+      .orderBy("event_type")
+  }
+
+  private def tsRunsTest(s: SparkSession, d: String): DataFrame =
+    runsTest(t(s, d, "events"))
+
+  private val oTsRunsTest =
+    s"""WITH daily AS (SELECT event_type,
+       |    CAST(date_trunc('day', ts) AS DATE) AS dt,
+       |    CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+       |lg AS (SELECT *, lag(c) OVER (PARTITION BY event_type
+       |    ORDER BY dt) AS prev FROM daily),
+       |sg AS (SELECT *, CASE WHEN c > prev THEN 1 ELSE 0 END AS s
+       |  FROM lg WHERE prev IS NOT NULL),
+       |ch AS (SELECT *, CASE WHEN s <> lag(s) OVER (
+       |    PARTITION BY event_type ORDER BY dt) THEN 1 ELSE 0 END AS sc
+       |  FROM sg),
+       |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(s) AS BIGINT) AS n_up,
+       |    CAST(sum(coalesce(sc, 0)) AS BIGINT) + 1 AS runs
+       |  FROM ch GROUP BY 1),
+       |st AS (SELECT *, n - n_up AS n_down,
+       |    2e0 * n_up * (n - n_up) / n + 1e0 AS e_runs FROM m),
+       |v AS (SELECT *, (e_runs - 1) * (e_runs - 2) / (n - 1) AS v_runs
+       |  FROM st)
+       |SELECT event_type, n, n_up, n_down, runs,
+       |  ${oTrunc4("(CAST(runs AS DOUBLE) - e_runs) / sqrt(v_runs)")}
+       |    AS z_score,
+       |  CASE WHEN abs(${oTrunc4("(CAST(runs AS DOUBLE) - e_runs) / sqrt(v_runs)")}) > 196e-2
+       |    THEN 1 ELSE 0 END AS nonrandom
+       |FROM v ORDER BY event_type""".stripMargin
+
+  // ---- agg_tukey_fences ----
+
+  /** Tukey boxplot fences per event type: exact interpolated Q1/Q3 of
+    * the value distribution, IQR, fences at ±1.5·IQR, and the exact
+    * outlier counts outside them. Fence comparisons pit exact 2-dp
+    * money against an identically-computed double — engine-stable.
+    *
+    * Scale shape: one percentile aggregate per type (broadcast back),
+    * one counting pass. */
+  private[graft] def tukeyFences(events: DataFrame): DataFrame = {
+    val dd = DoubleType
+    val q = events.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        expr("percentile(value, 0.25)").as("q1"),
+        expr("percentile(value, 0.75)").as("q3"))
+      .withColumn("lo", col("q1") - lit(1.5) * (col("q3") - col("q1")))
+      .withColumn("hi", col("q3") + lit(1.5) * (col("q3") - col("q1")))
+    events.select(col("event_type"), col("value").cast(dd).as("v"))
+      .join(broadcast(q), "event_type")
+      .groupBy("event_type")
+      .agg(max("n").as("n"),
+        trunc4(max("q1")).as("q1"), trunc4(max("q3")).as("q3"),
+        sum((col("v") < col("lo")).cast(LongType)).as("n_low_outliers"),
+        sum((col("v") > col("hi")).cast(LongType)).as("n_high_outliers"))
+      .withColumn("outlier_share",
+        trunc4((col("n_low_outliers") + col("n_high_outliers")).cast(dd) /
+          col("n").cast(dd)))
+      .orderBy("event_type")
+  }
+
+  private def aggTukeyFences(s: SparkSession, d: String): DataFrame =
+    tukeyFences(t(s, d, "events"))
+
+  private val oAggTukeyFences =
+    s"""WITH q AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |    quantile_cont(value, 25e-2) AS q1,
+       |    quantile_cont(value, 75e-2) AS q3
+       |  FROM events GROUP BY 1),
+       |f AS (SELECT *, q1 - 15e-1 * (q3 - q1) AS lo,
+       |    q3 + 15e-1 * (q3 - q1) AS hi FROM q),
+       |c AS (SELECT e.event_type, max(f.n) AS n,
+       |    ${oTrunc4("max(f.q1)")} AS q1, ${oTrunc4("max(f.q3)")} AS q3,
+       |    CAST(sum(CASE WHEN CAST(e.value AS DOUBLE) < f.lo
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_low_outliers,
+       |    CAST(sum(CASE WHEN CAST(e.value AS DOUBLE) > f.hi
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_high_outliers
+       |  FROM events e JOIN f ON e.event_type = f.event_type
+       |  GROUP BY 1)
+       |SELECT event_type, n, q1, q3, n_low_outliers, n_high_outliers,
+       |  ${oTrunc4("CAST(n_low_outliers + n_high_outliers AS DOUBLE) / n")}
+       |    AS outlier_share
+       |FROM c ORDER BY event_type""".stripMargin
+
+  val queries: Map[String, QFn] = Map(
+    "text_textrank_sentences" -> textTextrankSentences _,
+    "ts_runs_test"            -> tsRunsTest _,
+    "agg_tukey_fences"        -> aggTukeyFences _)
+
+  val oracles: Map[String, String] = Map(
+    "text_textrank_sentences" -> oTextTextrankSentences,
+    "ts_runs_test"            -> oTsRunsTest,
+    "agg_tukey_fences"        -> oAggTukeyFences)
+}
