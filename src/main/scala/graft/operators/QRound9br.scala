@@ -1,0 +1,239 @@
+package graft.operators
+
+import graft.QueryPack
+import graft.sources.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-9 extension wave 69 (SURVEY §2.28):
+  *
+  *  - `ts_permutation_entropy`: Bandt–Pompe permutation entropy
+  *    (order-3 ordinal patterns) per daily series — the
+  *    model-free complexity measure.
+  *  - `graph_katz_centrality`: Katz centrality over the part
+  *    co-occurrence graph via an EXACT integer fixed-round iteration
+  *    (α = 1/(dmax+1) keeps the series convergent and the arithmetic
+  *    rational).
+  *  - `text_ttr_sttr`: type-token ratio + standardized TTR (mean TTR
+  *    over full 25-token chunks) per document — the classic lexical
+  *    diversity pair, length-bias-corrected.
+  */
+object QRound9br extends QueryPack {
+
+  private val dd = DoubleType
+
+  // ---- ts_permutation_entropy ----
+
+  /** Order-3 permutation entropy per event-type daily series: each
+    * 3-day window maps to its ordinal pattern (ranks with
+    * position-stable tie-breaks, the Bandt–Pompe convention), exact
+    * integer pattern counts, H = Σ (c/n)·ln(n/c) with per-term
+    * scale-to-long at 1e12 (order-independent sum over ≤6 terms),
+    * normalized by ln 6. Low H = predictable ordering structure;
+    * H ≈ 1 = noise.
+    *
+    * Scale shape: per-type lead windows + two bounded rollups. */
+  private[graft] def permutationEntropy(s: SparkSession, d: String): DataFrame = {
+    val daily = QRound9b.evDaily(s, d)
+    val w = Window.partitionBy("event_type").orderBy("day_num")
+    val tri = daily.select(col("event_type"), col("cnt").as("x1"),
+        lead("cnt", 1).over(w).as("x2"), lead("cnt", 2).over(w).as("x3"))
+      .filter(col("x2").isNotNull && col("x3").isNotNull)
+      .select(col("event_type"), expr(
+        """((CASE WHEN x1 > x2 THEN 1 ELSE 0 END) +
+          | (CASE WHEN x1 > x3 THEN 1 ELSE 0 END)) * 9 +
+          |((CASE WHEN x1 > x2 THEN 0 ELSE 1 END) +
+          | (CASE WHEN x2 > x3 THEN 1 ELSE 0 END)) * 3 +
+          |((CASE WHEN x1 > x3 THEN 0 ELSE 1 END) +
+          | (CASE WHEN x2 > x3 THEN 0 ELSE 1 END))""".stripMargin).as("pat"))
+    val pc = tri.groupBy("event_type", "pat").agg(count(lit(1)).as("c"))
+    val n = pc.groupBy("event_type").agg(sum("c").as("n"),
+      count(lit(1)).as("n_patterns"), max("c").as("cmax"))
+    pc.join(broadcast(n), "event_type")
+      .withColumn("term_sc", floor(
+        col("c").cast(dd) / col("n").cast(dd)
+          * log(col("n").cast(dd) / col("c").cast(dd)) * lit(1e12)
+          + lit(0.5)).cast(LongType))
+      .groupBy("event_type", "n", "n_patterns", "cmax")
+      .agg(sum("term_sc").as("h_sc"))
+      .select(col("event_type"), col("n").as("n_windows"),
+        col("n_patterns"),
+        trunc4(col("cmax").cast(dd) / col("n").cast(dd)).as("max_share"),
+        trunc4(col("h_sc").cast(dd) / lit(1e12) / log(lit(6.0)))
+          .as("perm_entropy_norm"))
+      .orderBy("event_type")
+  }
+
+  private val oTsPermEntropy =
+    s"""WITH daily AS (SELECT event_type,
+       |    epoch_us(date_trunc('day', ts)) // 86400000000 AS day_num,
+       |    count(*) AS cnt FROM events GROUP BY 1, 2),
+       |tri AS (SELECT event_type, cnt AS x1,
+       |    lead(cnt, 1) OVER w AS x2, lead(cnt, 2) OVER w AS x3
+       |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day_num)),
+       |pat AS (SELECT event_type,
+       |    ((CASE WHEN x1 > x2 THEN 1 ELSE 0 END) +
+       |     (CASE WHEN x1 > x3 THEN 1 ELSE 0 END)) * 9 +
+       |    ((CASE WHEN x1 > x2 THEN 0 ELSE 1 END) +
+       |     (CASE WHEN x2 > x3 THEN 1 ELSE 0 END)) * 3 +
+       |    ((CASE WHEN x1 > x3 THEN 0 ELSE 1 END) +
+       |     (CASE WHEN x2 > x3 THEN 0 ELSE 1 END)) AS pat
+       |  FROM tri WHERE x2 IS NOT NULL AND x3 IS NOT NULL),
+       |pc AS (SELECT event_type, pat, count(*) AS c FROM pat GROUP BY 1, 2),
+       |n AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n,
+       |    count(*) AS n_patterns, CAST(max(c) AS BIGINT) AS cmax
+       |  FROM pc GROUP BY 1),
+       |h AS (SELECT pc.event_type, n, n_patterns, cmax,
+       |    CAST(sum(CAST(floor(CAST(c AS DOUBLE)/CAST(n AS DOUBLE)
+       |      * ln(CAST(n AS DOUBLE)/CAST(c AS DOUBLE)) * 1e12 + 5e-1)
+       |      AS BIGINT)) AS BIGINT) AS h_sc
+       |  FROM pc JOIN n USING (event_type) GROUP BY 1, 2, 3, 4)
+       |SELECT event_type, n AS n_windows, CAST(n_patterns AS BIGINT)
+       |    AS n_patterns,
+       |  ${oTrunc4("CAST(cmax AS DOUBLE)/CAST(n AS DOUBLE)")} AS max_share,
+       |  ${oTrunc4("CAST(h_sc AS DOUBLE)/1e12/ln(6e0)")} AS perm_entropy_norm
+       |FROM h ORDER BY event_type""".stripMargin
+
+  // ---- graph_katz_centrality ----
+
+  private val katzRounds = 4
+
+  /** Katz centrality on the part co-occurrence graph, exact: with
+    * α = 1/(dmax+1) (guaranteed < 1/λ_max, so the series converges),
+    * the iterate x_{k+1} = 1 + α·A·x_k is carried as the INTEGER
+    * y_k = D^k·x_k (y_{k+1} = D^{k+1} + Σ_{u∈N(v)} y_k(u)) — four
+    * rounds of pure BIGINT join-aggregate, bit-identical at any
+    * partition count; the single division happens at output. Top-10
+    * by exact y4 with id tie-break.
+    *
+    * Scale shape: per-round one equi-join edge⋈score + one groupBy —
+    * the PageRank dataflow; D^4-scaled longs hold to ~dmax 40k; past
+    * that the same loop runs per-round scale-to-long doubles (the
+    * PageRank pattern). The max-degree scalar is collected model
+    * state (one exact integer). */
+  private[graft] def katzCentrality(s: SparkSession, d: String): DataFrame = {
+    val e = graft.Memo.memo(s, "coedges", d)(
+      QRound5c.coEdges(t(s, d, "lineitem"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val dir = e.select(col("a").as("u"), col("b").as("v"))
+      .union(e.select(col("b").as("u"), col("a").as("v")))
+    val dmax = dir.groupBy("v").agg(count(lit(1)).as("deg"))
+      .agg(max("deg")).collect().head.getLong(0)
+    val bigD = dmax + 1L
+    var y = dir.select(col("v").as("node")).distinct()
+      .withColumn("y", lit(1L))
+    var dPow = 1L
+    for (_ <- 1 to katzRounds) {
+      dPow *= bigD
+      val nbr = dir.join(y, col("u") === col("node"))
+        .groupBy("v").agg(sum("y").as("nbr_sum"))
+      y = nbr.select(col("v").as("node"),
+        (lit(dPow) + col("nbr_sum")).as("y"))
+        .localCheckpoint(true)
+    }
+    val w = Window.orderBy(col("y").desc, col("node"))
+    y.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 10)
+      .select(col("rnk"), col("node"),
+        trunc6(col("y").cast(dd) / lit(dPow.toDouble)).as("katz_score"))
+      .orderBy("rnk")
+  }
+
+  private val oGraphKatz =
+    s"""WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok,
+       |    l_partkey AS pk FROM lineitem),
+       |e AS MATERIALIZED (SELECT DISTINCT x.pk AS a, y.pk AS b
+       |  FROM op x JOIN op y ON x.ok = y.ok AND x.pk < y.pk),
+       |dir AS MATERIALIZED (SELECT a AS u, b AS v FROM e
+       |  UNION ALL SELECT b, a FROM e),
+       |dm AS (SELECT max(deg) + 1 AS bigd FROM
+       |  (SELECT v, count(*) AS deg FROM dir GROUP BY v)),
+       |y0 AS (SELECT DISTINCT v AS node, CAST(1 AS BIGINT) AS y FROM dir),
+       |y1 AS MATERIALIZED (SELECT dir.v AS node, bigd + sum(y) AS y
+       |  FROM dir JOIN y0 ON dir.u = y0.node, dm GROUP BY dir.v, bigd),
+       |y2 AS MATERIALIZED (SELECT dir.v AS node, bigd*bigd + sum(y) AS y
+       |  FROM dir JOIN y1 ON dir.u = y1.node, dm GROUP BY dir.v, bigd),
+       |y3 AS MATERIALIZED (SELECT dir.v AS node,
+       |    bigd*bigd*bigd + sum(y) AS y
+       |  FROM dir JOIN y2 ON dir.u = y2.node, dm GROUP BY dir.v, bigd),
+       |y4 AS MATERIALIZED (SELECT dir.v AS node,
+       |    bigd*bigd*bigd*bigd + sum(y) AS y
+       |  FROM dir JOIN y3 ON dir.u = y3.node, dm GROUP BY dir.v, bigd),
+       |r AS (SELECT node, CAST(y AS BIGINT) AS y, row_number() OVER
+       |    (ORDER BY y DESC, node) AS rnk FROM y4)
+       |SELECT CAST(rnk AS INT) AS rnk, node,
+       |  ${oTrunc6("CAST(y AS DOUBLE) / (SELECT CAST(bigd*bigd*bigd*bigd AS DOUBLE) FROM dm)")}
+       |    AS katz_score
+       |FROM r WHERE rnk <= 10 ORDER BY rnk""".stripMargin
+
+  // ---- text_ttr_sttr ----
+
+  private val sttrChunk = 25
+
+  /** Lexical diversity per document: raw type-token ratio plus the
+    * standardized TTR (mean TTR over full 25-token chunks — the
+    * length-bias-corrected variant; null when the doc has no full
+    * chunk). Exact integer type/token counts; STTR is one division
+    * off Σ distinct-per-chunk.
+    *
+    * Scale shape: one tokenize with positions, two uniform rollups
+    * keyed by doc — embarrassingly parallel. */
+  private[graft] def ttrSttr(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val toks = docs.select(col("doc_id"),
+      posexplode(filter(split(col("text"), " "), x => x =!= "")))
+      .select(col("doc_id"), col("pos"), col("col").as("tk"))
+    val per = toks.groupBy("doc_id").agg(
+      count(lit(1)).as("n_tokens"), countDistinct("tk").as("n_types"))
+    val chunks = toks
+      .withColumn("chunk", col("pos").cast(LongType) / lit(sttrChunk))
+      .withColumn("chunk", floor(col("chunk")).cast(LongType))
+      .groupBy("doc_id", "chunk").agg(countDistinct("tk").as("dc"),
+        count(lit(1)).as("csz"))
+      .filter(col("csz") === sttrChunk)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_chunks"),
+        sum("dc").as("sum_dc"))
+    per.join(chunks, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        trunc4(col("n_types").cast(dd) / col("n_tokens").cast(dd))
+          .as("ttr"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        trunc4(col("sum_dc").cast(dd)
+          / (col("n_chunks") * lit(sttrChunk)).cast(dd)).as("sttr"))
+      .orderBy("doc_id")
+  }
+
+  private val oTextTtrSttr =
+    s"""WITH toks AS (SELECT doc_id,
+       |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tk,
+       |    unnest(range(len(list_filter(string_split(text, ' '),
+       |      x -> x <> '')))) AS pos
+       |  FROM documents),
+       |per AS (SELECT doc_id, count(*) AS n_tokens,
+       |    count(DISTINCT tk) AS n_types FROM toks GROUP BY 1),
+       |ck AS (SELECT doc_id, pos // $sttrChunk AS chunk,
+       |    count(DISTINCT tk) AS dc, count(*) AS csz
+       |  FROM toks GROUP BY 1, 2),
+       |fc AS (SELECT doc_id, count(*) AS n_chunks,
+       |    CAST(sum(dc) AS BIGINT) AS sum_dc
+       |  FROM ck WHERE csz = $sttrChunk GROUP BY 1)
+       |SELECT per.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(n_types AS BIGINT) AS n_types,
+       |  ${oTrunc4("CAST(n_types AS DOUBLE)/CAST(n_tokens AS DOUBLE)")} AS ttr,
+       |  CAST(coalesce(n_chunks, 0) AS BIGINT) AS n_chunks,
+       |  ${oTrunc4(s"CAST(sum_dc AS DOUBLE)/CAST(n_chunks * $sttrChunk AS DOUBLE)")}
+       |    AS sttr
+       |FROM per LEFT JOIN fc ON per.doc_id = fc.doc_id
+       |ORDER BY per.doc_id""".stripMargin
+
+  val queries: Map[String, QFn] = Map(
+    "ts_permutation_entropy" -> ((s, d) => permutationEntropy(s, d)),
+    "graph_katz_centrality"  -> ((s, d) => katzCentrality(s, d)),
+    "text_ttr_sttr"          -> ((s, d) => ttrSttr(s, d)))
+
+  val oracles: Map[String, String] = Map(
+    "ts_permutation_entropy" -> oTsPermEntropy,
+    "graph_katz_centrality"  -> oGraphKatz,
+    "text_ttr_sttr"          -> oTextTtrSttr)
+}
