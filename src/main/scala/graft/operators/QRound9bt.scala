@@ -1,0 +1,303 @@
+package graft.operators
+
+import graft.QueryPack
+import graft.sources.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-9 extension wave 71 (SURVEY §2.28):
+  *
+  *  - `ts_hurst_rs`: Hurst exponent via classical rescaled-range (R/S)
+  *    analysis — the long-memory / trend-persistence diagnostic.
+  *  - `emb_jl_projection`: Johnson–Lindenstrauss sign-random projection
+  *    64→16 dims with a deterministic md5 sign matrix, plus the
+  *    distance-distortion audit that justifies shipping the compressed
+  *    vectors.
+  *  - `chp_gini_stump`: exact decision-stump training — the best Gini
+  *    split on event value predicting purchase over a fixed threshold
+  *    grid.
+  */
+object QRound9bt extends QueryPack {
+
+  private val dd = DoubleType
+
+  // ---- ts_hurst_rs ----
+
+  // shared 3-point log-log OLS slope (x = ln 5, ln 10, ln 15 literals)
+  private val hSlope =
+    "((ln(5e0) - xbar)*(y5 - ybar) + (ln(1e1) - xbar)*(y10 - ybar)" +
+      " + (ln(15e0) - xbar)*(y15 - ybar))" +
+      " / ((ln(5e0) - xbar)*(ln(5e0) - xbar)" +
+      " + (ln(1e1) - xbar)*(ln(1e1) - xbar)" +
+      " + (ln(15e0) - xbar)*(ln(15e0) - xbar))"
+  private val hXbar = "(ln(5e0) + ln(1e1) + ln(15e0))/3e0"
+  private val hYbar = "(y5 + y10 + y15)/3e0"
+
+  /** R/S Hurst estimate per event-type daily series: block sizes
+    * k ∈ {5,10,15}, per complete block the rescaled range
+    * R/S = Rk·sqrt(k/M) where Rk = max−min of the k-scaled cumulative
+    * deviations (k·prefix − j·blocksum, EXACT BIGINT) and
+    * M = k²·Σx² − k·S² (exact); ln(R/S) scale-to-long'd at 1e12 and
+    * block-averaged by integer division (deterministic), then H =
+    * 3-point log-log OLS slope through a shared literal tower.
+    * H ≈ 0.5 random walk, > 0.5 persistent, < 0.5 mean-reverting.
+    *
+    * Scale shape: per-(type,k,block) windows over the bounded daily
+    * table; the regression runs on a 5×3 pivot. */
+  private[graft] def hurstRs(s: SparkSession, d: String): DataFrame = {
+    val daily = QRound9b.evDaily(s, d)
+    val wIdx = Window.partitionBy("event_type").orderBy("day_num")
+    val idx = daily.select(col("event_type"), col("cnt").as("x"),
+      (row_number().over(wIdx) - 1).as("i"))
+    val sizes = s.range(3).select(
+      (col("id") * 5 + 5).cast(IntegerType).as("k"))
+    val blk = idx.crossJoin(broadcast(sizes))
+      .withColumn("b", expr("i div k"))
+      .withColumn("pos", expr("i % k"))
+    val wB = Window.partitionBy("event_type", "k", "b").orderBy("pos")
+    val wBlock = Window.partitionBy("event_type", "k", "b")
+    val z = blk
+      .withColumn("p", sum("x").over(
+        wB.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("sb", sum("x").over(wBlock))
+      .withColumn("sxx", sum(col("x") * col("x")).over(wBlock))
+      .withColumn("csz", count(lit(1)).over(wBlock))
+      .filter(col("csz") === col("k"))
+      .withColumn("kz", col("k") * col("p") - (col("pos") + 1) * col("sb"))
+    val per = z.groupBy("event_type", "k", "b", "sb", "sxx")
+      .agg((max("kz") - min("kz")).as("rk"))
+      .withColumn("m",
+        col("k").cast(LongType) * col("k") * col("sxx")
+          - col("k") * col("sb") * col("sb"))
+      .filter(col("m") > 0 && col("rk") > 0)
+      .withColumn("l_sc", floor(
+        log(col("rk").cast(dd)
+          * sqrt(col("k").cast(dd) / col("m").cast(dd))) * lit(1e12)
+          + lit(0.5)).cast(LongType))
+    val yk = per.groupBy("event_type", "k")
+      .agg(count(lit(1)).as("nb"), sum("l_sc").as("sl"))
+      .withColumn("y", expr("floor(CAST(sl AS DOUBLE)/CAST(nb AS DOUBLE))/1e12"))
+    yk.groupBy("event_type").agg(
+        max(when(col("k") === 5, col("y"))).as("y5"),
+        max(when(col("k") === 10, col("y"))).as("y10"),
+        max(when(col("k") === 15, col("y"))).as("y15"),
+        sum("nb").as("n_blocks"))
+      .withColumn("xbar", expr(hXbar)).withColumn("ybar", expr(hYbar))
+      .select(col("event_type"), col("n_blocks"),
+        trunc4(expr(hSlope)).as("hurst_rs"))
+      .orderBy("event_type")
+  }
+
+  private val oTsHurst =
+    s"""WITH daily AS (SELECT event_type,
+       |    epoch_us(date_trunc('day', ts)) // 86400000000 AS day_num,
+       |    count(*) AS cnt FROM events GROUP BY 1, 2),
+       |idx AS (SELECT event_type, cnt AS x,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY day_num) - 1
+       |      AS i FROM daily),
+       |blk AS (SELECT event_type, x, i, k, i // k AS b, i % k AS pos
+       |  FROM idx, (SELECT unnest([5, 10, 15]) AS k)),
+       |z AS (SELECT event_type, k, b, pos, x,
+       |    sum(x) OVER (PARTITION BY event_type, k, b ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+       |    sum(x) OVER (PARTITION BY event_type, k, b) AS sb,
+       |    sum(x*x) OVER (PARTITION BY event_type, k, b) AS sxx,
+       |    count(*) OVER (PARTITION BY event_type, k, b) AS csz
+       |  FROM blk),
+       |kz AS (SELECT event_type, k, b, sb, sxx,
+       |    k*p - (pos + 1)*sb AS kz FROM z WHERE csz = k),
+       |per AS (SELECT event_type, k, b, sb, sxx,
+       |    CAST(max(kz) - min(kz) AS BIGINT) AS rk
+       |  FROM kz GROUP BY 1, 2, 3, 4, 5),
+       |lm AS (SELECT event_type, k,
+       |    CAST(floor(ln(CAST(rk AS DOUBLE)
+       |      * sqrt(CAST(k AS DOUBLE)/CAST(CAST(k AS BIGINT)*k*sxx - k*sb*sb AS DOUBLE)))
+       |      * 1e12 + 5e-1) AS BIGINT) AS l_sc
+       |  FROM per WHERE CAST(k AS BIGINT)*k*sxx - k*sb*sb > 0 AND rk > 0),
+       |yk AS (SELECT event_type, k, count(*) AS nb,
+       |    CAST(sum(l_sc) AS BIGINT) AS sl FROM lm GROUP BY 1, 2),
+       |py AS (SELECT event_type,
+       |    max(CASE WHEN k = 5 THEN floor(CAST(sl AS DOUBLE)/CAST(nb AS DOUBLE))/1e12 END) AS y5,
+       |    max(CASE WHEN k = 10 THEN floor(CAST(sl AS DOUBLE)/CAST(nb AS DOUBLE))/1e12 END) AS y10,
+       |    max(CASE WHEN k = 15 THEN floor(CAST(sl AS DOUBLE)/CAST(nb AS DOUBLE))/1e12 END) AS y15,
+       |    CAST(sum(nb) AS BIGINT) AS n_blocks
+       |  FROM yk GROUP BY 1),
+       |t1 AS (SELECT *, ($hXbar) AS xbar, ($hYbar) AS ybar FROM py)
+       |SELECT event_type, n_blocks, ${oTrunc4(hSlope)} AS hurst_rs
+       |FROM t1 ORDER BY event_type""".stripMargin
+
+  // ---- emb_jl_projection ----
+
+  /** JL sign-random projection 64→16: sign(t,dim) = ±1 from the md5 of
+    * "t_dim" (the portable hashing twin) applied to 1e6-quantized
+    * components — projected coordinates are EXACT BIGINTs. The audit
+    * measures squared-distance distortion ratio d²_proj/(16·d²_orig)
+    * (expectation 1 under JL) over a disjoint anchor/candidate pair
+    * grid: scale-to-long mean, exact min/max.
+    *
+    * Scale shape: the projection is one explode-join-rollup against a
+    * broadcast 1024-row sign matrix (map-side); the audit joins two
+    * bounded deterministic samples. */
+  private[graft] def jlProjection(s: SparkSession, d: String): DataFrame = {
+    val qe = t(s, d, "embeddings").select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1e6 + 5e-1) AS BIGINT))")
+        .as("q"))
+    val signs = s.range(16).select(col("id").cast(IntegerType).as("tdim"))
+      .crossJoin(s.range(64).select(col("id").cast(IntegerType).as("sdim")))
+      .select(col("tdim"), col("sdim"), expr(
+        "1L - 2L * (CAST(conv(substring(md5(concat(CAST(tdim AS STRING), '_', CAST(sdim AS STRING))), 1, 15), 16, 10) AS BIGINT) % 2L)")
+        .as("sg"))
+    val comps = qe.select(col("vec_id"), posexplode(col("q")))
+      .select(col("vec_id"), col("pos").as("sdim"), col("col").as("qv"))
+    val proj = comps.join(broadcast(signs), "sdim")
+      .groupBy("vec_id", "tdim").agg(sum(col("sg") * col("qv")).as("pv"))
+      .groupBy("vec_id").agg(
+        expr("transform(array_sort(collect_list(struct(tdim, pv))), z -> z.pv)")
+          .as("pq"))
+    val full = qe.join(proj, "vec_id")
+    val anch = full.filter(col("vec_id") % 8 === 0).select(
+      col("vec_id").as("ia"), col("q").as("qa"), col("pq").as("pa"))
+    val cand = full.filter(col("vec_id") % 8 === 4).select(
+      col("vec_id").as("ib"), col("q").as("qb"), col("pq").as("pb"))
+    val pairs = anch.crossJoin(cand)
+      .select(
+        expr("aggregate(zip_with(qa, qb, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)")
+          .as("d2o"),
+        expr("aggregate(zip_with(pa, pb, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)")
+          .as("d2p"))
+      .filter(col("d2o") > 0)
+      .withColumn("ratio",
+        col("d2p").cast(dd) / (lit(16.0) * col("d2o").cast(dd)))
+    pairs.agg(count(lit(1)).as("n_pairs"),
+        sum(floor(col("ratio") * lit(1e9) + lit(0.5)).cast(LongType))
+          .as("sr"),
+        min("ratio").as("mn"), max("ratio").as("mx"))
+      .select(col("n_pairs"),
+        trunc4(col("sr").cast(dd) / lit(1e9) / col("n_pairs").cast(dd))
+          .as("mean_ratio"),
+        trunc4(col("mn")).as("min_ratio"), trunc4(col("mx")).as("max_ratio"))
+  }
+
+  private val oEmbJl =
+    s"""WITH qe AS MATERIALIZED (SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(floor(CAST(x AS DOUBLE)*1e6 + 5e-1) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |signs AS (SELECT t.tdim, s.sdim,
+       |    CAST(1 - 2 * (CAST(concat('0x', substr(md5(concat(CAST(t.tdim AS VARCHAR), '_', CAST(s.sdim AS VARCHAR))), 1, 15)) AS BIGINT) % 2) AS BIGINT) AS sg
+       |  FROM (SELECT unnest(range(16)) AS tdim) t,
+       |       (SELECT unnest(range(64)) AS sdim) s),
+       |comps AS (SELECT vec_id, CAST(i - 1 AS INT) AS sdim, q[i] AS qv
+       |  FROM qe, (SELECT unnest(range(1, 65)) AS i)),
+       |proj AS (SELECT vec_id, tdim, CAST(sum(sg * qv) AS BIGINT) AS pv
+       |  FROM comps JOIN signs USING (sdim) GROUP BY 1, 2),
+       |pvecs AS MATERIALIZED (SELECT vec_id, list(pv ORDER BY tdim) AS pq
+       |  FROM proj GROUP BY 1),
+       |fa AS (SELECT qe.vec_id AS ia, q AS qa, pq AS pa FROM qe
+       |  JOIN pvecs USING (vec_id) WHERE vec_id % 8 = 0),
+       |fb AS (SELECT qe.vec_id AS ib, q AS qb, pq AS pb FROM qe
+       |  JOIN pvecs USING (vec_id) WHERE vec_id % 8 = 4),
+       |pr AS (SELECT
+       |    CAST(list_sum(list_transform(list_zip(qa, qb),
+       |      z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS d2o,
+       |    CAST(list_sum(list_transform(list_zip(pa, pb),
+       |      z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS d2p
+       |  FROM fa, fb),
+       |rt AS (SELECT CAST(d2p AS DOUBLE)/(16e0*CAST(d2o AS DOUBLE)) AS ratio
+       |  FROM pr WHERE d2o > 0)
+       |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       |  ${oTrunc4("CAST(sum(CAST(floor(ratio*1e9 + 5e-1) AS BIGINT)) AS DOUBLE)/1e9/count(*)")}
+       |    AS mean_ratio,
+       |  ${oTrunc4("min(ratio)")} AS min_ratio,
+       |  ${oTrunc4("max(ratio)")} AS max_ratio
+       |FROM rt""".stripMargin
+
+  // ---- chp_gini_stump ----
+
+  private val stumpThresholds = Seq(25, 50, 75, 100, 150, 200, 300, 400)
+
+  /** Exact decision-stump training: for each candidate threshold on
+    * event value, the weighted Gini impurity of the (value ≤ t) split
+    * predicting purchase — all counts exact integers, impurity
+    * scale-to-long'd at 1e12 so the argmin is an exact integer
+    * comparison; emits every threshold with its impurity and the
+    * is_best flag.
+    *
+    * Scale shape: one conditional aggregate per threshold over a
+    * single scan (thresholds broadcast as literals); no shuffle beyond
+    * the 8-row rollup. */
+  private[graft] def giniStump(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events").select(col("value"),
+      (col("event_type") === "purchase").cast(LongType).as("y"))
+    val thr = s.createDataFrame(
+      stumpThresholds.map(Tuple1(_))).toDF("thr")
+    val sides = ev.crossJoin(broadcast(thr))
+      .withColumn("le", (col("value") <= col("thr")).cast(LongType))
+      .groupBy("thr").agg(count(lit(1)).as("n"),
+        sum("le").as("nl"), sum(col("le") * col("y")).as("pl"),
+        sum("y").as("p"))
+      .withColumn("nr", col("n") - col("nl"))
+      .withColumn("prr", col("p") - col("pl"))
+    val g = sides.withColumn("gini", expr(
+      """CAST(nl AS DOUBLE)/n * (1e0
+        | - (CAST(pl AS DOUBLE)/nullif(CAST(nl AS DOUBLE),0e0))
+        |   *(CAST(pl AS DOUBLE)/nullif(CAST(nl AS DOUBLE),0e0))
+        | - (CAST(nl - pl AS DOUBLE)/nullif(CAST(nl AS DOUBLE),0e0))
+        |   *(CAST(nl - pl AS DOUBLE)/nullif(CAST(nl AS DOUBLE),0e0)))
+        |+ CAST(nr AS DOUBLE)/n * (1e0
+        | - (CAST(prr AS DOUBLE)/nullif(CAST(nr AS DOUBLE),0e0))
+        |   *(CAST(prr AS DOUBLE)/nullif(CAST(nr AS DOUBLE),0e0))
+        | - (CAST(nr - prr AS DOUBLE)/nullif(CAST(nr AS DOUBLE),0e0))
+        |   *(CAST(nr - prr AS DOUBLE)/nullif(CAST(nr AS DOUBLE),0e0)))""".stripMargin))
+      .withColumn("gini_sc",
+        floor(col("gini") * lit(1e12) + lit(0.5)).cast(LongType))
+    val wAll = Window.partitionBy(lit(1))
+    g.withColumn("best_sc", min("gini_sc").over(wAll))
+      .select(col("thr"), col("nl").as("n_le"), col("pl").as("n_pos_le"),
+        trunc6(col("gini")).as("gini_weighted"),
+        (col("gini_sc") === col("best_sc")).cast(IntegerType).as("is_best"))
+      .orderBy("thr")
+  }
+
+  private val oChpGiniStump =
+    s"""WITH ev AS (SELECT value,
+       |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+       |  FROM events),
+       |sides AS (SELECT thr, count(*) AS n,
+       |    CAST(sum(CASE WHEN value <= thr THEN 1 ELSE 0 END) AS BIGINT) AS nl,
+       |    CAST(sum(CASE WHEN value <= thr THEN y ELSE 0 END) AS BIGINT) AS pl,
+       |    CAST(sum(y) AS BIGINT) AS p
+       |  FROM ev, (SELECT unnest([${stumpThresholds.mkString(", ")}]) AS thr)
+       |  GROUP BY thr),
+       |ext AS (SELECT *, n - nl AS nr, p - pl AS prr FROM sides),
+       |g AS (SELECT *,
+       |    CAST(nl AS DOUBLE)/n * (1e0
+       |     - (CAST(pl AS DOUBLE)/nullif(CAST(nl AS DOUBLE),0e0))
+       |       *(CAST(pl AS DOUBLE)/nullif(CAST(nl AS DOUBLE),0e0))
+       |     - (CAST(nl - pl AS DOUBLE)/nullif(CAST(nl AS DOUBLE),0e0))
+       |       *(CAST(nl - pl AS DOUBLE)/nullif(CAST(nl AS DOUBLE),0e0)))
+       |    + CAST(nr AS DOUBLE)/n * (1e0
+       |     - (CAST(prr AS DOUBLE)/nullif(CAST(nr AS DOUBLE),0e0))
+       |       *(CAST(prr AS DOUBLE)/nullif(CAST(nr AS DOUBLE),0e0))
+       |     - (CAST(nr - prr AS DOUBLE)/nullif(CAST(nr AS DOUBLE),0e0))
+       |       *(CAST(nr - prr AS DOUBLE)/nullif(CAST(nr AS DOUBLE),0e0)))
+       |      AS gini FROM ext),
+       |sc AS (SELECT *, CAST(floor(gini*1e12 + 5e-1) AS BIGINT) AS gini_sc
+       |  FROM g)
+       |SELECT CAST(thr AS INT) AS thr, nl AS n_le, pl AS n_pos_le,
+       |  ${oTrunc6("gini")} AS gini_weighted,
+       |  CAST(gini_sc = (SELECT min(gini_sc) FROM sc) AS INT) AS is_best
+       |FROM sc ORDER BY thr""".stripMargin
+
+  val queries: Map[String, QFn] = Map(
+    "ts_hurst_rs"       -> ((s, d) => hurstRs(s, d)),
+    "emb_jl_projection" -> ((s, d) => jlProjection(s, d)),
+    "chp_gini_stump"    -> ((s, d) => giniStump(s, d)))
+
+  val oracles: Map[String, String] = Map(
+    "ts_hurst_rs"       -> oTsHurst,
+    "emb_jl_projection" -> oEmbJl,
+    "chp_gini_stump"    -> oChpGiniStump)
+}
