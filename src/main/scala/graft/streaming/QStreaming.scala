@@ -221,6 +221,19 @@ object StreamOps {
       .select(col("w.start").as("hour_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Daily per-user rate-limit alerting: emit (day, user, n) whenever a
+    * user exceeds 5 events in one event-time day. Watermarked so the
+    * streaming form runs in append mode with bounded state (a day's
+    * windows finalize 1 hour after the day ends); the watermark is a
+    * no-op in batch, so the oracle sees identical semantics. State is
+    * keyed by (day, user) — bounded by active users per day. */
+  def rateAlert(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 5)
+      .select(col("w.start").as("day_start"), col("user_id"), col("n"))
+
   /** Two chained windowed aggregates — hourly counts, then daily rollup of
     * the hourly rows. `window_time` (window end − 1 µs) is the documented
     * event-time handle for re-windowing an aggregated stream; identical
