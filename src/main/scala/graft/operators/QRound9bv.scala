@@ -1,0 +1,235 @@
+package graft.operators
+
+import graft.QueryPack
+import graft.sources.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-9 extension wave 73 (SURVEY §2.28):
+  *
+  *  - `ts_mann_kendall`: Mann–Kendall trend test with tie-corrected
+  *    variance + Sen's slope — the standard nonparametric
+  *    monotone-trend detector.
+  *  - `profile_wasserstein_1d`: 1-D Wasserstein (earth-mover) distance
+  *    between event-type value distributions on a 99-point interpolated
+  *    quantile grid — the distribution-shift metric.
+  *  - `ts_variance_ratio`: Lo–MacKinlay variance-ratio test (q=5,
+  *    overlapping) — is the daily series a random walk.
+  */
+object QRound9bv extends QueryPack {
+
+  private val dd = DoubleType
+
+  // ---- ts_mann_kendall ----
+
+  // shared z tower: continuity-corrected S over sqrt(var18/18)
+  private val mkZ =
+    "CASE WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1e0)" +
+      "/sqrt(CAST(var18 AS DOUBLE)/18e0) " +
+      "WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1e0)" +
+      "/sqrt(CAST(var18 AS DOUBLE)/18e0) ELSE 0e0 END"
+
+  /** Mann–Kendall per event-type daily series: S = Σ_{i<j} sign(x_j −
+    * x_i) (exact integer over the bounded pair join), tie-corrected
+    * variance ×18 kept as an exact BIGINT, continuity-corrected z
+    * through a shared tower, verdict cut on trunc4(z) vs ±1.96; Sen's
+    * slope = median of pairwise slopes (identical multiset → identical
+    * median in both engines).
+    *
+    * Scale shape: the i<j pair join is days², not events² — bounded by
+    * the series length; tie table is a tiny value rollup. */
+  private[graft] def mannKendall(s: SparkSession, d: String): DataFrame = {
+    val daily = QRound9b.evDaily(s, d)
+    val w = Window.partitionBy("event_type").orderBy("day_num")
+    val idx = daily.select(col("event_type"), col("cnt").as("x"),
+      row_number().over(w).as("i"))
+    val a = idx.select(col("event_type"), col("x").as("xi"),
+      col("i").as("ii"))
+    val b = idx.select(col("event_type"), col("x").as("xj"),
+      col("i").as("jj"))
+    val pairs = a.join(b, "event_type").filter(col("ii") < col("jj"))
+    val sStat = pairs.groupBy("event_type").agg(
+      count(lit(1)).as("n_pairs"),
+      sum(signum(col("xj") - col("xi")).cast(LongType)).as("s_stat"),
+      expr("median((CAST(xj AS DOUBLE) - xi)/(CAST(jj AS DOUBLE) - ii))")
+        .as("sen"))
+    val nTot = idx.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val ties = idx.groupBy("event_type", "x").agg(count(lit(1)).as("tt"))
+      .filter(col("tt") > 1)
+      .groupBy("event_type").agg(
+        sum(col("tt") * (col("tt") - 1) * (lit(2L) * col("tt") + 5))
+          .as("tie18"))
+    sStat.join(nTot, "event_type")
+      .join(ties, Seq("event_type"), "left")
+      .withColumn("var18",
+        col("n") * (col("n") - 1) * (lit(2L) * col("n") + 5)
+          - coalesce(col("tie18"), lit(0L)))
+      .withColumn("z", expr(mkZ))
+      .select(col("event_type"), col("n"), col("s_stat"), col("var18"),
+        trunc4(col("z")).as("z_score"),
+        trunc4(col("sen")).as("sen_slope"),
+        (abs(trunc4(col("z"))) > lit(1.96)).cast(IntegerType)
+          .as("has_trend"))
+      .orderBy("event_type")
+  }
+
+  private val oTsMannKendall =
+    s"""WITH daily AS (SELECT event_type,
+       |    epoch_us(date_trunc('day', ts)) // 86400000000 AS day_num,
+       |    count(*) AS cnt FROM events GROUP BY 1, 2),
+       |idx AS (SELECT event_type, cnt AS x,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY day_num)
+       |      AS i FROM daily),
+       |pairs AS (SELECT a.event_type, a.x AS xi, b.x AS xj,
+       |    a.i AS ii, b.i AS jj
+       |  FROM idx a JOIN idx b ON a.event_type = b.event_type
+       |    AND a.i < b.i),
+       |st AS (SELECT event_type, count(*) AS n_pairs,
+       |    CAST(sum(sign(xj - xi)) AS BIGINT) AS s_stat,
+       |    median((CAST(xj AS DOUBLE) - xi)/(CAST(jj AS DOUBLE) - ii))
+       |      AS sen
+       |  FROM pairs GROUP BY 1),
+       |nt AS (SELECT event_type, count(*) AS n FROM idx GROUP BY 1),
+       |ties AS (SELECT event_type,
+       |    CAST(sum(tt*(tt - 1)*(2*tt + 5)) AS BIGINT) AS tie18
+       |  FROM (SELECT event_type, x, count(*) AS tt FROM idx
+       |        GROUP BY 1, 2 HAVING count(*) > 1) GROUP BY 1),
+       |v AS (SELECT st.event_type, n, s_stat, sen,
+       |    n*(n - 1)*(2*n + 5) - coalesce(tie18, 0) AS var18
+       |  FROM st JOIN nt USING (event_type)
+       |    LEFT JOIN ties USING (event_type)),
+       |z AS (SELECT *, ($mkZ) AS zv FROM v)
+       |SELECT event_type, CAST(n AS BIGINT) AS n, s_stat,
+       |  CAST(var18 AS BIGINT) AS var18,
+       |  ${oTrunc4("zv")} AS z_score, ${oTrunc4("sen")} AS sen_slope,
+       |  CAST(abs(${oTrunc4("zv")}) > 196e-2 AS INT) AS has_trend
+       |FROM z ORDER BY event_type""".stripMargin
+
+  // ---- profile_wasserstein_1d ----
+
+  /** 1-D Wasserstein distance between the value distributions of every
+    * event-type pair: both CDFs sampled on the interpolated percentile
+    * grid p = 1..99 (the exact `percentile`/`quantile_cont` the
+    * existing percentile keys prove cross-engine identical), W1 ≈ mean
+    * |q_x(p) − q_y(p)| with per-point scale-to-long at 1e6.
+    *
+    * Scale shape: one exact percentile aggregate per type (the
+    * `agg_percentile` note applies: at lake scale the same query swaps
+    * in approx_percentile), then a 10-row pair join over broadcast
+    * 99-element arrays. */
+  private[graft] def wasserstein1d(s: SparkSession, d: String): DataFrame = {
+    val gridSql = (1 to 99).map(p => s"${p}e-2").mkString(", ")
+    val q = t(s, d, "events").groupBy("event_type")
+      .agg(expr(s"percentile(value, array($gridSql))").as("qs"))
+    val a = q.select(col("event_type").as("x_type"), col("qs").as("qx"))
+    val b = q.select(col("event_type").as("y_type"), col("qs").as("qy"))
+    a.join(b, col("x_type") < col("y_type"))
+      .select(col("x_type"), col("y_type"),
+        expr("aggregate(zip_with(qx, qy, (x, y) -> CAST(floor(abs(x - y)*1e6 + 5e-1) AS BIGINT)), 0L, (acc, v) -> acc + v)")
+          .as("sum_sc"))
+      .select(col("x_type"), col("y_type"),
+        trunc4(col("sum_sc").cast(dd) / lit(1e6) / lit(99.0))
+          .as("wasserstein_1d"))
+      .orderBy("x_type", "y_type")
+  }
+
+  private val oProfileWasserstein = {
+    val gridSql = (1 to 99).map(p => s"${p}e-2").mkString(", ")
+    s"""WITH q AS (SELECT event_type,
+       |    quantile_cont(value, [$gridSql]) AS qs
+       |  FROM events GROUP BY 1),
+       |pr AS (SELECT a.event_type AS x_type, b.event_type AS y_type,
+       |    CAST(list_sum(list_transform(list_zip(a.qs, b.qs),
+       |      z -> CAST(floor(abs(z[1] - z[2])*1e6 + 5e-1) AS BIGINT)))
+       |      AS BIGINT) AS sum_sc
+       |  FROM q a JOIN q b ON a.event_type < b.event_type)
+       |SELECT x_type, y_type,
+       |  ${oTrunc4("CAST(sum_sc AS DOUBLE)/1e6/99e0")} AS wasserstein_1d
+       |FROM pr ORDER BY x_type, y_type""".stripMargin
+  }
+
+  // ---- ts_variance_ratio ----
+
+  private val vrQ = 5
+
+  // shared tower: the homoskedastic z
+  private val vrZ =
+    s"(vr - 1e0)*sqrt(CAST(n1 AS DOUBLE)*3e0*$vrQ" +
+      s"/(2e0*(2e0*$vrQ - 1e0)*($vrQ - 1e0)))"
+
+  /** Lo–MacKinlay variance ratio at q=5 with overlapping q-period
+    * differences: Var(x_t − x_{t−q}) vs q·Var(x_t − x_{t−1}), both
+    * from EXACT integer moments (n·Σd² − (Σd)²), the ratio and the
+    * homoskedastic z through shared towers; |z| > 1.96 rejects the
+    * random walk. VR < 1 = mean reversion, > 1 = momentum.
+    *
+    * Scale shape: two lag windows per type + one rollup. */
+  private[graft] def varianceRatio(s: SparkSession, d: String): DataFrame = {
+    val daily = QRound9b.evDaily(s, d)
+    val w = Window.partitionBy("event_type").orderBy("day_num")
+    val diffs = daily.select(col("event_type"), col("cnt"),
+        (col("cnt") - lag("cnt", 1).over(w)).as("d1"),
+        (col("cnt") - lag("cnt", vrQ).over(w)).as("dq"))
+    val m = diffs.groupBy("event_type").agg(
+      count(col("d1")).as("n1"), sum("d1").as("s1"),
+      sum(col("d1") * col("d1")).as("r1"),
+      count(col("dq")).as("nq"), sum("dq").as("sq"),
+      sum(col("dq") * col("dq")).as("rq"))
+    m.withColumn("v1", col("n1") * col("r1") - col("s1") * col("s1"))
+      .withColumn("vq", col("nq") * col("rq") - col("sq") * col("sq"))
+      // normalize the n-scaled integer vars to per-sample scale:
+      // v/n² is Var·(n-1)/n-ish; the SAME spelling on both sides is
+      // what matters — use v/(n*n) as the variance proxy
+      .withColumn("v1", expr("CAST(v1 AS DOUBLE)/CAST(n1 AS DOUBLE)"))
+      .withColumn("vq", expr("CAST(vq AS DOUBLE)/CAST(nq AS DOUBLE)"))
+      .withColumn("vr", expr(
+        s"(vq/CAST(nq AS DOUBLE))/nullif(${vrQ}e0*(v1/CAST(n1 AS DOUBLE)), 0e0)"))
+      .withColumn("z", expr(vrZ))
+      .select(col("event_type"), col("n1").as("n_diffs"),
+        trunc4(col("vr")).as("variance_ratio"),
+        trunc4(col("z")).as("z_score"),
+        (abs(trunc4(col("z"))) > lit(1.96)).cast(IntegerType)
+          .as("rejects_rw"))
+      .orderBy("event_type")
+  }
+
+  private val oTsVarianceRatio =
+    s"""WITH daily AS (SELECT event_type,
+       |    epoch_us(date_trunc('day', ts)) // 86400000000 AS day_num,
+       |    count(*) AS cnt FROM events GROUP BY 1, 2),
+       |df AS (SELECT event_type,
+       |    cnt - lag(cnt, 1) OVER w AS d1,
+       |    cnt - lag(cnt, $vrQ) OVER w AS dq
+       |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day_num)),
+       |m AS (SELECT event_type,
+       |    count(d1) AS n1, CAST(sum(d1) AS BIGINT) AS s1,
+       |    CAST(sum(d1*d1) AS BIGINT) AS r1,
+       |    count(dq) AS nq, CAST(sum(dq) AS BIGINT) AS sq,
+       |    CAST(sum(dq*dq) AS BIGINT) AS rq
+       |  FROM df GROUP BY 1),
+       |v AS (SELECT event_type, n1, nq,
+       |    CAST(n1*r1 - s1*s1 AS DOUBLE)/CAST(n1 AS DOUBLE) AS v1,
+       |    CAST(nq*rq - sq*sq AS DOUBLE)/CAST(nq AS DOUBLE) AS vq
+       |  FROM m),
+       |vr AS (SELECT *,
+       |    (vq/CAST(nq AS DOUBLE))/nullif(${vrQ}e0*(v1/CAST(n1 AS DOUBLE)), 0e0)
+       |      AS vr FROM v),
+       |z AS (SELECT *, ($vrZ) AS zv FROM vr)
+       |SELECT event_type, CAST(n1 AS BIGINT) AS n_diffs,
+       |  ${oTrunc4("vr")} AS variance_ratio,
+       |  ${oTrunc4("zv")} AS z_score,
+       |  CAST(abs(${oTrunc4("zv")}) > 196e-2 AS INT) AS rejects_rw
+       |FROM z ORDER BY event_type""".stripMargin
+
+  val queries: Map[String, QFn] = Map(
+    "ts_mann_kendall"         -> ((s, d) => mannKendall(s, d)),
+    "profile_wasserstein_1d"  -> ((s, d) => wasserstein1d(s, d)),
+    "ts_variance_ratio"       -> ((s, d) => varianceRatio(s, d)))
+
+  val oracles: Map[String, String] = Map(
+    "ts_mann_kendall"         -> oTsMannKendall,
+    "profile_wasserstein_1d"  -> oProfileWasserstein,
+    "ts_variance_ratio"       -> oTsVarianceRatio)
+}
