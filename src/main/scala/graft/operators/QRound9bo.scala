@@ -121,6 +121,7 @@ object QRound9bo extends QueryPack {
     * per-anchor window ranks |corpus| candidate rows; production keeps
     * the anchor count fixed as data grows. */
   private[graft] def intrinsicDim(s: SparkSession, d: String): DataFrame = {
+    graft.plans.SqDistLong.register(s)
     val qe = t(s, d, "embeddings").select(col("vec_id"),
       expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1e6 + 5e-1) AS BIGINT))")
         .as("q"))
@@ -128,8 +129,7 @@ object QRound9bo extends QueryPack {
       .select(col("vec_id").as("aid"), col("q").as("aq"))
     val pairs = qe.join(broadcast(anchors), col("vec_id") =!= col("aid"))
       .select(col("aid"), col("vec_id"),
-        expr("aggregate(zip_with(aq, q, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
-          .as("d2"))
+        expr("sqdist_q(aq, q)").as("d2"))
       .filter(col("d2") > 0)
     val w = Window.partitionBy("aid").orderBy(col("d2"), col("vec_id"))
     val nn = pairs.withColumn("rnk", row_number().over(w))

@@ -88,3 +88,60 @@ object CosineSim {
       .createOrReplaceTempFunction("cosine_sim",
         (exprs: Seq[Expression]) => CosineSim(exprs.head, exprs(1)), "scala_udf")
 }
+
+/** Native kernel for EXACT squared Euclidean distance over ARRAY<BIGINT>
+  * (the 1e6-quantized vector spelling): Σ (a_i − b_i)², one fused long
+  * loop, whole-stage codegen. Replaces the
+  * `aggregate(zip_with(...), 0L, ...)` HOF, which allocated a 64-element
+  * intermediate array and interpreted two lambdas per pair — measured
+  * 15.7 s warm for the 2M-pair energy-distance key at sf0.1. Integer
+  * sums are order-independent, so results are bit-identical to the HOF
+  * spelling and to DuckDB's list_transform/list_sum twin. */
+case class SqDistLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(org.apache.spark.sql.types.LongType, _),
+            ArrayType(org.apache.spark.sql.types.LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "sqdist_q requires ARRAY<BIGINT> arguments, got " +
+          s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SqDistLong.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.plans.SqDistLong.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SqDistLong =
+    copy(left = newLeft, right = newRight)
+}
+
+object SqDistLong {
+  def compute(x: ArrayData, y: ArrayData): Long = {
+    val n = x.numElements()
+    require(n == y.numElements(),
+      s"sqdist_q: vector length mismatch ($n vs ${y.numElements()})")
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val d = x.getLong(i) - y.getLong(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  def register(spark: SparkSession): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction("sqdist_q",
+        (exprs: Seq[Expression]) => SqDistLong(exprs.head, exprs(1)), "scala_udf")
+}
