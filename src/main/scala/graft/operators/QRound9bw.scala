@@ -27,7 +27,7 @@ object QRound9bw extends QueryPack {
 
   /** BM25 over the document corpus for the query = vocab terms ranked
     * 10–12 by (corpus count desc, token): tf/df/dl/avgdl are exact
-    * integers; idf = ln((N−df+0.5)/(df+0.5)) and the saturation term
+    * integers; idf = ln(1 + (N−df+0.5)/(df+0.5)) (Lucene spelling — positive even at df > N/2) and the saturation term
     * run in doubles spelled identically, per-(doc,term) scores
     * scale-to-long'd at 1e12 so the per-doc sum is order-independent
     * and the top-20 ordering is an exact integer sort.
@@ -52,7 +52,7 @@ object QRound9bw extends QueryPack {
       .join(dl, "doc_id").crossJoin(broadcast(tot))
       .withColumn("score_t_sc", expr(
         """CAST(floor(
-          |  ln((CAST(n_docs AS DOUBLE) - df + 5e-1)/(CAST(df AS DOUBLE) + 5e-1))
+          |  ln(1e0 + (CAST(n_docs AS DOUBLE) - df + 5e-1)/(CAST(df AS DOUBLE) + 5e-1))
           |  * (CAST(tf AS DOUBLE) * (12e-1 + 1e0))
           |  / (CAST(tf AS DOUBLE) + 12e-1 * (1e0 - 75e-2
           |     + 75e-2 * CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE)
@@ -81,7 +81,7 @@ object QRound9bw extends QueryPack {
        |tot AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT)
        |    AS total_tokens FROM dl),
        |sc AS (SELECT tf.doc_id, CAST(floor(
-       |    ln((CAST(n_docs AS DOUBLE) - df + 5e-1)/(CAST(df AS DOUBLE) + 5e-1))
+       |    ln(1e0 + (CAST(n_docs AS DOUBLE) - df + 5e-1)/(CAST(df AS DOUBLE) + 5e-1))
        |    * (CAST(tf AS DOUBLE) * (12e-1 + 1e0))
        |    / (CAST(tf AS DOUBLE) + 12e-1 * (1e0 - 75e-2
        |       + 75e-2 * CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE)
@@ -126,11 +126,11 @@ object QRound9bw extends QueryPack {
         """{"v":2,"action":"add","path":"f2"}""",
         """{"v":3,"action":"remove","path":"f0"}""")
       java.nio.file.Files.write(
-        java.nio.file.Paths.get(s"$p/_log.json"),
+        java.nio.file.Paths.get(s"$p/commits.json"),
         log.mkString("\n").getBytes("UTF-8"))
       p
     })
-    val log = s.read.json(s"$root/_log.json")
+    val log = s.read.json(s"$root/commits.json")
       .groupBy("path").agg(
         max(when(col("action") === "add", col("v"))).as("added_v"),
         max(when(col("action") === "remove", col("v"))).as("removed_v"))
