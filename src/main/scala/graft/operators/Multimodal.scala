@@ -543,6 +543,34 @@ object Multimodal {
       .mapPartitions(_.map(id => MediaRow(id, synthPpm(id), "ppm")))
   }
 
+  // ---- 16-bin byte histogram (distribution features) ----
+
+  case class HistRow(media_id: Long, n_pix: Long, bins: Seq[Long])
+
+  /** EXACT 16-bin histogram over a P6 pixel plane (bin = byte >> 4);
+    * counts are integers, so every downstream distance is exact until
+    * the final normalization. None on malformed payloads (same grammar
+    * as decodePpm). */
+  def histBins16(p: Array[Byte]): Option[(Long, Array[Long])] =
+    decodeP6At(p, 0).map { case (w, h, _, end) =>
+      val n = 3 * w * h
+      val start = end - n
+      val acc = new Array[Long](16)
+      var i = start
+      while (i < end) { acc((p(i) & 0xff) >> 4) += 1; i += 1 }
+      (n.toLong, acc)
+    }
+
+  /** Per-partition batch histogram decode — the decodeAll pattern. */
+  def histAll(media: Dataset[MediaRow]): Dataset[HistRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { m =>
+      histBins16(m.payload).map { case (n, bins) =>
+        HistRow(m.media_id, n, bins.toSeq)
+      }
+    })
+  }
+
   // ---- per-channel statistics (color-balance features) ----
 
   case class ChannelStats(media_id: Long, width: Int, height: Int,
