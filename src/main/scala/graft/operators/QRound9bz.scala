@@ -1,0 +1,243 @@
+package graft.operators
+
+import graft.QueryPack
+import graft.sources.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-9 extension wave 77 (SURVEY §2.28):
+  *
+  *  - `graph_bootstrap_percolation`: threshold-2 bootstrap percolation
+  *    (influence spread) over the part co-occurrence graph — how far a
+  *    deterministic seed set cascades in 4 rounds.
+  *  - `agg_benjamini_hochberg`: the BH false-discovery-rate procedure
+  *    over the 20 Granger tests — the multiple-testing correction any
+  *    metric platform needs before reporting "significant" effects.
+  *  - `mm_audio_spectral_flatness`: Wiener spectral flatness (geometric
+  *    over arithmetic mean of band powers) per synthesized audio clip —
+  *    the tonality-vs-noise audio feature.
+  */
+object QRound9bz extends QueryPack {
+
+  private val dd = DoubleType
+
+  // ---- graph_bootstrap_percolation ----
+
+  private val percRounds = 4
+
+  /** Bootstrap percolation: seeds = parts with id % 97 == 0; a node
+    * activates when ≥ 2 of its neighbors are active; 4 synchronous
+    * rounds over the co-occurrence graph. Pure integer set iteration —
+    * bit-deterministic at any partition count. Emits the cascade
+    * profile (actives and newly-activated per round).
+    *
+    * Scale shape: per-round one equi-join active⋈edges + one groupBy
+    * (the BFS/PageRank dataflow), localCheckpoint per round. */
+  private[graft] def bootstrapPercolation(s: SparkSession, d: String): DataFrame = {
+    val e = graft.Memo.memo(s, "coedges", d)(
+      QRound5c.coEdges(t(s, d, "lineitem"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val dir = e.select(col("a").as("u"), col("b").as("v"))
+      .union(e.select(col("b").as("u"), col("a").as("v")))
+    val nodes = dir.select(col("v").as("node")).distinct()
+    var act = nodes.filter(col("node") % 97 === 0)
+    val out = scala.collection.mutable.ArrayBuffer[(Int, Long, Long)]()
+    var prevCount = act.count()
+    out += ((0, prevCount, prevCount))
+    for (r <- 1 to percRounds) {
+      val nbr = dir.join(act.withColumnRenamed("node", "u"), "u")
+        .groupBy("v").agg(count(lit(1)).as("deg_act"))
+        .filter(col("deg_act") >= 2)
+        .select(col("v").as("node"))
+      act = act.union(nbr).distinct().localCheckpoint(true)
+      val c = act.count()
+      out += ((r, c, c - prevCount))
+      prevCount = c
+    }
+    s.createDataFrame(out.toSeq).toDF("round", "n_active", "n_new")
+      .select(col("round").cast(IntegerType).as("round"),
+        col("n_active"), col("n_new"))
+      .orderBy("round")
+  }
+
+  private val oGraphPercolation = {
+    val rounds = (1 to percRounds).map { r =>
+      s"""a$r AS MATERIALIZED (SELECT node FROM a${r - 1}
+         |  UNION SELECT v AS node FROM dir
+         |    JOIN a${r - 1} ON dir.u = a${r - 1}.node
+         |    GROUP BY v HAVING count(*) >= 2)""".stripMargin
+    }.mkString(",\n")
+    val selects = (0 to percRounds).map { r =>
+      val prev = if (r == 0) "a0" else s"a${r - 1}"
+      s"""SELECT $r AS round, (SELECT count(*) FROM a$r) AS n_active,
+         |  (SELECT count(*) FROM a$r)
+         |    - (CASE WHEN $r = 0 THEN 0
+         |       ELSE (SELECT count(*) FROM $prev) END) AS n_new""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok,
+       |    l_partkey AS pk FROM lineitem),
+       |e AS MATERIALIZED (SELECT DISTINCT x.pk AS a, y.pk AS b
+       |  FROM op x JOIN op y ON x.ok = y.ok AND x.pk < y.pk),
+       |dir AS MATERIALIZED (SELECT a AS u, b AS v FROM e
+       |  UNION ALL SELECT b, a FROM e),
+       |a0 AS MATERIALIZED (SELECT DISTINCT v AS node FROM dir
+       |  WHERE v % 97 = 0),
+       |$rounds
+       |SELECT CAST(round AS INT) AS round, CAST(n_active AS BIGINT)
+       |    AS n_active, CAST(n_new AS BIGINT) AS n_new
+       |FROM ($selects) ORDER BY round""".stripMargin
+  }
+
+  // ---- agg_benjamini_hochberg ----
+
+  // standard-normal upper tail via the Zelen–Severo (A&S 26.2.17)
+  // rational approximation — every constant a spelled literal, shared
+  // verbatim between engines
+  private val bhPhiTail =
+    "exp(-(zx*zx)/2e0)/sqrt(2e0*3141592653589793e-15)" +
+      "*(31938153e-8*tz - 356563782e-9*tz*tz + 1781477937e-9*tz*tz*tz" +
+      " - 1821255978e-9*tz*tz*tz*tz + 1330274429e-9*tz*tz*tz*tz*tz)"
+
+  /** Benjamini–Hochberg FDR at α = 0.05 over the 20 lag-1 Granger
+    * tests: p ≈ 2·Φ̄(√F) (the normal approximation to F(1,n), Φ̄ via
+    * the shared A&S 26.2.17 tower), p scale-to-long'd at 1e12 so the
+    * step-up condition p_(k)·m ≤ k·α·1e12 is an EXACT integer
+    * comparison; every pair reports its rank and verdict.
+    *
+    * Scale shape: composes the memoized Granger table (20 rows); the
+    * procedure is two windows over it. */
+  private[graft] def benjaminiHochberg(s: SparkSession, d: String): DataFrame = {
+    val g = QRound9bq.queries("ts_granger_lag1")(s, d)
+      .select(col("x_type"), col("y_type"), col("f_stat"))
+    val p = g.withColumn("zx", sqrt(greatest(col("f_stat"), lit(0.0))))
+      .withColumn("tz", expr("1e0/(1e0 + 2316419e-7*zx)"))
+      .withColumn("pv", expr(s"2e0*($bhPhiTail)"))
+      .withColumn("pv", expr("CASE WHEN pv > 1e0 THEN 1e0 ELSE pv END"))
+      .withColumn("p_sc", floor(col("pv") * lit(1e12) + lit(0.5))
+        .cast(LongType))
+    val w = Window.orderBy(col("p_sc"), col("x_type"), col("y_type"))
+    val ranked = p.withColumn("k", row_number().over(w))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy(lit(1))))
+      .withColumn("pass", (col("p_sc") * col("m")
+        <= col("k") * lit(50000000000L)).cast(IntegerType))
+    val kStar = ranked.agg(coalesce(max(when(col("pass") === 1, col("k"))),
+      lit(0)).as("k_star"))
+    ranked.crossJoin(broadcast(kStar))
+      .select(col("x_type"), col("y_type"),
+        trunc6(col("p_sc").cast(dd) / lit(1e12)).as("p_value"),
+        col("k").cast(IntegerType).as("rank"),
+        (col("k") <= col("k_star")).cast(IntegerType).as("significant"))
+      .orderBy("rank")
+  }
+
+  private val oAggBenjaminiHochberg =
+    s"""WITH g AS MATERIALIZED (SELECT x_type, y_type, f_stat FROM
+       |  (${QRound9bq.oracles("ts_granger_lag1")})),
+       |z AS (SELECT x_type, y_type, sqrt(greatest(f_stat, 0e0)) AS zx
+       |  FROM g),
+       |tt AS (SELECT *, 1e0/(1e0 + 2316419e-7*zx) AS tz FROM z),
+       |pv0 AS (SELECT x_type, y_type, 2e0*($bhPhiTail) AS pv FROM tt),
+       |pv AS (SELECT x_type, y_type,
+       |    CAST(floor((CASE WHEN pv > 1e0 THEN 1e0 ELSE pv END)*1e12
+       |      + 5e-1) AS BIGINT) AS p_sc FROM pv0),
+       |rk AS (SELECT *, row_number() OVER (ORDER BY p_sc, x_type, y_type)
+       |    AS k, count(*) OVER () AS m FROM pv),
+       |ps AS (SELECT *, CASE WHEN p_sc*m <= k*50000000000 THEN 1 ELSE 0
+       |    END AS pass FROM rk),
+       |ks AS (SELECT coalesce(max(CASE WHEN pass = 1 THEN k END), 0)
+       |    AS k_star FROM ps)
+       |SELECT x_type, y_type,
+       |  ${oTrunc6("CAST(p_sc AS DOUBLE)/1e12")} AS p_value,
+       |  CAST(k AS INT) AS rank,
+       |  CAST(k <= k_star AS INT) AS significant
+       |FROM ps, ks ORDER BY rank""".stripMargin
+
+  // ---- mm_audio_spectral_flatness ----
+
+  /** Wiener spectral flatness per synthesized audio clip: band powers
+    * at k = 1..8 via the Goertzel probe (mean-centered EXACT integers
+    * n·a − S, per-term scale-to-long at 1e6 — the periodogram
+    * pattern), flatness = exp(mean ln P)/mean P with per-band ln
+    * scale-to-long'd at 1e12. Flatness → 1 is white noise, → 0 is
+    * tonal.
+    *
+    * Scale shape: samples × 8 bands map-side; two bounded rollups. */
+  private[graft] def spectralFlatness(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select(col("doc_id"),
+      expr("CAST(64 + doc_id % 64 AS INT)").as("n"))
+    val sm = docs.select(col("doc_id"), col("n"),
+        explode(expr("sequence(0, n - 1)")).as("i"))
+      .withColumn("a", expr("abs((doc_id*37 + i*11) % 2048 - 1024)"))
+    val tots = sm.groupBy("doc_id").agg(sum("a").as("tot"))
+    val bands = s.range(8).select((col("id") + 1).cast(IntegerType).as("k"))
+    val ctr = (col("n") * col("a") - col("tot")).cast(dd)
+    val ang = lit(2.0 * math.Pi) * col("k").cast(dd) * col("i").cast(dd) /
+      col("n").cast(dd)
+    val pw = sm.join(broadcast(tots), "doc_id").crossJoin(broadcast(bands))
+      .select(col("doc_id"), col("k"),
+        floor(ctr * cos(ang) * lit(1e6) + lit(5e-1)).cast(LongType).as("tc"),
+        floor(ctr * sin(ang) * lit(1e6) + lit(5e-1)).cast(LongType).as("ts"))
+      .groupBy("doc_id", "k")
+      .agg(sum("tc").as("sc6"), sum("ts").as("ss6"))
+      .withColumn("power",
+        (col("sc6") / lit(1e6)) * (col("sc6") / lit(1e6))
+          + (col("ss6") / lit(1e6)) * (col("ss6") / lit(1e6)))
+      .filter(col("power") > 0)
+    pw.withColumn("ln_sc", floor(log(col("power")) * lit(1e12) + lit(0.5))
+        .cast(LongType))
+      .withColumn("p_sc", floor(col("power") + lit(0.5)).cast(LongType))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_bands"),
+        sum("ln_sc").as("sl"), sum("p_sc").as("sp"))
+      .select(col("doc_id").as("media_id"), col("n_bands"),
+        trunc6(expr(
+          "exp(CAST(sl AS DOUBLE)/CAST(n_bands AS DOUBLE)/1e12)" +
+            "/(CAST(sp AS DOUBLE)/CAST(n_bands AS DOUBLE))"))
+          .as("spectral_flatness"))
+      .orderBy("media_id")
+  }
+
+  private val oMmSpectralFlatness =
+    s"""WITH d AS (SELECT doc_id, CAST(64 + doc_id % 64 AS INT) AS n
+       |  FROM documents),
+       |sm AS (SELECT doc_id, n, i,
+       |    abs((doc_id*37 + i*11) % 2048 - 1024) AS a
+       |  FROM d, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i)),
+       |tots AS (SELECT doc_id, CAST(sum(a) AS BIGINT) AS tot FROM sm
+       |  GROUP BY 1),
+       |pw AS (SELECT sm.doc_id, k,
+       |    CAST(sum(CAST(floor(CAST(n*a - tot AS DOUBLE)
+       |      * cos(2e0*$gPiLit*k*i/n) * 1e6 + 5e-1) AS BIGINT)) AS BIGINT)
+       |      AS sc6,
+       |    CAST(sum(CAST(floor(CAST(n*a - tot AS DOUBLE)
+       |      * sin(2e0*$gPiLit*k*i/n) * 1e6 + 5e-1) AS BIGINT)) AS BIGINT)
+       |      AS ss6
+       |  FROM sm JOIN tots ON tots.doc_id = sm.doc_id,
+       |    (SELECT unnest(range(1, 9)) AS k)
+       |  GROUP BY 1, 2),
+       |pp AS (SELECT doc_id, k,
+       |    (sc6/1e6)*(sc6/1e6) + (ss6/1e6)*(ss6/1e6) AS power FROM pw),
+       |sc AS (SELECT doc_id, count(*) AS n_bands,
+       |    CAST(sum(CAST(floor(ln(power)*1e12 + 5e-1) AS BIGINT))
+       |      AS BIGINT) AS sl,
+       |    CAST(sum(CAST(floor(power + 5e-1) AS BIGINT)) AS BIGINT) AS sp
+       |  FROM pp WHERE power > 0 GROUP BY 1)
+       |SELECT doc_id AS media_id, CAST(n_bands AS BIGINT) AS n_bands,
+       |  ${oTrunc6("exp(CAST(sl AS DOUBLE)/CAST(n_bands AS DOUBLE)/1e12)" +
+                   "/(CAST(sp AS DOUBLE)/CAST(n_bands AS DOUBLE))")}
+       |    AS spectral_flatness
+       |FROM sc ORDER BY media_id""".stripMargin
+
+  private def gPiLit = "3141592653589793e-15"
+
+  val queries: Map[String, QFn] = Map(
+    "graph_bootstrap_percolation" -> ((s, d) => bootstrapPercolation(s, d)),
+    "agg_benjamini_hochberg"      -> ((s, d) => benjaminiHochberg(s, d)),
+    "mm_audio_spectral_flatness"  -> ((s, d) => spectralFlatness(s, d)))
+
+  val oracles: Map[String, String] = Map(
+    "graph_bootstrap_percolation" -> oGraphPercolation,
+    "agg_benjamini_hochberg"      -> oAggBenjaminiHochberg,
+    "mm_audio_spectral_flatness"  -> oMmSpectralFlatness)
+}
