@@ -133,10 +133,17 @@ object QRound9br extends QueryPack {
         (lit(dPow) + col("nbr_sum")).as("y"))
         .localCheckpoint(true)
     }
-    val w = Window.orderBy(col("y").desc, col("node"))
-    y.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 10)
-      .select(col("rnk"), col("node"),
-        trunc6(col("y").cast(dd) / lit(dPow.toDouble)).as("katz_score"))
+    // global top-k WITHOUT a single-partition window (the PlanSpec
+    // gate): TakeOrderedAndProject for the selection, then ranks from a
+    // bounded 10-row aggregate (collect -> sort -> posexplode)
+    val top = y.orderBy(col("y").desc, col("node")).limit(10)
+    top.agg(expr("array_sort(collect_list(struct(-y AS ny, node, y)))")
+        .as("a"))
+      .select(posexplode(col("a")))
+      .select((col("pos") + 1).cast(IntegerType).as("rnk"),
+        col("col.node").as("node"),
+        trunc6(col("col.y").cast(dd) / lit(dPow.toDouble))
+          .as("katz_score"))
       .orderBy("rnk")
   }
 

@@ -253,8 +253,8 @@ object QRound9bt extends QueryPack {
         |   *(CAST(nr - prr AS DOUBLE)/nullif(CAST(nr AS DOUBLE),0e0)))""".stripMargin))
       .withColumn("gini_sc",
         floor(col("gini") * lit(1e12) + lit(0.5)).cast(LongType))
-    val wAll = Window.partitionBy(lit(1))
-    g.withColumn("best_sc", min("gini_sc").over(wAll))
+    val best = g.agg(min("gini_sc").as("best_sc"))
+    g.crossJoin(broadcast(best))
       .select(col("thr"), col("nl").as("n_le"), col("pl").as("n_pos_le"),
         trunc6(col("gini")).as("gini_weighted"),
         (col("gini_sc") === col("best_sc")).cast(IntegerType).as("is_best"))

@@ -42,10 +42,13 @@ object QRound9bw extends QueryPack {
     val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val stats = tf.groupBy("tk").agg(sum("tf").as("ctot"),
       count(lit(1)).as("df"))
-    val wQ = Window.orderBy(col("ctot").desc, col("tk"))
-    val qterms = stats.withColumn("qr", row_number().over(wQ))
-      .filter(col("qr") >= 10 && col("qr") <= 12)
-      .select(col("tk"), col("df"))
+    // bounded-vocab ranking via one aggregate (no global window —
+    // the PlanSpec gate): sort the collected stats, slice ranks 10-12
+    val qterms = stats
+      .agg(expr("slice(array_sort(collect_list(struct(-ctot AS nc, tk, df))), 10, 3)")
+        .as("a"))
+      .select(explode(col("a")).as("s"))
+      .select(col("s.tk").as("tk"), col("s.df").as("df"))
     val tot = dl.agg(count(lit(1)).as("n_docs"),
       sum("dl").as("total_tokens"))
     val scored = tf.join(broadcast(qterms), "tk")
@@ -60,10 +63,16 @@ object QRound9bw extends QueryPack {
           |  * 1e12 + 5e-1) AS BIGINT)""".stripMargin))
       .groupBy("doc_id").agg(sum("score_t_sc").as("score_sc"),
         count(lit(1)).as("n_terms_matched"))
-    val wR = Window.orderBy(col("score_sc").desc, col("doc_id"))
-    scored.withColumn("rnk", row_number().over(wR)).filter(col("rnk") <= 20)
-      .select(col("rnk"), col("doc_id"), col("n_terms_matched"),
-        trunc4(col("score_sc").cast(dd) / lit(1e12)).as("bm25_score"))
+    // top-20 as TakeOrderedAndProject + bounded-aggregate ranking
+    val top = scored.orderBy(col("score_sc").desc, col("doc_id")).limit(20)
+    top.agg(expr(
+        "array_sort(collect_list(struct(-score_sc AS ns, doc_id, score_sc, n_terms_matched)))")
+        .as("a"))
+      .select(posexplode(col("a")))
+      .select((col("pos") + 1).cast(IntegerType).as("rnk"),
+        col("col.doc_id").as("doc_id"),
+        col("col.n_terms_matched").as("n_terms_matched"),
+        trunc4(col("col.score_sc").cast(dd) / lit(1e12)).as("bm25_score"))
       .orderBy("rnk")
   }
 

@@ -144,17 +144,22 @@ object QRound9bx extends QueryPack {
       .select(col("b"), expr("sh div n_img").as("ah"))
     val wCum = Window.partitionBy("media_id").orderBy("b")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wCumA = Window.orderBy("b")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = bins.withColumn("ch", sum("hn").over(wCum))
-    val cumA = avg.withColumn("ca", sum("ah").over(wCumA))
-      .select("b", "ca")
+    // 16-row cumulative via a bounded self-join (no global window)
+    val cumA = avg.select(col("b").as("b1"), col("ah"))
+      .join(broadcast(avg.select(col("b").as("b2"),
+        col("ah").as("ah2"))), col("b2") <= col("b1"))
+      .groupBy(col("b1").as("b")).agg(sum("ah2").as("ca"))
     val emd = cum.join(broadcast(cumA), "b")
       .groupBy("media_id").agg(sum(abs(col("ch") - col("ca"))).as("emd_sc"))
-    val wR = Window.orderBy(col("emd_sc").desc, col("media_id"))
-    emd.withColumn("rnk", row_number().over(wR)).filter(col("rnk") <= 10)
-      .select(col("rnk"), col("media_id"), col("emd_sc"),
-        trunc4(col("emd_sc").cast(dd) / lit(1e9) / lit(16.0))
+    val top = emd.orderBy(col("emd_sc").desc, col("media_id")).limit(10)
+    top.agg(expr(
+        "array_sort(collect_list(struct(-emd_sc AS ns, media_id, emd_sc)))")
+        .as("a"))
+      .select(posexplode(col("a")))
+      .select((col("pos") + 1).cast(IntegerType).as("rnk"),
+        col("col.media_id").as("media_id"), col("col.emd_sc").as("emd_sc"),
+        trunc4(col("col.emd_sc").cast(dd) / lit(1e9) / lit(16.0))
           .as("emd_norm"))
       .orderBy("rnk")
   }

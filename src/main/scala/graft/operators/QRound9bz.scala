@@ -117,9 +117,15 @@ object QRound9bz extends QueryPack {
       .withColumn("pv", expr("CASE WHEN pv > 1e0 THEN 1e0 ELSE pv END"))
       .withColumn("p_sc", floor(col("pv") * lit(1e12) + lit(0.5))
         .cast(LongType))
-    val w = Window.orderBy(col("p_sc"), col("x_type"), col("y_type"))
-    val ranked = p.withColumn("k", row_number().over(w))
-      .withColumn("m", count(lit(1)).over(Window.partitionBy(lit(1))))
+    // bounded 20-row ranking via one aggregate (no global window —
+    // the PlanSpec gate)
+    val ranked = p
+      .agg(expr("array_sort(collect_list(struct(p_sc, x_type, y_type)))")
+        .as("a"), count(lit(1)).as("m"))
+      .select(col("m"), posexplode(col("a")))
+      .select(col("m"), (col("pos") + 1).cast(LongType).as("k"),
+        col("col.p_sc").as("p_sc"), col("col.x_type").as("x_type"),
+        col("col.y_type").as("y_type"))
       .withColumn("pass", (col("p_sc") * col("m")
         <= col("k") * lit(50000000000L)).cast(IntegerType))
     val kStar = ranked.agg(coalesce(max(when(col("pass") === 1, col("k"))),

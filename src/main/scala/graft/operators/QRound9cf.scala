@@ -139,14 +139,15 @@ object QRound9cf extends QueryPack {
         sum(col("l_quantity").cast(LongType)).as("volume"))
       // exact price-per-unit key: cents*1e4/qty floor — integer
       .withColumn("price_key", expr("cents * 10000 div volume"))
-    val w = Window.orderBy("price_key")
-      .rangeBetween(Window.unboundedPreceding, -1)
-    val front = per.withColumn("best_cheaper_vol",
-        max("volume").over(w))
-      .withColumn("on_front", (col("best_cheaper_vol").isNull
-        || col("volume") > col("best_cheaper_vol")).cast(IntegerType))
-    front.filter(col("on_front") === 1)
-      .select(col("part"), col("volume"),
+    // skyline via a bounded anti-join (no global window — the
+    // PlanSpec gate): a part survives iff NO strictly-cheaper part
+    // carries at least its volume
+    val dom = per.select(col("price_key").as("pk2"),
+      col("volume").as("v2"))
+    val front = per.join(broadcast(dom),
+      col("pk2") < col("price_key") && col("v2") >= col("volume"),
+      "left_anti")
+    front.select(col("part"), col("volume"),
         trunc4(col("price_key").cast(dd) / lit(1e6)).as("unit_price"))
       .orderBy("unit_price", "part")
   }

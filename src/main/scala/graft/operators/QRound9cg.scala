@@ -37,10 +37,24 @@ object QRound9cg extends QueryPack {
       (col("event_type") === "purchase").cast(LongType).as("y"))
     val grp = ev.groupBy("value").agg(count(lit(1)).as("cnt"),
       sum("y").as("pos"))
-    val w = Window.orderBy("value")
+      .withColumn("bkt", floor(col("value")).cast(LongType))
+    // two-level prefix sum — no global window (the PlanSpec gate):
+    // the bucket histogram is value-range-bounded model state (the
+    // collected-scalar discipline); within-bucket prefixes partition
+    // cleanly
+    val bTot = grp.groupBy("bkt").agg(sum("cnt").as("bc"))
+      .collect().map(r => (r.getAs[Long]("bkt"), r.getAs[Long]("bc")))
+      .sortBy(_._1)
+    var run = 0L
+    val prefix = bTot.map { case (b, c) =>
+      val below = run; run += c; (b, below) }
+    import s.implicits._
+    val prefixDf = prefix.toSeq.toDF("bkt", "bkt_below")
+    val wIn = Window.partitionBy("bkt").orderBy("value")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val ranked = grp.withColumn("below",
-        coalesce(sum("cnt").over(w), lit(0L)))
+    val ranked = grp.join(broadcast(prefixDf), "bkt")
+      .withColumn("below", col("bkt_below")
+        + coalesce(sum("cnt").over(wIn), lit(0L)))
       // 2*avg rank of this tie group = 2*(below+1) + (cnt-1)
       .withColumn("r2", lit(2L) * (col("below") + 1) + (col("cnt") - 1))
     val agg = ranked.agg(
