@@ -98,7 +98,7 @@ object QRound9cj extends QueryPack {
        |    AS eta_sq,
        |  CAST(CASE WHEN ${oTrunc4("(CAST(ssb_sc AS DOUBLE)" +
          "/CAST(k_groups - 1 AS DOUBLE))/(CAST(ssw_sc AS DOUBLE)" +
-         "/CAST(n_total - k_groups AS DOUBLE))")} > 2.372 THEN 1 ELSE 0 END
+         "/CAST(n_total - k_groups AS DOUBLE))")} > 2.372e0 THEN 1 ELSE 0 END
        |    AS INT) AS reject_5pct
        |FROM ss""".stripMargin
 
