@@ -16,8 +16,9 @@ import org.apache.spark.sql.types._
   *    weekly block maxima by method of moments + return levels; the
   *    capacity-planning tail estimate.
   *  - `dedup_tfidf_nn`: each document's nearest lexical neighbor by
-  *    tf-idf cosine via the inverted-index self-join — the classical
-  *    sparse-vector near-dup detector.
+  *    tf-idf cosine over dominant-token-blocked candidates — the
+  *    canopy-blocked sparse-vector near-dup detector (isolated docs
+  *    emit an explicit NULL neighbor row).
   */
 object QRound9by extends QueryPack {
 
@@ -150,52 +151,141 @@ object QRound9by extends QueryPack {
 
   // ---- dedup_tfidf_nn ----
 
-  /** Nearest lexical neighbor by tf-idf cosine: per-(doc,token) weight
-    * w = tf·ln(N/df) scale-to-long'd at 1e6 (EXACT BIGINT vectors), dot
-    * products via the inverted-index self-join on the token (only
-    * co-occurring tokens generate work — the sparse-vector trick),
-    * norms from the same weights, one double division per pair; each
-    * doc reports its best neighbor by the exact 1e12-scaled cosine.
+  /** Nearest lexical neighbor by tf-idf cosine with dominant-token
+    * blocking (VERDICT r9 #1 rework): per-(doc,token) weight
+    * w = tf·ln(N/df) scale-to-long'd at 1e6 (EXACT BIGINT vectors),
+    * zero-weight postings dropped for free (df == N ⇒ idf = 0 ⇒ the
+    * posting contributes nothing to dot or norm). Candidate pairs are
+    * docs sharing a DOMINANT token — each doc's max-weight token (tie:
+    * lexical min), the term that carries most of its tf-idf mass — and
+    * each candidate pair is scored by the EXACT cosine over the full
+    * weight vectors: the candidate stream re-expands against the
+    * posting table on each endpoint and hash-aggregates the products —
+    * all whole-stage-codegen operators (a map-typed `aggregate`-HOF
+    * dot was profiled 6× slower: higher-order lambdas run interpreted
+    * and UnsafeMapData lookups are linear scans). Each doc reports its
+    * best candidate by the exact 1e12-scaled cosine through one
+    * struct-max hash agg (map-side partial — no window sort); a doc
+    * whose dominant-token block is a singleton has no candidate and
+    * emits an explicit NULL row (the ADVICE r9 isolated-doc contract —
+    * the doc spine left-join, never a silent drop).
     *
-    * Scale shape: the index join fans out by token document-frequency —
-    * Σ_t df_t² partial products, the classical bound; norms broadcast.
-    * At corpus scale rare-token blocking (drop ubiquitous tokens)
-    * bounds the fan-out. */
+    * Why blocking: the r9 verdict measured the unblocked inverted-index
+    * self-join at Σ_t df_t² ≈ 7×10⁸ partial products on this corpus's
+    * closed ~31-word vocabulary (every token ubiquitous ⇒ all-pairs
+    * cosine in a sparse-index costume, 207 s warm = 36% of the whole
+    * bench). Dominant-token blocking is the standard canopy fix: work
+    * is Σ_b C(|b|,2) over blocks keyed by the vocabulary's strongest
+    * terms — measured 453k candidate pairs vs 12.5M all-pairs at sf0.1
+    * (27.6×), Round10Spec gates the bound structurally.
+    *
+    * Scale shape: one explode+rollup for tf (map-side partial), df/nd
+    * broadcast back; the posting table is localCheckpoint'd once
+    * (Spark has no cross-branch CSE — un-truncated, the five consumers
+    * re-ran the whole explode pipeline each, profiled 3× the total).
+    * The block self-join shuffles only the N-row (doc → dominant
+    * token) table on the token key; the candidate stream is explicitly
+    * repartitioned before the expansion (the triangle-count lesson:
+    * AQE coalesces the 7 MB candidate table to one partition and the
+    * 24×-larger expansion downstream of it would run single-threaded —
+    * expansion volume is invisible to AQE's input-size heuristic); the
+    * two posting attaches broadcast the O(N·t̄) posting table below
+    * `graft.tfidfnn.broadcastMaxDocs` (expansion stays map-side) and
+    * degrade to shuffle joins on the doc key past it. Block size is
+    * bounded by how many docs share a strongest term; at corpus scale
+    * vocabulary grows with the data (Heaps' law) so blocks stay
+    * sub-linear, and a skewed block can be salted like any hot join
+    * key. */
+  /** Memoized + lineage-truncated tf-idf posting table (doc_id, tk, w):
+    * consumed five times per query (dom, norms ×2, expansion ×2) and
+    * across tfidfNn/tfidfNnCandCount — Spark has no cross-branch CSE,
+    * so un-truncated each consumer re-ran the whole explode pipeline
+    * (profiled 3× the total). N×t̄ skinny rows, the CC-loop bound. */
+  private[graft] def tfidfPostings(s: SparkSession, d: String): DataFrame =
+    graft.Memo.memo(s, "tfidfwp", d) {
+      val docs = t(s, d, "documents")
+      val tf = docs.select(col("doc_id"),
+          explode(filter(split(col("text"), " "), x => x =!= "")).as("tk"))
+        .groupBy("doc_id", "tk").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("tk").agg(count(lit(1)).as("df"))
+      val nd = docs.agg(count(lit(1)).as("nd"))
+      tf.join(broadcast(df), "tk").crossJoin(broadcast(nd))
+        .select(col("doc_id"), col("tk"), floor(
+          col("tf").cast(dd)
+            * log(col("nd").cast(dd) / col("df").cast(dd)) * lit(1e6)
+            + lit(0.5)).cast(LongType).as("w"))
+        .filter(col("w") > 0)
+        .localCheckpoint(true)
+    }
+
+  /** Memoized (doc → dominant token) blocking-key table. */
+  private[graft] def tfidfDom(s: SparkSession, d: String): DataFrame =
+    graft.Memo.memo(s, "tfidfdom", d) {
+      val domW = Window.partitionBy("doc_id")
+        .orderBy(col("w").desc, col("tk"))
+      tfidfPostings(s, d).withColumn("r", row_number().over(domW))
+        .filter(col("r") === 1).select(col("doc_id"), col("tk").as("btk"))
+        .localCheckpoint(true)
+    }
+
   private[graft] def tfidfNn(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents")
-    val tf = docs.select(col("doc_id"),
-        explode(filter(split(col("text"), " "), x => x =!= "")).as("tk"))
-      .groupBy("doc_id", "tk").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("tk").agg(count(lit(1)).as("df"))
-    val nd = docs.agg(count(lit(1)).as("nd"))
-    val wv = tf.join(broadcast(df), "tk").crossJoin(broadcast(nd))
-      .select(col("doc_id"), col("tk"), floor(
-        col("tf").cast(dd)
-          * log(col("nd").cast(dd) / col("df").cast(dd)) * lit(1e6)
-          + lit(0.5)).cast(LongType).as("w"))
-    val norms = wv.groupBy("doc_id").agg(sum(col("w") * col("w")).as("nn"))
-    val a = wv.select(col("tk"), col("doc_id").as("da"), col("w").as("wa"))
-    val b = wv.select(col("tk"), col("doc_id").as("db"), col("w").as("wb"))
-    val dots = a.join(b, "tk").filter(col("da") < col("db"))
-      .groupBy("da", "db").agg(sum(col("wa") * col("wb")).as("dot"))
+    val wp = tfidfPostings(s, d)
+    val norms = graft.Memo.memo(s, "tfidfnorms", d)(
+      wp.groupBy("doc_id").agg(sum(col("w") * col("w")).as("nn"))
+        .localCheckpoint(true))
+    val dom = tfidfDom(s, d)
+    val parts = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val cand = dom.select(col("btk"), col("doc_id").as("da"))
+      .join(dom.select(col("btk"), col("doc_id").as("db")), "btk")
+      .filter(col("da") < col("db"))
+      .select("da", "db")
+      .repartition(parts, col("da"))
+    val xa = wp.select(col("doc_id").as("da"), col("tk"), col("w").as("wa"))
+    val xb = wp.select(col("doc_id").as("db"), col("tk"), col("w").as("wb"))
     val na = norms.select(col("doc_id").as("da"), col("nn").as("na"))
     val nb = norms.select(col("doc_id").as("db"), col("nn").as("nb"))
-    val cos = dots.join(broadcast(na), "da").join(broadcast(nb), "db")
+    // SIZE-CONDITIONAL broadcast (the triangle-gate discipline): the
+    // posting/norm tables are O(corpus) — broadcast keeps the 24×
+    // candidate expansion map-side while they fit, shuffle joins past
+    // the gate.
+    val maxBcDocs =
+      s.conf.get("graft.tfidfnn.broadcastMaxDocs", "100000").toLong
+    val docCnt = docs.count()
+    val small = docCnt <= maxBcDocs
+    def side(t: DataFrame): DataFrame = if (small) broadcast(t) else t
+    val dots = cand.join(side(xa), "da").join(side(xb), Seq("db", "tk"))
+      .groupBy("da", "db").agg(sum(col("wa") * col("wb")).as("dot"))
+    val cos = dots.join(side(na), "da").join(side(nb), "db")
       .withColumn("cos_sc", floor(
         col("dot").cast(dd) / (sqrt(col("na").cast(dd))
           * sqrt(col("nb").cast(dd))) * lit(1e12) + lit(0.5))
         .cast(LongType))
-    val sym = cos.select(col("da").as("doc_id"), col("db").as("nbr"),
+    // both directions in one pass (a union would re-run the plan twice)
+    val sym = cos.select(explode(array(
+        struct(col("da").as("doc_id"), col("db").as("nbr")),
+        struct(col("db").as("doc_id"), col("da").as("nbr")))).as("p"),
         col("cos_sc"))
-      .union(cos.select(col("db").as("doc_id"), col("da").as("nbr"),
-        col("cos_sc")))
-    val w = Window.partitionBy("doc_id")
-      .orderBy(col("cos_sc").desc, col("nbr"))
-    sym.withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
+      .select(col("p.doc_id").as("doc_id"), col("p.nbr").as("nbr"),
+        col("cos_sc"))
+    // best neighbor by (cos desc, nbr asc): struct-max with negated id
+    val best = sym.groupBy("doc_id")
+      .agg(max(struct(col("cos_sc"), (-col("nbr")).as("negnbr"))).as("m"))
+      .select(col("doc_id"), (-col("m.negnbr")).as("nbr"),
+        col("m.cos_sc").as("cos_sc"))
+    docs.select(col("doc_id")).join(best, Seq("doc_id"), "left")
       .select(col("doc_id"), col("nbr").as("nearest_doc"),
         trunc4(col("cos_sc").cast(dd) / lit(1e12)).as("cosine"))
       .orderBy("doc_id")
   }
+
+  /** Candidate-pair count of the blocked join above — Round10Spec gates
+    * Σ_b C(|b|,2) ≪ N²/2 (the structural no-all-pairs bound). */
+  private[graft] def tfidfNnCandCount(s: SparkSession, d: String): Long =
+    tfidfDom(s, d)
+      .groupBy("btk").agg(count(lit(1)).as("b"))
+      .agg(sum(col("b") * (col("b") - 1) / 2))
+      .collect()(0).getLong(0)
 
   private val oDedupTfidfNn =
     s"""WITH tf AS (SELECT doc_id, tk, count(*) AS tf FROM (
@@ -203,15 +293,21 @@ object QRound9by extends QueryPack {
        |      x -> x <> '')) AS tk FROM documents) GROUP BY 1, 2),
        |df AS (SELECT tk, count(*) AS df FROM tf GROUP BY 1),
        |nd AS (SELECT count(*) AS nd FROM documents),
-       |wv AS (SELECT doc_id, tk, CAST(floor(CAST(tf AS DOUBLE)
+       |wp AS (SELECT doc_id, tk, w FROM (SELECT doc_id, tk,
+       |    CAST(floor(CAST(tf AS DOUBLE)
        |    * ln(CAST(nd AS DOUBLE)/CAST(df AS DOUBLE)) * 1e6 + 5e-1)
        |    AS BIGINT) AS w
-       |  FROM tf JOIN df USING (tk), nd),
-       |norms AS (SELECT doc_id, CAST(sum(w*w) AS BIGINT) AS nn FROM wv
+       |  FROM tf JOIN df USING (tk), nd) WHERE w > 0),
+       |norms AS (SELECT doc_id, CAST(sum(w*w) AS BIGINT) AS nn FROM wp
        |  GROUP BY 1),
-       |dots AS (SELECT a.doc_id AS da, b.doc_id AS db,
-       |    CAST(sum(a.w*b.w) AS BIGINT) AS dot
-       |  FROM wv a JOIN wv b ON a.tk = b.tk AND a.doc_id < b.doc_id
+       |dom AS (SELECT doc_id, tk AS btk FROM (SELECT doc_id, tk,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, tk)
+       |      AS r FROM wp) WHERE r = 1),
+       |cand AS (SELECT a.doc_id AS da, b.doc_id AS db FROM dom a
+       |  JOIN dom b ON b.btk = a.btk AND a.doc_id < b.doc_id),
+       |dots AS (SELECT da, db, CAST(sum(x.w*y.w) AS BIGINT) AS dot
+       |  FROM cand JOIN wp x ON x.doc_id = da
+       |  JOIN wp y ON y.doc_id = db AND y.tk = x.tk
        |  GROUP BY 1, 2),
        |cos AS (SELECT da, db, CAST(floor(CAST(dot AS DOUBLE)
        |    /(sqrt(CAST(x.nn AS DOUBLE))*sqrt(CAST(y.nn AS DOUBLE)))
@@ -222,9 +318,10 @@ object QRound9by extends QueryPack {
        |  UNION ALL SELECT db, da, cos_sc FROM cos),
        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
        |    ORDER BY cos_sc DESC, nbr) AS rnk FROM sym)
-       |SELECT doc_id, nbr AS nearest_doc,
-       |  ${oTrunc4("CAST(cos_sc AS DOUBLE)/1e12")} AS cosine
-       |FROM r WHERE rnk = 1 ORDER BY doc_id""".stripMargin
+       |SELECT d.doc_id, r.nbr AS nearest_doc,
+       |  ${oTrunc4("CAST(r.cos_sc AS DOUBLE)/1e12")} AS cosine
+       |FROM documents d LEFT JOIN r ON r.doc_id = d.doc_id AND r.rnk = 1
+       |ORDER BY d.doc_id""".stripMargin
 
   val queries: Map[String, QFn] = Map(
     "ts_kalman_local_level" -> ((s, d) => kalmanLocalLevel(s, d)),
