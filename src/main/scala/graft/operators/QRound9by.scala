@@ -177,7 +177,10 @@ object QRound9by extends QueryPack {
     * bench). Dominant-token blocking is the standard canopy fix: work
     * is Σ_b C(|b|,2) over blocks keyed by the vocabulary's strongest
     * terms — measured 453k candidate pairs vs 12.5M all-pairs at sf0.1
-    * (27.6×), Round10Spec gates the bound structurally.
+    * (27.6× at the default K=1), Round10Spec gates the bound
+    * structurally AND the approximation quality (blocked best cosine vs
+    * the exact all-pairs optimum); `graft.tfidfnn.domK` is the
+    * recall/cost dial — measured numbers in [[tfidfDom]]'s doc.
     *
     * Scale shape: one explode+rollup for tf (map-side partial), df/nd
     * broadcast back; the posting table is localCheckpoint'd once
@@ -218,15 +221,42 @@ object QRound9by extends QueryPack {
         .localCheckpoint(true)
     }
 
-  /** Memoized (doc → dominant token) blocking-key table. */
-  private[graft] def tfidfDom(s: SparkSession, d: String): DataFrame =
-    graft.Memo.memo(s, "tfidfdom", d) {
+  /** Memoized (doc → top-K dominant tokens) blocking-key table. K =
+    * `graft.tfidfnn.domK` (default 1) is the recall/cost dial: each doc
+    * lands in its K strongest-term canopies, so candidates are pairs
+    * sharing ANY of them (multi-probe blocking). Measured at sf0.001 on
+    * this closed-vocabulary corpus (the blocking WORST case — every token
+    * ubiquitous): exact-top-1 recall 0.354/0.660/0.874 and mean
+    * best-cosine gap 0.025/0.007/0.002 at K=1/2/3, against candidate
+    * reductions of 27.6×/7.1×/3.4× vs all-pairs at sf0.1 (Round10Spec
+    * gates K=1 and K=3). The tag embeds K so a conf change genuinely
+    * rebuilds the blocking. */
+  private[graft] def tfidfDomK(s: SparkSession): Int =
+    s.conf.get("graft.tfidfnn.domK", "1").toInt
+  private[graft] def tfidfDom(s: SparkSession, d: String): DataFrame = {
+    val k = tfidfDomK(s)
+    graft.Memo.memo(s, s"tfidfdom@$k", d) {
       val domW = Window.partitionBy("doc_id")
         .orderBy(col("w").desc, col("tk"))
       tfidfPostings(s, d).withColumn("r", row_number().over(domW))
-        .filter(col("r") === 1).select(col("doc_id"), col("tk").as("btk"))
+        .filter(col("r") <= k).select(col("doc_id"), col("tk").as("btk"))
         .localCheckpoint(true)
     }
+  }
+
+  /** The blocked candidate-pair set (da < db, distinct): the structural
+    * object Round10Spec's no-all-pairs bound gates. At K>1 a pair sharing
+    * two canopies would appear twice — deduped before the expansion so the
+    * exact-cosine scoring never double-pays (at K=1 the dom table is
+    * one-row-per-doc, so the distinct is a no-op and skipped). */
+  private[graft] def tfidfNnCands(s: SparkSession, d: String): DataFrame = {
+    val dom = tfidfDom(s, d)
+    val raw = dom.select(col("btk"), col("doc_id").as("da"))
+      .join(dom.select(col("btk"), col("doc_id").as("db")), "btk")
+      .filter(col("da") < col("db"))
+      .select("da", "db")
+    if (tfidfDomK(s) > 1) raw.distinct() else raw
+  }
 
   private[graft] def tfidfNn(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents")
@@ -234,13 +264,8 @@ object QRound9by extends QueryPack {
     val norms = graft.Memo.memo(s, "tfidfnorms", d)(
       wp.groupBy("doc_id").agg(sum(col("w") * col("w")).as("nn"))
         .localCheckpoint(true))
-    val dom = tfidfDom(s, d)
     val parts = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val cand = dom.select(col("btk"), col("doc_id").as("da"))
-      .join(dom.select(col("btk"), col("doc_id").as("db")), "btk")
-      .filter(col("da") < col("db"))
-      .select("da", "db")
-      .repartition(parts, col("da"))
+    val cand = tfidfNnCands(s, d).repartition(parts, col("da"))
     val xa = wp.select(col("doc_id").as("da"), col("tk"), col("w").as("wa"))
     val xb = wp.select(col("doc_id").as("db"), col("tk"), col("w").as("wb"))
     val na = norms.select(col("doc_id").as("da"), col("nn").as("na"))
@@ -280,12 +305,13 @@ object QRound9by extends QueryPack {
   }
 
   /** Candidate-pair count of the blocked join above — Round10Spec gates
-    * Σ_b C(|b|,2) ≪ N²/2 (the structural no-all-pairs bound). */
+    * it ≪ N²/2 (the structural no-all-pairs bound). Counts the REAL
+    * deduped pair set, not the Σ_b C(|b|,2) closed form (which
+    * double-counts pairs sharing two canopies at K>1 — and whose first
+    * spelling had a Double/Long unboxing bug precisely because no spec
+    * ever ran it; VERDICT r10 #2a). */
   private[graft] def tfidfNnCandCount(s: SparkSession, d: String): Long =
-    tfidfDom(s, d)
-      .groupBy("btk").agg(count(lit(1)).as("b"))
-      .agg(sum(col("b") * (col("b") - 1) / 2))
-      .collect()(0).getLong(0)
+    tfidfNnCands(s, d).count()
 
   private val oDedupTfidfNn =
     s"""WITH tf AS (SELECT doc_id, tk, count(*) AS tf FROM (

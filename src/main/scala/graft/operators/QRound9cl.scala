@@ -102,45 +102,24 @@ object QRound9cl extends QueryPack {
 
   /** Local bridges of the part co-occurrence graph: canonical a<b
     * edges whose endpoints have NO common neighbor — exactly the edges
-    * in no triangle, found by enumerating triangles with the
-    * triangle-count key's join shape (wedge join on the shared middle,
-    * closing-edge semi-probe) and anti-joining the 3-edge explosion.
-    * Emits the edge/triangle-edge/bridge tally and the bridge share.
+    * in no triangle, read off the SHARED memoized per-edge
+    * triangle-participation table `QRound5c.triCounts` (VERDICT r10 #3:
+    * this key previously re-ran the full wedge-join ⋈ closing-probe
+    * enumeration `graph_triangle_count` also runs; now the suite pays
+    * the ~49M-row expansion once and this key is an O(E) anti-join +
+    * tallies). Emits the edge/triangle-edge/bridge tally and the
+    * bridge share.
     *
-    * Scale shape: reuses the memoized persisted co-occurrence edge
-    * list; both enumeration joins broadcast the edge list while it
-    * fits — SIZE-CONDITIONAL on the same
-    * `graft.triangle.broadcastMaxEdges` breakpoint
-    * `graph_triangle_count` gates on (VERDICT r9 #2: the previous
-    * unconditional broadcast() was an O(E) driver OOM at 100× scale) —
-    * past it the identical dataflow degrades to shuffle joins on
-    * uniform keys (middle vertex, then the closing (a,c) pair;
-    * PlanSpec asserts the degrade path returns the identical row); the
-    * wedge stream stays map-side under broadcast and only tiny tallies
-    * leave. */
+    * Scale shape: inherited from the shared enumeration — broadcast
+    * joins under `graft.triangle.broadcastMaxEdges`, shuffle joins on
+    * uniform keys past it (VERDICT r9 #2: the previous unconditional
+    * broadcast() was an O(E) driver OOM at 100× scale); PlanSpec's
+    * "local bridges: degrade path" test asserts the ceiling-0 rerun
+    * returns the identical row. The memoized triangle-edge table is
+    * ≤E rows; the anti-join keys are uniform canonical edges. */
   private[graft] def localBridges(s: SparkSession, d: String): DataFrame = {
-    val e = graft.Memo.memo(s, "coedges", d)(
-      QRound5c.coEdges(t(s, d, "lineitem"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val maxBcEdges =
-      s.conf.get("graft.triangle.broadcastMaxEdges", "8000000").toLong
-    // one tiny job over the cached edge list decides broadcast vs shuffle
-    val edgeCnt = e.agg(count(lit(1))).collect()(0).getLong(0)
-    val tri = if (edgeCnt <= maxBcEdges) {
-      e.toDF("a", "b").repartition(col("b"))
-        .join(broadcast(e.toDF("b", "c")), "b")
-        .join(broadcast(e.toDF("a", "c")), Seq("a", "c"), "left_semi")
-    } else {
-      e.toDF("a", "b")
-        .join(e.toDF("b", "c"), "b")
-        .join(e.toDF("a", "c"), Seq("a", "c"), "left_semi")
-    }
-    // consumed twice (tally + anti-join): materialize once, truncate
-    // lineage — the CC-loop discipline, not a session-lifetime persist
-    val triEdges = tri.select(col("a"), col("b"))
-      .union(tri.select(col("b").as("a"), col("c").as("b")))
-      .union(tri.select(col("a"), col("c").as("b")))
-      .distinct().localCheckpoint(true)
+    val e = QRound5c.coEdgesMemo(s, d)
+    val triEdges = QRound5c.triCounts(s, d).select(col("a"), col("b"))
     val bridges = e.join(triEdges, Seq("a", "b"), "left_anti")
     e.agg(count(lit(1)).as("n_edges"))
       .crossJoin(triEdges.agg(count(lit(1)).as("n_tri_edges")))

@@ -159,43 +159,72 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"pipe spelling grew a join:\n$p")
   }
 
-  test("triangle count: both enumeration joins broadcast; probe key is a single long") {
-    val p = plan("graph_triangle_count")
+  test("triangle enumeration: both joins broadcast; probe key is a single long") {
+    // the shared enumeration is memoized+checkpointed (r11: one build
+    // feeds triangle_count AND local_bridges), so the shape assert runs
+    // on the RAW builder dataflow — the plan that materializes the memo;
+    // post-memo key plans show only the checkpoint scan.
+    val p = operators.QRound5c.triCountsBuild(spark, sf)
+      .queryExecution.executedPlan.toString
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
       s"triangle enumeration joins must broadcast in:\n$p")
     assert(!p.contains("SortMergeJoin"), s"wedge stream got shuffled in:\n$p")
+  }
+
+  private def withDegradeConfs[T](body: => T): T = {
+    val confs = Seq("graft.triangle.broadcastMaxEdges",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = confs.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("graft.triangle.broadcastMaxEdges", "0")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      body
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
   }
 
   test("triangle count: survives past the broadcast ceiling (shuffle-join degrade)") {
     // VERDICT r5/r6: an unconditional O(E) broadcast dies at a 100x corpus
     // instead of degrading. Force the ceiling to 0 edges and broadcast off
     // (plan-level AND AQE-level thresholds): the identical dataflow must
-    // re-plan as sort-merge joins and produce the identical result.
-    val confs = Seq("graft.triangle.broadcastMaxEdges",
-      "spark.sql.autoBroadcastJoinThreshold",
-      "spark.sql.adaptive.autoBroadcastJoinThreshold")
-    val saved = confs.map(k => k -> spark.conf.getOption(k))
+    // re-plan as sort-merge joins and produce the identical result. The
+    // enumeration memo keys on the ceiling conf, so this rerun genuinely
+    // re-executes the degrade dataflow, not the broadcast-path cache.
     val expected = SparkEntry.queries("graph_triangle_count")(spark, sf)
       .collect().toSeq
-    try {
-      spark.conf.set("graft.triangle.broadcastMaxEdges", "0")
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    withDegradeConfs {
       val df = SparkEntry.queries("graph_triangle_count")(spark, sf)
       assert(df.collect().toSeq === expected,
         "degrade path disagrees with the broadcast path")
       // both enumeration joins (wedge middle + packed closing probe) must
-      // re-plan as sort-merge. NOTE the plan string also embeds the cached
-      // edge BUILD's InMemoryRelation subtree, frozen from when the memo
-      // materialized it under default confs — so asserting zero
-      // BroadcastHashJoin anywhere would false-fail on that frozen
-      // subtree; two SMJs proves the enumeration itself degraded.
-      val p = df.queryExecution.executedPlan.toString
+      // re-plan as sort-merge — asserted on the raw builder dataflow (the
+      // key's own plan reads the memoized checkpoint). NOTE the builder
+      // plan also embeds the cached edge BUILD's InMemoryRelation subtree,
+      // frozen from when the memo materialized it under default confs — so
+      // asserting zero BroadcastHashJoin anywhere would false-fail on that
+      // frozen subtree; two SMJs proves the enumeration itself degraded.
+      val p = operators.QRound5c.triCountsBuild(spark, sf)
+        .queryExecution.executedPlan.toString
       assert("SortMergeJoin".r.findAllIn(p).size >= 2,
         s"enumeration joins did not degrade to sort-merge in:\n$p")
-    } finally saved.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("local bridges: degrade path returns the identical row") {
+    // VERDICT r10 #2b: the docstring's claimed gate, now real — past the
+    // broadcast ceiling graph_local_bridges must consume the shuffle-join
+    // enumeration and return the exact same tally row.
+    val expected = SparkEntry.queries("graph_local_bridges")(spark, sf)
+      .collect().toSeq
+    withDegradeConfs {
+      val out = SparkEntry.queries("graph_local_bridges")(spark, sf)
+        .collect().toSeq
+      assert(out === expected,
+        "local_bridges degrade path disagrees with the broadcast path")
     }
   }
 

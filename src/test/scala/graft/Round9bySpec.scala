@@ -44,11 +44,19 @@ class Round9bySpec extends SparkSpec {
     }
   }
 
-  test("dedup_tfidf_nn: every doc has a neighbor, cosine in [0,1], " +
+  test("dedup_tfidf_nn: every doc has a NON-NULL neighbor, cosine in [0,1], " +
     "no self loops") {
+    // ADVICE r10: getAs[Long] silently unboxes a NULL neighbor to 0L, so
+    // the old no-self-loop assert was vacuous on a NULL row. sf0.001 has
+    // ZERO singleton dominant blocks (measured), so every row must carry
+    // an explicit non-null neighbor; the singleton-NULL contract itself
+    // is pinned by Round10Spec's fixture test.
     val out = SparkEntry.queries("dedup_tfidf_nn")(spark, sf).collect()
     assert(out.length === 500)
     out.foreach { r =>
+      assert(!r.isNullAt(r.fieldIndex("nearest_doc")),
+        s"doc ${r.getAs[Long]("doc_id")}: unexpected NULL neighbor")
+      assert(!r.isNullAt(r.fieldIndex("cosine")))
       assert(r.getAs[Long]("doc_id") !== r.getAs[Long]("nearest_doc"))
       val c = r.getAs[Double]("cosine")
       assert(c >= 0.0 && c <= 1.0)

@@ -352,6 +352,67 @@ class StreamingSpec extends SparkSpec {
         s"doc $id admission verdict diverges")
     }
   }
+
+  test("stream_rate_source: rate-micro-batch source → watermark → window; " +
+    "closed windows equal the batch twin window-for-window") {
+    // the one streaming key on a CONTINUOUSLY GENERATING source (VERDICT
+    // r9 #6): rate-micro-batch emits a deterministic monotone `value`
+    // column (exactly rowsPerBatch per trigger), so the append-mode
+    // output is reproducible; every watermark-closed window is complete
+    // (disorder ≤ 42 s < the 2-min delay), so each emitted row must
+    // EQUAL the batch twin's row for that window start.
+    val src = spark.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", "200").option("numPartitions", "2").load()
+    val q = StreamOps.rateWindows(src)
+      .writeStream.format("memory").queryName("ratewin")
+      .outputMode("append").start()
+    try {
+      // a rate source never drains, so processAllAvailable() would hang —
+      // poll the sink until enough windows closed, then stop
+      val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
+      while (spark.table("ratewin").count() < 5 &&
+          System.nanoTime() < deadline)
+        Thread.sleep(100)
+    } finally q.stop()
+    val emitted = spark.table("ratewin").collect()
+    assert(emitted.length >= 5,
+      s"only ${emitted.length} windows closed within the deadline")
+    val totalInput = q.recentProgress.map(_.numInputRows).sum
+    assert(totalInput > 0)
+    // twin over the processed prefix: closed windows are complete, so
+    // their twin rows (same win_start) are identical
+    val twin = StreamOps
+      .rateWindows(spark.range(0, totalInput).toDF("value")).collect()
+      .map(r => r.getAs[java.time.LocalDateTime]("win_start") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("sum_value"))).toMap
+    emitted.foreach { r =>
+      val w = r.getAs[java.time.LocalDateTime]("win_start")
+      assert(twin.contains(w), s"emitted window $w absent from batch twin")
+      assert(twin(w) === ((r.getAs[Long]("n"), r.getAs[Long]("sum_value"))),
+        s"window $w diverges from the batch twin")
+    }
+  }
+
+  test("stream_rate_source: wall-clock `rate` source makes progress " +
+    "through the same pipeline") {
+    // no result asserts (wall-clock rates are machine-dependent) — just
+    // that the no-broker continuous source genuinely flows through the
+    // watermark+window pipeline
+    val src = spark.readStream.format("rate")
+      .option("rowsPerSecond", "500").load()
+    val q = StreamOps.rateWindows(src)
+      .writeStream.format("memory").queryName("ratewall")
+      .outputMode("append").start()
+    try {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      var rows = 0L
+      while (rows == 0 && System.nanoTime() < deadline) {
+        Thread.sleep(200)
+        rows = q.recentProgress.map(_.numInputRows).sum
+      }
+      assert(rows > 0, "rate source produced no rows within 60s")
+    } finally q.stop()
+  }
 }
 
 /** Document row for the minhash-dedup streaming tests — top-level so the
