@@ -17,7 +17,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *
   * The per-object `register(spark)` helpers remain for ad-hoc/test
   * sessions; both paths bind the same Expression builders, so plans are
-  * identical either way. GraftExtensionsSpec proves the injection using
+  * identical either way. ExtensionsSpec proves the injection using
   * the same private[sql] build hooks Spark itself applies at session
   * construction.
   */

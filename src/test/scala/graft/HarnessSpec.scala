@@ -87,7 +87,13 @@ class HarnessSpec extends SparkSpec {
     "profile_histogram",
     // round 9: NSW beam search (windowed per qid, k-means cells), band-key
     // first-arrival admission
-    "sim_ann_nsw", "stream_dedup_minhash")
+    "sim_ann_nsw", "stream_dedup_minhash",
+    // round 11: shared triangle-enumeration memo (memo re-keys on the
+    // partition setting, so both runs genuinely rebuild), TxnLog staged
+    // commits (file layout varies with partitioning; the audit must not),
+    // rate-source batch twin, dominant-token-blocked NN
+    "graph_local_bridges", "maint_txn_log", "stream_rate_source",
+    "dedup_tfidf_nn")
 
   test("Memo.memo: concurrent misses build exactly once (no leaked loser)") {
     val built = new java.util.concurrent.atomic.AtomicInteger(0)

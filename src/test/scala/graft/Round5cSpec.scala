@@ -60,6 +60,34 @@ class Round5cSpec extends SparkSpec {
     assert(tri === 4L)
   }
 
+  test("triCounts: exact per-edge triangle participation on the fixture graph") {
+    // same 4-clique {0,1,2,3} + pendant 3-4 as above, but through the REAL
+    // shared enumeration (r11: triCounts feeds both graph_triangle_count
+    // and graph_local_bridges): every K4 edge lies in exactly 2 triangles,
+    // the pendant edge in none — so the table has 6 rows of tc=2, Σtc = 12
+    // = 3 × 4 triangles, and the bridge anti-join leaves exactly (3,4).
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L),
+      (2L, 3L), (3L, 4L))
+    val li = edges.zipWithIndex.flatMap { case ((a, b), i) =>
+      Seq((i.toLong, a), (i.toLong, b))
+    }.toDF("l_orderkey", "l_partkey")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_trifix_").toString
+    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val tc = operators.QRound5c.triCounts(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(tc.size === 6, s"expected the 6 clique edges, got ${tc.keySet}")
+    assert(tc.values.forall(_ === 2L), s"per-edge counts off: $tc")
+    assert(!tc.contains((3L, 4L)), "pendant edge must not appear")
+    val t = SparkEntry.queries("graph_triangle_count")(spark, dir).collect()(0)
+    assert((t.getAs[Long]("n_edges"), t.getAs[Long]("n_wedges"),
+      t.getAs[Long]("n_triangles")) === ((7L, 15L, 4L)))
+    assert(t.getAs[Double]("global_cc") === 0.8)
+    val b = SparkEntry.queries("graph_local_bridges")(spark, dir).collect()(0)
+    assert((b.getAs[Long]("n_edges"), b.getAs[Long]("n_tri_edges"),
+      b.getAs[Long]("n_local_bridges")) === ((7L, 6L, 1L)))
+  }
+
   test("graph_triangle_count: sf output is internally consistent") {
     val r = SparkEntry.queries("graph_triangle_count")(spark, sf).collect()(0)
     val (ne, nw, nt) = (r.getAs[Long]("n_edges"), r.getAs[Long]("n_wedges"),
