@@ -136,17 +136,29 @@ object QRound9bq extends QueryPack {
     * Scale shape: per-order lag window (orders partition cleanly), one
     * distinct, one self-equi-join on the reversed key — all
     * shuffle-on-uniform-keys; output is one row. */
+  /** Memoized + lineage-truncated within-order part-sequence edge set
+    * (a→b when part b directly follows a by line number; distinct,
+    * self-loops dropped; (orderkey, linenumber) is NOT unique in the
+    * fixtures, so the sequence tiebreaks on partkey to stay
+    * deterministic). Shared by `graph_reciprocity` and `graph_scc_hubs`
+    * (r11 — the coedges/tricounts discipline: the two keys were each
+    * re-paying the full lag-window + distinct over lineitem). Edge
+    * count is bounded by lineitem rows; O(E) skinny longs. */
+  private[graft] def seqEdges(s: SparkSession, d: String): DataFrame =
+    graft.Memo.memo(s, "seqedges", d) {
+      val li = t(s, d, "lineitem")
+      val w = Window.partitionBy("l_orderkey")
+        .orderBy(col("l_linenumber"), col("b"))
+      li.select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey").as("b"))
+        .withColumn("a", lag("b", 1).over(w))
+        .filter(col("a").isNotNull && col("a") =!= col("b"))
+        .select("a", "b").distinct()
+        .localCheckpoint(true)
+    }
+
   private[graft] def reciprocity(s: SparkSession, d: String): DataFrame = {
-    val li = t(s, d, "lineitem")
-    // (orderkey, linenumber) is NOT unique in the fixtures — tiebreak on
-    // partkey so the sequence (and hence the edge set) is deterministic
-    val w = Window.partitionBy("l_orderkey")
-      .orderBy(col("l_linenumber"), col("b"))
-    val e = li.select(col("l_orderkey"), col("l_linenumber"),
-        col("l_partkey").as("b"))
-      .withColumn("a", lag("b", 1).over(w))
-      .filter(col("a").isNotNull && col("a") =!= col("b"))
-      .select("a", "b").distinct()
+    val e = seqEdges(s, d)
     val rev = e.select(col("b").as("a"), col("a").as("b"))
     val mutual = e.join(rev, Seq("a", "b"), "left_semi")
     val nodes = e.select(col("a").as("v"))

@@ -196,19 +196,16 @@ object QRound9ci extends QueryPack {
     * count, and max member.
     *
     * Scale shape: the edge build + degree rollup are the distributed
-    * part; the hub subgraph is bounded model state (≤16 nodes / ≤256
-    * closure pairs), the doubling joins shuffle nothing meaningful.
-    * At lake scale the hub count is the knob — closure stays
-    * hubs²-bounded regardless of corpus size. */
+    * part; the hub subgraph is bounded MODEL STATE (≤16 nodes / ≤256
+    * pairs), so the closure and SCC grouping run driver-side on the
+    * collected pair set (r11 — the `graph_hits_scores` /
+    * `chp_absorbing_prob` V²-bounded-collect discipline; the previous
+    * spelling ran 5 checkpointed doubling jobs over ≤256 rows and paid
+    * the local job floor on each: 3.6 → ~1 s warm, output
+    * hash-identical). At lake scale the hub count is the knob — the
+    * collected state stays hubs²-bounded regardless of corpus size. */
   private[graft] def sccHubs(s: SparkSession, d: String): DataFrame = {
-    val li = t(s, d, "lineitem")
-    val w = Window.partitionBy("l_orderkey")
-      .orderBy(col("l_linenumber"), col("b"))
-    val e = li.select(col("l_orderkey"), col("l_linenumber"),
-        col("l_partkey").as("b"))
-      .withColumn("a", lag("b", 1).over(w))
-      .filter(col("a").isNotNull && col("a") =!= col("b"))
-      .select("a", "b").distinct()
+    val e = QRound9bq.seqEdges(s, d)
     val hubs = e.groupBy("a").agg(count(lit(1)).as("odeg"))
       .orderBy(col("odeg").desc, col("a")).limit(sccHubCount)
       .select(col("a").as("v"))
@@ -216,21 +213,25 @@ object QRound9ci extends QueryPack {
       .join(broadcast(hubs.select(col("v").as("a"))), Seq("a"), "left_semi")
       .join(broadcast(hubs.select(col("v").as("b"))), Seq("b"), "left_semi")
       .select("a", "b")
-    var r = sub.union(hubs.select(col("v").as("a"), col("v").as("b")))
-      .distinct().localCheckpoint(true)
+    // ONE bounded collect: the ≤16 hubs and their ≤256 internal edges
+    val hubSet = hubs.collect().map(_.getLong(0))
+    val subPairs = sub.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // exact integer closure, 4 doubling rounds (paths ≤ 16 > the 15-hop
+    // diameter on 16 nodes) — identical arithmetic to the old dataflow
+    var reach: Set[(Long, Long)] =
+      (subPairs ++ hubSet.map(v => (v, v))).toSet
     for (_ <- 1 to 4) {
-      val x = r.toDF("a", "m")
-      val y = r.toDF("m", "b")
-      r = r.union(x.join(y, "m").select("a", "b")).distinct()
-        .localCheckpoint(true)
+      val byA = reach.groupBy(_._1)
+      reach = reach ++ reach.flatMap { case (a, m) =>
+        byA.getOrElse(m, Set.empty).map { case (_, b) => (a, b) } }
     }
-    val rev = r.toDF("b2", "a2")
-    val mut = r.join(rev, col("a") === col("a2") && col("b") === col("b2"),
-      "left_semi")
-    mut.groupBy(col("a").as("member"))
-      .agg(min("b").as("scc_id"))
-      .groupBy("scc_id")
-      .agg(count(lit(1)).as("n_members"), max("member").as("max_member"))
+    val mut = reach.filter { case (a, b) => reach((b, a)) }
+    val rows = mut.groupBy(_._1).map { case (member, ps) =>
+        member -> ps.map(_._2).min }
+      .groupBy(_._2).map { case (id, ms) =>
+        (id, ms.size.toLong, ms.keys.max) }
+      .toSeq.sortBy(_._1)
+    s.createDataFrame(rows).toDF("scc_id", "n_members", "max_member")
       .orderBy("scc_id")
   }
 

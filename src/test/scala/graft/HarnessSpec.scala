@@ -93,7 +93,10 @@ class HarnessSpec extends SparkSpec {
     // commits (file layout varies with partitioning; the audit must not),
     // rate-source batch twin, dominant-token-blocked NN
     "graph_local_bridges", "maint_txn_log", "stream_rate_source",
-    "dedup_tfidf_nn")
+    "dedup_tfidf_nn",
+    // round 11 second pass: shared seq-edge memo + driver-side bounded
+    // closure (hub pick is a limit over a deterministic tiebreak sort)
+    "graph_scc_hubs", "graph_reciprocity")
 
   test("Memo.memo: concurrent misses build exactly once (no leaked loser)") {
     val built = new java.util.concurrent.atomic.AtomicInteger(0)
