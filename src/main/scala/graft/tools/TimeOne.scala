@@ -4,12 +4,13 @@ import org.apache.spark.sql.SparkSession
 
 /** Time queries from SparkEntry in one warm session (noop sink — same
   * materialization as Bench) + dump the last one's plan.
-  * Usage: runMain graft.tools.TimeOne <key>[,key2,...] [sfDir] [--plan] */
+  * Usage: runMain graft.tools.TimeOne <key>[,key2,...] [sfDir] [--plan] [--reps=N] */
 object TimeOne {
   def main(args: Array[String]): Unit = {
     val keys = args(0).split(",").toSeq
     val sfDir = args.drop(1).find(!_.startsWith("--")).getOrElse("/root/testdata/sf0.1")
     val showPlan = args.contains("--plan")
+    val reps = args.collectFirst { case a if a.startsWith("--reps=") => a.stripPrefix("--reps=").toInt }.getOrElse(3)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -26,7 +27,7 @@ object TimeOne {
       graft.SparkEntry.queries(key)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
     for (key <- keys) {
-      for (i <- 1 to 3) {
+      for (i <- 1 to reps) {
         val t0 = System.nanoTime()
         noop(key)
         println(f"RUN$i $key time=${(System.nanoTime() - t0) / 1e9}%.3f s")
