@@ -73,14 +73,20 @@ object PageRank {
     * directions) — caller supplies `e`; emits deg, n, p0..p{iters}. */
   def oRankChain: String = {
     val sb = new StringBuilder
+    // AS MATERIALIZED throughout: DuckDB inlines plain CTEs, so the
+    // unrolled chain re-evaluates `e` (and everything `e` is built from)
+    // ~2× per round — harmless when `e` is a base-table scan, a blow-up
+    // when it is itself a derived pipeline (text_textrank_sentences'
+    // sentence-pair graph at sf0.1: >30 min inlined vs ~5 s materialized
+    // — the oTextBpeMerges rule; VERDICT r11 #5)
     sb.append(
-      """deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
-        |  nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
-        |  p0 AS (SELECT src AS id, 1e0 / n AS pr FROM deg, nn),
+      """deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        |  nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+        |  p0 AS MATERIALIZED (SELECT src AS id, 1e0 / n AS pr FROM deg, nn),
         |""".stripMargin)
     for (i <- 1 to iters) {
       sb.append(
-        s"""p$i AS (SELECT e.dst AS id,
+        s"""p$i AS MATERIALIZED (SELECT e.dst AS id,
            |    floor((${sci(teleportNum)} / n + ${sci(damping)} *
            |      (CAST(SUM(CAST(floor(p.pr / deg.deg * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12)) * 1e8) / 1e8 AS pr
            |  FROM e JOIN deg ON e.src = deg.src

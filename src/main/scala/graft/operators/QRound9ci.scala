@@ -213,9 +213,17 @@ object QRound9ci extends QueryPack {
       .join(broadcast(hubs.select(col("v").as("a"))), Seq("a"), "left_semi")
       .join(broadcast(hubs.select(col("v").as("b"))), Seq("b"), "left_semi")
       .select("a", "b")
-    // ONE bounded collect: the ≤16 hubs and their ≤256 internal edges
+    // ONE bounded collect: the ≤16 hubs and their ≤256 internal edges.
+    // The bounds are ASSERTED (VERDICT r11 #4): if the hub knob is ever
+    // raised to something row-scale, this fails loudly instead of
+    // silently turning the collect into a corpus-sized driver pull.
     val hubSet = hubs.collect().map(_.getLong(0))
+    require(hubSet.length <= sccHubCount,
+      s"hub collect ${hubSet.length} exceeds the $sccHubCount bound")
     val subPairs = sub.collect().map(r => (r.getLong(0), r.getLong(1)))
+    require(subPairs.length <= sccHubCount * sccHubCount,
+      s"hub-subgraph collect ${subPairs.length} exceeds the " +
+        s"hubs² bound ${sccHubCount * sccHubCount}")
     // exact integer closure, 4 doubling rounds (paths ≤ 16 > the 15-hop
     // diameter on 16 nodes) — identical arithmetic to the old dataflow
     var reach: Set[(Long, Long)] =

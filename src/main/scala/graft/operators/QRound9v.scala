@@ -26,6 +26,8 @@ object QRound9v extends QueryPack {
 
   private val absRounds = 4
   private val absState = "purchase"
+  // ceiling on the driver-collected state space (V² matrix cells)
+  private[graft] val absMaxStates = 64
 
   /** Hitting probability of the absorbing `purchase` state within
     * 1..4 steps, from the empirical per-user transition counts: with
@@ -62,6 +64,14 @@ object QRound9v extends QueryPack {
     val tot = cells.groupBy(_._1).map { case (s0, xs) => s0 -> xs.map(_._3).sum }
     val states = events.select(col("event_type").as("state")).distinct()
       .collect().map(_.getAs[String]("state")).sorted
+    // the "V²-bounded MODEL STATE" claim is ASSERTED (VERDICT r11 #4): a
+    // high-cardinality event_type column would silently turn these
+    // collects row-scale — fail loudly instead
+    require(states.length <= absMaxStates,
+      s"action vocabulary ${states.length} exceeds the $absMaxStates bound" +
+        " — the driver-side matrix recursion assumes a small state space")
+    require(cells.length <= states.length.toLong * states.length,
+      s"transition collect ${cells.length} exceeds V²")
     var p = states.map(s0 => s0 -> (if (s0 == absState) T else 0L)).toMap
     val rounds = (1 to absRounds).map { _ =>
       p = states.map { s0 =>
