@@ -154,11 +154,49 @@ object QRound12 extends QueryPack {
       |  FROM o WHERE o_orderkey % 5 IN (3, 4))
       |SELECT version, status, n_rows, sum_cents FROM v ORDER BY version""".stripMargin
 
+  // ---- scan_txn_incremental ----
+
+  /** Incremental consumption over the sink table ([[TxnLog
+    * .readIncremental]] — the Delta-CDF-lite surface): a downstream
+    * consumer that last saw version 3 catches up to version 7 by reading
+    * ONLY the files those four appends added — values [750, 1750) —
+    * never re-scanning the table. The audit emits one row per consumed
+    * version step (the poll-loop shape) with each delta's count/sum/
+    * bounds, so a leaked base file or a missed append breaks the hash.
+    * Scale shape: each step is a parquet scan over exactly the delta
+    * files; the manifest set-difference is O(files) driver-side text. */
+  private[graft] val incFromV = 3
+  private[graft] val incToV = 7
+
+  private def scanTxnIncremental(s: SparkSession, d: String): DataFrame = {
+    val dir = sinkTable(s, d)
+    (incFromV + 1 to incToV).map { v =>
+      TxnLog.readIncremental(s, dir, v - 1, v)
+        .agg(count(lit(1)).as("n_rows"), sum(col("value")).as("sum_value"),
+          min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+        .select(lit(v).as("version"), col("n_rows"), col("sum_value"),
+          col("min_value"), col("max_value"))
+    }.reduce(_ unionAll _).orderBy("version")
+  }
+
+  /** Version v appended exactly values [250(v−1), 250v). */
+  private val oScanTxnIncremental =
+    s"""SELECT CAST(v AS INT) AS version,
+       |  CAST($sinkRowsPerBatch AS BIGINT) AS n_rows,
+       |  CAST(($sinkRowsPerBatch * (v - 1) + $sinkRowsPerBatch * v - 1)
+       |    * $sinkRowsPerBatch // 2 AS BIGINT) AS sum_value,
+       |  CAST($sinkRowsPerBatch * (v - 1) AS BIGINT) AS min_value,
+       |  CAST($sinkRowsPerBatch * v - 1 AS BIGINT) AS max_value
+       |FROM (SELECT unnest(generate_series(${incFromV + 1}, $incToV)) AS v)
+       |ORDER BY version""".stripMargin
+
   val queries: Map[String, QFn] = Map(
-    "stream_txn_sink"  -> streamTxnSink _,
-    "maint_txn_vacuum" -> maintTxnVacuum _)
+    "stream_txn_sink"      -> streamTxnSink _,
+    "maint_txn_vacuum"     -> maintTxnVacuum _,
+    "scan_txn_incremental" -> scanTxnIncremental _)
 
   val oracles: Map[String, String] = Map(
-    "stream_txn_sink"  -> oStreamTxnSink,
-    "maint_txn_vacuum" -> oMaintTxnVacuum)
+    "stream_txn_sink"      -> oStreamTxnSink,
+    "maint_txn_vacuum"     -> oMaintTxnVacuum,
+    "scan_txn_incremental" -> oScanTxnIncremental)
 }

@@ -232,6 +232,30 @@ object TxnLog {
     s.read.parquet(files: _*)
   }
 
+  /** Incremental read: the rows ADDED between snapshot `fromV`
+    * (exclusive) and `toV` (inclusive) — the files `toV` references that
+    * `fromV` does not. Because data files are immutable and appends only
+    * add files, over an append-only version range this is EXACTLY the
+    * appended rows (the streaming-consumer surface: a downstream job
+    * polls latestVersion and reads only the delta — never re-scans the
+    * table). An overwrite RESTATES the table rather than appending, so
+    * ranges crossing one still return only the genuinely-new files but
+    * cannot express the implied deletes; pass the version of the
+    * overwrite itself as `fromV` to consume from a restatement boundary.
+    * Returns an empty DataFrame (with the table's schema) when nothing
+    * was added. */
+  def readIncremental(s: SparkSession, table: String, fromV: Int,
+      toV: Int): DataFrame = {
+    require(fromV <= toV, s"fromV $fromV > toV $toV")
+    val baseFiles =
+      if (fromV <= 0) Set.empty[String]
+      else snapshotFiles(s, table, fromV).toSet
+    val added = snapshotFiles(s, table, toV).filterNot(baseFiles)
+    if (added.isEmpty)
+      read(s, table, Some(toV)).limit(0)
+    else s.read.parquet(added.map(rel => s"$table/$rel"): _*)
+  }
+
   /** Retention-bounded cleanup (VERDICT r11 stretch #7): keep the newest
     * `retain` manifests; delete older manifests, stale `.tmp-` staging
     * litter, and every data file referenced by NO retained manifest

@@ -124,6 +124,36 @@ class Round12Spec extends SparkSpec {
       s"unreferenced data files survived vacuum: ${onDisk -- referenced}")
   }
 
+  test("readIncremental: append deltas exact, empty range empty, " +
+    "overwrite boundary returns only the restatement's files") {
+    val dir = freshTable()
+    TxnLog.append(spark, dir, df(0, 10))     // v1
+    TxnLog.append(spark, dir, df(10, 30))    // v2
+    TxnLog.overwrite(spark, dir, df(50, 60)) // v3 restatement
+    TxnLog.append(spark, dir, df(60, 70))    // v4
+    // pure append delta: exactly v2's rows
+    val d12 = TxnLog.readIncremental(spark, dir, 1, 2)
+    assert(d12.count() === 20L)
+    assert(d12.agg(min("value"), max("value")).head.toSeq === Seq(10L, 29L))
+    // self-range: nothing added, schema preserved
+    val empty = TxnLog.readIncremental(spark, dir, 2, 2)
+    assert(empty.count() === 0L)
+    assert(empty.columns.toSeq === Seq("value"))
+    // crossing the overwrite: only the fresh files (no implied deletes)
+    val d23 = TxnLog.readIncremental(spark, dir, 2, 3)
+    assert(d23.count() === 10L)
+    assert(d23.agg(min("value")).head.getLong(0) === 50L)
+    // consuming FROM the restatement boundary: the normal append delta
+    val d34 = TxnLog.readIncremental(spark, dir, 3, 4)
+    assert(d34.count() === 10L)
+    assert(d34.agg(min("value")).head.getLong(0) === 60L)
+    // fromV = 0 means "from the beginning": the whole current snapshot
+    assert(TxnLog.readIncremental(spark, dir, 0, 4).count() === 20L)
+    intercept[IllegalArgumentException] {
+      TxnLog.readIncremental(spark, dir, 4, 3)
+    }
+  }
+
   test("replay skips BEFORE writing data; vacuum reclaims a dead " +
     "attempt's orphan directory") {
     val dir = freshTable()
