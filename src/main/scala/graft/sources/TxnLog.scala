@@ -111,13 +111,15 @@ object TxnLog {
     * a LATER slot with the stale base would silently drop the winner's
     * commit, so auto-advance is deliberately not offered). */
   private def tryPublish(s: SparkSession, table: String, v: Int,
-      files: Seq[String], op: String, batchId: Option[Long]): Boolean = {
+      files: Seq[String], op: String, batchId: Option[Long],
+      batchHigh: Option[Long]): Boolean = {
     val f = fs(s, table)
     f.mkdirs(logDir(table))
     val tmp = new Path(logDir(table),
       s".tmp-${java.util.UUID.randomUUID()}")
     val header = s"# ts=${System.currentTimeMillis()} op=$op" +
-      batchId.map(b => s" batchId=$b").getOrElse("")
+      batchId.map(b => s" batchId=$b").getOrElse("") +
+      batchHigh.map(h => s" batchHigh=$h").getOrElse("")
     try {
       val out = f.create(tmp, false)
       try out.write((header + "\n" + files.mkString("\n") + "\n")
@@ -159,6 +161,16 @@ object TxnLog {
       .map(n => s"$sub/$n")
   }
 
+  /** The log's batch-id high-water at version `v` — carried forward in
+    * EVERY manifest header (appends and overwrites alike), so the latest
+    * manifest alone answers "was batch b already committed?" in O(1)
+    * manifest reads instead of an O(versions) scan (the Delta
+    * `txnVersion` map, reduced to the monotone single-writer-stream
+    * case). None for logs that never saw a batch commit (or pre-r12
+    * headerless manifests). */
+  def batchHighOf(s: SparkSession, table: String, v: Int): Option[Long] =
+    commitInfo(s, table, v).get("batchHigh").flatMap(h => Try(h.toLong).toOption)
+
   private def appendFiles(s: SparkSession, table: String,
       newFiles: Seq[String], batchId: Option[Long]): Int = {
     var committed = -1
@@ -168,13 +180,17 @@ object TxnLog {
       val target = base.getOrElse(0) + 1
       // idempotence re-check INSIDE the retry loop: if the lost race was
       // against a writer committing the SAME batch id (a racing restart),
-      // retrying would double-append — return the winner's version instead
-      batchId.flatMap(b => committedVersionOfBatch(s, table, b)) match {
-        case Some(v) => committed = v
-        case None =>
-          if (tryPublish(s, table, target, baseFiles ++ newFiles, "append",
-              batchId))
-            committed = target
+      // retrying would double-append — return the winner's version instead.
+      // O(1): only the base manifest's high-water is read.
+      val baseHigh = base.flatMap(batchHighOf(s, table, _))
+      if (batchId.exists(b => baseHigh.exists(b <= _))) {
+        committed = committedVersionOfBatch(s, table, batchId.get)
+          .getOrElse(base.get) // vacuumed history: visible in the base
+      } else {
+        val high = (batchId.toSeq ++ baseHigh.toSeq).reduceOption(_ max _)
+        if (tryPublish(s, table, target, baseFiles ++ newFiles, "append",
+            batchId, high))
+          committed = target
       }
     }
     committed
@@ -186,7 +202,9 @@ object TxnLog {
   def append(s: SparkSession, table: String, df: DataFrame): Int =
     appendFiles(s, table, writeData(s, table, df), None)
 
-  /** The version that committed streaming batch `batchId`, if any. */
+  /** The version that committed streaming batch `batchId`, if any —
+    * an O(versions) manifest scan, used only on the rare replay path
+    * (the hot-path skip decision reads one header via [[batchHighOf]]). */
   def committedVersionOfBatch(s: SparkSession, table: String,
       batchId: Long): Option[Int] =
     listVersions(fs(s, table), table).sorted.find { v =>
@@ -199,22 +217,33 @@ object TxnLog {
     * Stamping the id into the atomically-published manifest makes the
     * append exactly-once: a replayed id is detected and skipped (its data
     * directory, if half-written by the dead attempt, is unreferenced and
-    * reclaimed by [[vacuum]]). Returns the committing version — the
-    * existing one on a skip. */
+    * reclaimed by [[vacuum]]). The skip decision is O(1): structured
+    * streaming batch ids are MONOTONE, so id ≤ the latest manifest's
+    * carried `batchHigh` ⇔ already committed — no per-batch log replay,
+    * which matters when a long-running stream has committed thousands of
+    * versions. Returns the committing version — the existing one on a
+    * skip (or the latest version when the original manifest was
+    * vacuumed; the batch's rows are part of that snapshot either way). */
   def appendBatch(s: SparkSession, table: String, df: DataFrame,
-      batchId: Long): Int =
-    committedVersionOfBatch(s, table, batchId) match {
-      case Some(v) => v // replay of an already-committed batch: no-op
-      case None => appendFiles(s, table, writeData(s, table, df), Some(batchId))
-    }
+      batchId: Long): Int = {
+    val latest = latestVersion(s, table)
+    val skip = latest.flatMap(batchHighOf(s, table, _)).exists(batchId <= _)
+    if (skip)
+      committedVersionOfBatch(s, table, batchId).orElse(latest).get
+    else appendFiles(s, table, writeData(s, table, df), Some(batchId))
+  }
 
-  /** Commit a new snapshot containing ONLY df's files (restatement). */
+  /** Commit a new snapshot containing ONLY df's files (restatement).
+    * Carries the batch high-water forward: a restatement does not reset
+    * streaming idempotence. */
   def overwrite(s: SparkSession, table: String, df: DataFrame): Int = {
     val newFiles = writeData(s, table, df)
     var committed = -1
     while (committed < 0) {
-      val target = latestVersion(s, table).getOrElse(0) + 1
-      if (tryPublish(s, table, target, newFiles, "overwrite", None))
+      val base = latestVersion(s, table)
+      val target = base.getOrElse(0) + 1
+      val high = base.flatMap(batchHighOf(s, table, _))
+      if (tryPublish(s, table, target, newFiles, "overwrite", None, high))
         committed = target
     }
     committed

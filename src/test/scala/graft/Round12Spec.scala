@@ -64,6 +64,27 @@ class Round12Spec extends SparkSpec {
       === 1L, "a replayed batch double-appended rows")
   }
 
+  test("batchHigh high-water: O(1) skip decision survives an overwrite, " +
+    "and any id at-or-under the high-water is treated as committed") {
+    val dir = freshTable()
+    TxnLog.appendBatch(spark, dir, df(0, 10), batchId = 0L)
+    TxnLog.appendBatch(spark, dir, df(10, 20), batchId = 1L)
+    assert(TxnLog.batchHighOf(spark, dir, 2) === Some(1L))
+    // a restatement must CARRY the high-water, not reset idempotence
+    TxnLog.overwrite(spark, dir, df(100, 110))
+    assert(TxnLog.batchHighOf(spark, dir, 3) === Some(1L))
+    // replaying batch 1 after the overwrite: skipped via the carried
+    // high-water (monotone-id contract), no new version, no rows
+    val v = TxnLog.appendBatch(spark, dir, df(10, 20), batchId = 1L)
+    assert(v === 2, "skip must return the original committing version")
+    assert(TxnLog.latestVersion(spark, dir) === Some(3))
+    assert(TxnLog.read(spark, dir).count() === 10L)
+    // the next genuine batch id advances the high-water past the overwrite
+    TxnLog.appendBatch(spark, dir, df(110, 120), batchId = 2L)
+    assert(TxnLog.batchHighOf(spark, dir, 4) === Some(2L))
+    assert(TxnLog.read(spark, dir).count() === 20L)
+  }
+
   test("appendBatch race: two writers, same batch id — exactly one commit") {
     val dir = freshTable()
     TxnLog.appendBatch(spark, dir, df(0, 50), batchId = 0L)
