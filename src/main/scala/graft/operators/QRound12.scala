@@ -190,13 +190,63 @@ object QRound12 extends QueryPack {
        |FROM (SELECT unnest(generate_series(${incFromV + 1}, $incToV)) AS v)
        |ORDER BY version""".stripMargin
 
+  // ---- scan_txn_schema_evolve ----
+
+  /** Staged once per sfDir: additive schema evolution inside one commit
+    * log — v1 appends (o_orderkey, cents), v2 appends the same shape
+    * PLUS a `priority` column. */
+  private[graft] def evolveTable(s: SparkSession, d: String): String =
+    QRound3.staged(s, d, "txnevolve") { dir =>
+      val o = t(s, d, "orders").select(col("o_orderkey"),
+        floor(col("o_totalprice") * lit(1e2) + lit(5e-1)).cast(LongType)
+          .as("cents"), col("o_orderpriority"))
+      TxnLog.append(s, dir, o.filter(col("o_orderkey") % 3 === 0)
+        .drop("o_orderpriority"))
+      TxnLog.append(s, dir, o.filter(col("o_orderkey") % 3 === 1)
+        .withColumnRenamed("o_orderpriority", "priority"))
+    }
+
+  /** Additive schema evolution read (`TxnLog.read(mergeSchema = true)`):
+    * the latest snapshot spans a pre-evolution commit (no `priority`
+    * column) and a post-evolution one; the merged read exposes the union
+    * schema with NULLs for the old files, exactly Delta/Iceberg's
+    * additive-evolution contract. The audit rolls up by priority with
+    * the NULL bucket coalesced to a sentinel, so a dropped column, a
+    * misattributed NULL, or a file read under the wrong footer breaks
+    * the hash. Scale shape: one pruned scan + one map-side-partial
+    * group-by; schema merging is a footer-level driver concern. */
+  private def scanTxnSchemaEvolve(s: SparkSession, d: String): DataFrame = {
+    val dir = evolveTable(s, d)
+    TxnLog.read(s, dir, mergeSchema = true)
+      .groupBy(coalesce(col("priority"), lit("(pre-evolution)"))
+        .as("priority"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+      .orderBy("priority")
+  }
+
+  private val oScanTxnSchemaEvolve =
+    """WITH o AS (SELECT o_orderkey,
+      |    CAST(floor(o_totalprice * 1e2 + 5e-1) AS BIGINT) AS cents,
+      |    o_orderpriority
+      |  FROM orders),
+      |u AS (
+      |  SELECT '(pre-evolution)' AS priority, cents
+      |  FROM o WHERE o_orderkey % 3 = 0
+      |  UNION ALL
+      |  SELECT o_orderpriority, cents FROM o WHERE o_orderkey % 3 = 1)
+      |SELECT priority, count(*) AS n_rows,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM u GROUP BY priority ORDER BY priority""".stripMargin
+
   val queries: Map[String, QFn] = Map(
-    "stream_txn_sink"      -> streamTxnSink _,
-    "maint_txn_vacuum"     -> maintTxnVacuum _,
-    "scan_txn_incremental" -> scanTxnIncremental _)
+    "stream_txn_sink"        -> streamTxnSink _,
+    "maint_txn_vacuum"       -> maintTxnVacuum _,
+    "scan_txn_incremental"   -> scanTxnIncremental _,
+    "scan_txn_schema_evolve" -> scanTxnSchemaEvolve _)
 
   val oracles: Map[String, String] = Map(
-    "stream_txn_sink"      -> oStreamTxnSink,
-    "maint_txn_vacuum"     -> oMaintTxnVacuum,
-    "scan_txn_incremental" -> oScanTxnIncremental)
+    "stream_txn_sink"        -> oStreamTxnSink,
+    "maint_txn_vacuum"       -> oMaintTxnVacuum,
+    "scan_txn_incremental"   -> oScanTxnIncremental,
+    "scan_txn_schema_evolve" -> oScanTxnSchemaEvolve)
 }

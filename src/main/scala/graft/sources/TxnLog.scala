@@ -254,11 +254,34 @@ object TxnLog {
     * isolation), and any published version stays readable (time travel)
     * until vacuumed. */
   def read(s: SparkSession, table: String,
-      version: Option[Int] = None): DataFrame = {
+      version: Option[Int] = None,
+      mergeSchema: Boolean = false): DataFrame = {
     val v = version.orElse(latestVersion(s, table)).getOrElse(
       throw new IllegalStateException(s"$table has no committed snapshot"))
     val files = snapshotFiles(s, table, v).map(rel => s"$table/$rel")
-    s.read.parquet(files: _*)
+    // mergeSchema: a snapshot whose commits evolved the schema (appends
+    // adding columns) reads as the UNION schema, older files' missing
+    // columns NULL — Delta/Iceberg's additive schema evolution; without
+    // it parquet takes one file's footer as the schema and silently
+    // drops the new columns depending on file order
+    s.read.option("mergeSchema", mergeSchema.toString).parquet(files: _*)
+  }
+
+  /** Timestamp time travel: the snapshot as of wall-clock `ts` (epoch
+    * millis) — the HIGHEST version whose commit ts is ≤ `ts` (the Delta
+    * `timestampAsOf` contract). Commit timestamps come from the manifest
+    * headers, so pre-r12 headerless versions are ignored; throws when no
+    * version is old enough. O(versions) header reads, driver-side. */
+  def readAsOf(s: SparkSession, table: String, ts: Long): DataFrame = {
+    val v = listVersions(fs(s, table), table).sorted
+      .filter { v =>
+        commitInfo(s, table, v).get("ts")
+          .flatMap(t => Try(t.toLong).toOption).exists(_ <= ts)
+      }
+      .lastOption
+      .getOrElse(throw new IllegalStateException(
+        s"$table has no snapshot committed at or before $ts"))
+    read(s, table, Some(v))
   }
 
   /** Incremental read: the rows ADDED between snapshot `fromV`

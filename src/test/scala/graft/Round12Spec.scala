@@ -145,6 +145,28 @@ class Round12Spec extends SparkSpec {
       s"unreferenced data files survived vacuum: ${onDisk -- referenced}")
   }
 
+  test("readAsOf resolves the highest version committed at-or-before ts; " +
+    "mergeSchema read unions evolved schemas with NULLs for old files") {
+    val dir = freshTable()
+    TxnLog.append(spark, dir, df(0, 10))
+    val ts1 = TxnLog.commitInfo(spark, dir, 1)("ts").toLong
+    Thread.sleep(5) // commit clock must advance between versions
+    TxnLog.append(spark, dir, df(10, 20)
+      .withColumn("tag", lit("new"))) // additive schema evolution
+    val ts2 = TxnLog.commitInfo(spark, dir, 2)("ts").toLong
+    assert(ts1 < ts2, "commit timestamps must be increasing here")
+    assert(TxnLog.readAsOf(spark, dir, ts1).count() === 10L)
+    assert(TxnLog.readAsOf(spark, dir, ts2 + 1).count() === 20L)
+    intercept[IllegalStateException] {
+      TxnLog.readAsOf(spark, dir, ts1 - 1)
+    }
+    val merged = TxnLog.read(spark, dir, mergeSchema = true)
+    assert(merged.columns.sorted.toSeq === Seq("tag", "value"))
+    assert(merged.filter(col("tag").isNull).count() === 10L,
+      "pre-evolution rows must surface with NULL in the new column")
+    assert(merged.filter(col("tag") === "new").count() === 10L)
+  }
+
   test("readIncremental: append deltas exact, empty range empty, " +
     "overwrite boundary returns only the restatement's files") {
     val dir = freshTable()
