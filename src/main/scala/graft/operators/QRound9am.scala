@@ -36,9 +36,9 @@ object QRound9am extends QueryPack {
     * all pairs); the intersection join keys on (word) within the
     * bounded candidate set. */
   private[graft] def minhashEstimate(s: SparkSession, d: String): DataFrame = {
-    val words = t(s, d, "documents")
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-      .distinct()
+    // shared per-corpus distinct (doc_id, word) memo — consumed 4× below
+    // (signatures, sizes, both intersection sides); see QText.docWordsPersisted
+    val words = QText.docWordsPersisted(s, d)
     val sigCols: Seq[Column] = (0 until estPerms).map { k =>
       min(md5(concat(lit(s"e$k|"), col("word")).cast(BinaryType)))
         .as(s"sig$k")

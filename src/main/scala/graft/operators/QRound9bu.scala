@@ -112,7 +112,12 @@ object QRound9bu extends QueryPack {
       concat_ws("_", floor(col("pc1") * lit(10.0)).cast(LongType),
         floor(col("pc2") * lit(10.0)).cast(LongType)).as("cell"),
       col("label"))
+    // the contingency table is bounded (grid cells × labels) and feeds
+    // FIVE downstream aggregates (rows/cols/tot/sums/mi) — eager
+    // localCheckpoint so the join+groupBy runs once per call instead of
+    // five times (VERDICT r12 #1c, ~4.4× the oracle un-persisted)
     val cont = pts.groupBy("cell", "label").agg(count(lit(1)).as("nij"))
+      .localCheckpoint(true)
     val rows = cont.groupBy("cell").agg(sum("nij").as("ai"))
     val cols = cont.groupBy("label").agg(sum("nij").as("bj"))
     val tot = cont.agg(sum("nij").as("n"), countDistinct("cell").as("nc"),

@@ -29,27 +29,73 @@ object QRound9z extends QueryPack {
     * reports the total weight and the share of weight at or below the
     * median (trunc6).
     *
-    * Scale shape: one pass → (flag, cents)-keyed aggregate; cumulative
-    * weight is a per-flag window over the DISTINCT-value table (bounded
-    * by the price domain, never raw rows); flag totals broadcast back. */
+    * Two-phase bucketed exact median (the classic distributed shape).
+    * The previous spelling ran a per-flag cumulative window over the
+    * distinct (flag, cents) table — but cents are nearly UNIQUE (594k of
+    * 600k rows at sf0.1), so that table is row-scale and the window runs
+    * one task per flag: a genuine scale-killer, and locally ~4.7× the
+    * oracle (VERDICT r12 #1d). Instead:
+    *  1. coarse pass: per (flag, cents DIV 2^14 bucket) weight sums —
+    *     map-side combinable to ~700 buckets/flag, so the shuffle is
+    *     tiny no matter the row count; the bucket histogram is DOMAIN-
+    *     bounded (price range ÷ 2^14 × #flags, never row-scale), so the
+    *     median bucket + its preceding cumulative weight are resolved
+    *     driver-side from the collected histogram (the bounded-collect
+    *     discipline: loud `require` on the size);
+    *  2. fine pass: filter to each flag's median bucket with a LITERAL
+    *     predicate (no join needed — the driver already knows the 3
+    *     bucket ids) and aggregate exact per-cents weights there. That
+    *     table is ALSO domain-bounded (≤ 2^14 distinct cents per flag by
+    *     construction), so the crossing cents + share_at finish driver-
+    *     side. The median is guaranteed inside that bucket because the
+    *     bucket-level cumulative first crosses totw/2 in it.
+    * Two scans of the row-scale input (locally cheaper than caching it:
+    * the cache build costs more than the re-read at this width; on a
+    * cluster `base` would be persisted across the passes); both
+    * aggregates are full-parallel with bounded outputs; nothing
+    * row-scale is collected, checkpointed, or single-tasked. */
   private[graft] def weightedMedian(li: DataFrame): DataFrame = {
-    val dd = DoubleType
-    val pv = li.select(col("l_returnflag").as("flag"),
+    val bw = 16384L
+    val spark = li.sparkSession
+    val base = li.select(col("l_returnflag").as("flag"),
       floor(col("l_extendedprice") * lit(1e2) + lit(5e-1)).cast(LongType)
         .as("cents"),
       col("l_quantity").cast(LongType).as("w"))
-      .groupBy("flag", "cents").agg(sum(col("w")).as("cw"))
-    val win = Window.partitionBy("flag").orderBy("cents")
-    val cum = pv.withColumn("cumw", sum(col("cw")).over(win))
-    val tot = pv.groupBy("flag").agg(sum(col("cw")).as("totw"))
-    val rk = Window.partitionBy("flag").orderBy("cents")
-    cum.join(broadcast(tot), "flag")
-      .filter(lit(2L) * col("cumw") >= col("totw"))
-      .withColumn("rn", row_number().over(rk))
-      .filter(col("rn") === 1)
-      .select(col("flag"), col("cents").as("wmedian_cents"), col("totw"),
-        trunc6(col("cumw").cast(dd) / col("totw").cast(dd)).as("share_at"))
-      .orderBy("flag")
+    val bktRows = base.groupBy(col("flag"), expr(s"cents DIV $bw").as("b"))
+        .agg(sum(col("w")).as("bsum")).collect()
+    require(bktRows.length <= 500000,
+        s"weightedMedian bucket histogram unexpectedly row-scale: " +
+          s"${bktRows.length} buckets — widen bw before trusting this collect")
+    val med = bktRows.toSeq.groupBy(_.getString(0)).toSeq.map {
+        case (f, rows) =>
+          val sorted = rows.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+          val tot = sorted.iterator.map(_._2).sum
+          var cum = 0L; var i = 0
+          while (2L * (cum + sorted(i)._2) < tot) { cum += sorted(i)._2; i += 1 }
+          (f, sorted(i)._1, cum, tot)
+    }
+    val inMedianBucket = med.map { case (f, mb, _, _) =>
+        col("flag") === lit(f) && expr(s"cents DIV $bw") === lit(mb)
+    }.reduce(_ || _)
+    val fineRows = base.filter(inMedianBucket)
+        .groupBy("flag", "cents").agg(sum(col("w")).as("cw")).collect()
+    require(fineRows.length <= bw.toInt * med.size,
+        s"weightedMedian in-bucket table over its domain bound: " +
+          s"${fineRows.length} rows > $bw × ${med.size} flags")
+    val byFlag = fineRows.toSeq.groupBy(_.getString(0))
+    val out = med.sortBy(_._1).map { case (f, _, prefw, totw) =>
+        val cells = byFlag(f).map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+        var cum = prefw; var i = 0
+        while (2L * (cum + cells(i)._2) < totw) { cum += cells(i)._2; i += 1 }
+        val cumw = cum + cells(i)._2
+        // driver twin of trunc6: floor(x·1e6)/1e6
+        val share = math.floor(cumw.toDouble / totw.toDouble * 1000000L) /
+          1000000.0
+        (f, cells(i)._1, totw, share)
+    }
+    import spark.implicits._
+    out.toDF("flag", "wmedian_cents", "totw", "share_at").coalesce(1)
+      .sortWithinPartitions("flag")
   }
 
   private def aggWeightedMedian(s: SparkSession, d: String): DataFrame =
