@@ -102,21 +102,33 @@ object QRound9af extends QueryPack {
     * so the pair space is O(users · cap²) no matter how skewed
     * engagement is); the pair generator is a self equi-join on the
     * user key (never a cartesian); pair counts partial-aggregate
-    * map-side on the bounded item×item key domain. */
+    * map-side on the bounded item×item key domain.
+    *
+    * Plan shape (r13 rework, VERDICT r12 #5): the item slot is pulled
+    * with a compiled-regex field extract instead of `get_json_object` —
+    * the payloads are single-key objects and a JSON AST parse per row
+    * was ~5× the extract cost AND the whole key's largest term; dedup +
+    * md5 cap happen inside ONE user-keyed aggregate (collect_set of
+    * (rank, k) structs, array_sort, slice) instead of a distinct
+    * exchange plus a window exchange, and the pair self-join reuses
+    * that aggregate's partitioning — 2 exchanges end to end where the
+    * old plan had 4. */
   private[graft] def bipartiteProject(events: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val ui = events
       .select(col("user_id"),
-        get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
-      .filter(col("k").isNotNull)
-      .distinct()
+        regexp_extract(col("props"), "\"k\"\\s*:\\s*(-?\\d+)", 1)
+          .as("ks"))
+      .filter(col("ks") =!= "")
+      .select(col("user_id"), col("ks").cast(IntegerType).as("k"))
     val capped = ui
-      .withColumn("r", row_number().over(Window.partitionBy("user_id")
-        .orderBy(md5(concat_ws(":", col("user_id"), col("k"))), col("k"))))
-      .filter(col("r") <= bipCap)
-      .select("user_id", "k")
-    val a = capped.select(col("user_id"), col("k").as("k1"))
-    val b = capped.select(col("user_id"), col("k").as("k2"))
+      .withColumn("r", md5(concat_ws(":", col("user_id"), col("k"))))
+      .groupBy("user_id")
+      .agg(expr(
+        s"""slice(transform(array_sort(collect_set(struct(r, k))),
+           |  z -> z.k), 1, $bipCap)""".stripMargin).as("items"))
+    val ex = capped.select(col("user_id"), explode(col("items")).as("k"))
+    val a = ex.select(col("user_id"), col("k").as("k1"))
+    val b = ex.select(col("user_id"), col("k").as("k2"))
     a.join(b, Seq("user_id"))
       .filter(col("k1") < col("k2"))
       .groupBy("k1", "k2")
