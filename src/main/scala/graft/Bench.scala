@@ -97,21 +97,40 @@ object Bench {
       try { noop(name); (System.nanoTime() - t0) / 1e9 }
       catch { case _: Throwable => -1.0 }
     }
+    // Memo-build attribution (VERDICT r12 #2): exactly one key per run
+    // pays each shared session-memo's one-off build inside its COLD time,
+    // and WHICH key depends on suite order — so snapshot Memo's build log
+    // around each key and emit the builds it triggered alongside its
+    // times. A reader diffing BENCH_r{N} subtracts the attributed build
+    // seconds before calling a cold regression.
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+      val m0 = Memo.buildLogSize
       val cold = timed(name)
       val warm = if (cold < 0) -1.0 else timed(name)
-      (name, cold, warm)
+      val builds = Memo.buildLogFrom(m0)
+      (name, cold, warm, builds)
     }
     val load1 = loadAvg
     def f3(v: Double): String = f3s(v)
-    val errs = results.collect { case (k, c, _) if c < 0 => "\"" + k + "\"" }
+    val errs = results.collect { case (k, c, _, _) if c < 0 => "\"" + k + "\"" }
     // A key that succeeds cold but fails warm must not vanish from the
     // artifact (ADVICE r7): total_warm silently omits it and the compact
     // line keeps only the slowest keys, so surface it explicitly.
-    val warmErrs = results.collect { case (k, c, w) if c >= 0 && w < 0 => "\"" + k + "\"" }
+    val warmErrs = results.collect { case (k, c, w, _) if c >= 0 && w < 0 => "\"" + k + "\"" }
     val total = results.map(_._2).filter(_ >= 0).sum
     val totalWarm = results.map(_._3).filter(_ >= 0).sum
-    def mkJson(qs: Seq[(String, Double, Double)], omitted: Int): String = {
+    // per-key map of the session-memo builds that ran inside this key's
+    // timed window: {"key":{"tag":sec,...},...}; only outermost builds
+    // are logged, so the sum is wall-clock-consistent
+    val totalMemo = results.flatMap(_._4).map(_._3).sum
+    val memoJson = results.collect {
+      case (k, _, _, bs) if bs.nonEmpty =>
+        "\"" + k + "\":" + bs.map { case (tag, _, sec) =>
+          "\"" + tag + "\":" + f3(sec)
+        }.mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
+    def mkJson(qs: Seq[(String, Double, Double)], omitted: Int,
+        withMemoMap: Boolean): String = {
       val cm = qs.map { case (k, c, _) => "\"" + k + "\":" + f3(c) }
         .mkString("{", ",", "}")
       val wm = qs.map { case (k, _, w) => "\"" + k + "\":" + f3(w) }
@@ -122,8 +141,10 @@ object Bench {
         s""","load_warn":"start load ${f3(load0)} > 2 after ${settleWait}s wait; adjudicate on warm"""" else ""
       val we = if (warmErrs.nonEmpty)
         s""","warm_errors":[${warmErrs.mkString(",")}]""" else ""
+      val mm = if (withMemoMap) s""","memo_builds":$memoJson""" else ""
       s"""{"metric":"total","value":${f3(total)},"unit":"sec"""" +
         s""","total_warm":${f3(totalWarm)}""" +
+        s""","total_memo_build":${f3(totalMemo)}$mm""" +
         s""","calib_single":${f3(calibSingle)},"calib_parallel":${f3(calibParallel)}""" +
         s""","load_avg_start":${f3(load0)},"load_avg_end":${f3(load1)}$lw""" +
         s""","queries":$cm,"warm":$wm,"errors":[${errs.mkString(",")}]$we$om""" +
@@ -136,9 +157,11 @@ object Bench {
     // capped well under that window: totals + errors + the slowest queries
     // that fit (cold AND warm per kept key); the full map lives in
     // BENCH_LOCAL.json.
-    Files.writeString(Paths.get("BENCH_LOCAL.json"), mkJson(results, 0) + "\n")
+    val flat = results.map(r => (r._1, r._2, r._3))
+    Files.writeString(Paths.get("BENCH_LOCAL.json"),
+      mkJson(flat, 0, withMemoMap = true) + "\n")
     val budget = 1400
-    val bySlowest = results.sortBy(-_._2)
+    val bySlowest = flat.sortBy(-_._2)
     val keep = scala.collection.mutable.ArrayBuffer[(String, Double, Double)]()
     // envelope + omitted-fields slack + the errors array (ADVICE r3: a run
     // with many failures must not push the line past the 2000-char tail);
@@ -147,7 +170,9 @@ object Bench {
     for ((k, c, w) <- bySlowest if len + 2 * (k.length + 12) <= budget) {
       keep += ((k, c, w)); len += 2 * (k.length + 12)
     }
-    val compact = mkJson(keep.toSeq.sortBy(_._1), results.size - keep.size)
+    val compact =
+      mkJson(keep.toSeq.sortBy(_._1), results.size - keep.size,
+        withMemoMap = false)
     spark.stop()
     // Final line of stdout, post-shutdown: nothing can print after this.
     println(compact)

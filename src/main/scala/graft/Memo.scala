@@ -71,13 +71,53 @@ object Memo {
         val again = cache.get(key)
         if (again != null) again.df
         else {
-          val built = Entry(s, build)
+          val d0 = buildDepth.get(); buildDepth.set(d0 + 1)
+          val t0 = System.nanoTime()
+          val built =
+            try Entry(s, build)
+            finally buildDepth.set(d0)
+          // only the OUTERMOST build records — a nested build's time is
+          // already inside its parent's, and double-counting would make
+          // Bench's attributed totals exceed the wall clock
+          if (d0 == 0) recordBuild(tag, d, (System.nanoTime() - t0) / 1e9)
           cache.put(key, built)
           built.df
         }
       }
     }
   }
+
+  /** One entry per completed memo BUILD this JVM: (tag, sfDir, seconds).
+    * Exists so Bench can attribute each one-off shared-memo build to the
+    * query that happened to trigger it (VERDICT r12 #2: exactly one key
+    * per suite run absorbed a ~30 s build and read as a fake regression
+    * to anyone diffing BENCH_r{N}). Only the OUTERMOST build of a nested
+    * chain records (the `buildDepth` ThreadLocal): its elapsed time
+    * already contains its children's, so summing the log never exceeds
+    * the wall clock. */
+  private val buildLog =
+    java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(String, String, Double)]())
+
+  private val buildDepth = new ThreadLocal[Integer] {
+    override def initialValue(): Integer = 0
+  }
+
+  private def recordBuild(tag: String, d: String, sec: Double): Unit =
+    buildLog.add((tag, d, sec))
+
+  /** Snapshot of the build log from index `from` (inclusive); pair with
+    * [[buildLogSize]] to attribute builds to a timed window. */
+  def buildLogFrom(from: Int): Seq[(String, String, Double)] = {
+    val out = scala.collection.mutable.ArrayBuffer[(String, String, Double)]()
+    buildLog.synchronized {
+      var i = from
+      while (i < buildLog.size()) { out += buildLog.get(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  def buildLogSize: Int = buildLog.size()
 
   private val anyCache =
     new ConcurrentHashMap[(String, String, String, String), (SparkSession, Any)]()
@@ -100,6 +140,14 @@ object Memo {
     }
     val parts = s.conf.get("spark.sql.shuffle.partitions", "")
     val key = (uuid(s), parts, tag, d)
-    anyCache.computeIfAbsent(key, _ => (s, build: Any))._2.asInstanceOf[T]
+    anyCache.computeIfAbsent(key, { _ =>
+      val d0 = buildDepth.get(); buildDepth.set(d0 + 1)
+      val t0 = System.nanoTime()
+      val v: Any =
+        try build
+        finally buildDepth.set(d0)
+      if (d0 == 0) recordBuild(tag, d, (System.nanoTime() - t0) / 1e9)
+      (s, v)
+    })._2.asInstanceOf[T]
   }
 }

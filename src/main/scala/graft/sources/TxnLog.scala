@@ -61,8 +61,15 @@ object TxnLog {
     new Path(logDir(table), f"$v%05d.manifest")
 
   // strict name gate (ADVICE r11): a stray non-numeric *.manifest (editor
-  // backup, manual copy) must be ignored, not crash every read/append
-  private val ManifestName = """^(\d{5})\.manifest$""".r
+  // backup, manual copy) must be ignored, not crash every read/append.
+  // Variable-width match (ADVICE r12 medium): manifestPath's %05d emits
+  // SIX digits at version 100000 — a fixed \d{5} would make every
+  // manifest past 99999 invisible to listVersions/latestVersion, so
+  // reads would silently miss the newest commits and appends would spin
+  // forever re-claiming a "free" slot the rename then refuses. Version
+  // order is always resolved NUMERICALLY (toInt + max), never
+  // lexicographically, so the width change is safe.
+  private val ManifestName = """^(\d{5,})\.manifest$""".r
 
   private def listVersions(f: FileSystem, table: String): Seq[Int] =
     if (!f.exists(logDir(table))) Nil
@@ -79,7 +86,14 @@ object TxnLog {
     if (vs.isEmpty) None else Some(vs.max)
   }
 
+  /** Count of manifest reads this JVM — test instrumentation for the
+    * O(log n) guarantees of [[versionAsOf]]/[[committedVersionOfBatch]]
+    * (Round13Spec asserts a 1,000-version log resolves in ≤ ~2·log₂ n
+    * header reads, not a full scan). */
+  private[graft] val manifestReads = new java.util.concurrent.atomic.AtomicLong
+
   private def manifestLines(s: SparkSession, table: String, v: Int): Seq[String] = {
+    manifestReads.incrementAndGet()
     val f = fs(s, table)
     val in = f.open(manifestPath(table, v))
     try new String(org.apache.commons.io.IOUtils.toByteArray(in),
@@ -92,11 +106,8 @@ object TxnLog {
   def snapshotFiles(s: SparkSession, table: String, v: Int): Seq[String] =
     manifestLines(s, table, v).filterNot(_.startsWith("#"))
 
-  /** The commit metadata of snapshot `v`: ts (epoch millis), op
-    * (append/overwrite), optional batchId. Headerless manifests (pre-r12
-    * tables) return an empty map — old tables stay readable. */
-  def commitInfo(s: SparkSession, table: String, v: Int): Map[String, String] =
-    manifestLines(s, table, v).filter(_.startsWith("#"))
+  private def parseInfo(lines: Seq[String]): Map[String, String] =
+    lines.filter(_.startsWith("#"))
       .flatMap(_.drop(1).trim.split("\\s+"))
       .flatMap { kv =>
         kv.split("=", 2) match {
@@ -105,6 +116,12 @@ object TxnLog {
         }
       }.toMap
 
+  /** The commit metadata of snapshot `v`: ts (epoch millis), op
+    * (append/overwrite), optional batchId. Headerless manifests (pre-r12
+    * tables) return an empty map — old tables stay readable. */
+  def commitInfo(s: SparkSession, table: String, v: Int): Map[String, String] =
+    parseInfo(manifestLines(s, table, v))
+
   /** Try to publish `files` as EXACTLY version `v`: stage, then
     * rename-no-overwrite. False means a concurrent writer claimed `v` —
     * the caller must recompute against the new latest and retry (claiming
@@ -112,12 +129,16 @@ object TxnLog {
     * commit, so auto-advance is deliberately not offered). */
   private def tryPublish(s: SparkSession, table: String, v: Int,
       files: Seq[String], op: String, batchId: Option[Long],
-      batchHigh: Option[Long]): Boolean = {
+      batchHigh: Option[Long], minTs: Long = 0L): Boolean = {
     val f = fs(s, table)
     f.mkdirs(logDir(table))
     val tmp = new Path(logDir(table),
       s".tmp-${java.util.UUID.randomUUID()}")
-    val header = s"# ts=${System.currentTimeMillis()} op=$op" +
+    // commit ts clamped to max(now, base ts + 1) (ADVICE r12): wall clocks
+    // are not monotone across writers, and [[versionAsOf]]'s binary search
+    // (like Delta's timestampAsOf) requires ts non-decreasing in version —
+    // the same adjustment Delta applies to out-of-order commit timestamps
+    val header = s"# ts=${math.max(System.currentTimeMillis(), minTs)} op=$op" +
       batchId.map(b => s" batchId=$b").getOrElse("") +
       batchHigh.map(h => s" batchHigh=$h").getOrElse("")
     try {
@@ -140,9 +161,18 @@ object TxnLog {
       catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
         case _: java.nio.file.FileAlreadyExistsException => false
+        // Ambiguous IOException (ADVICE r12 low): some filesystems report
+        // the lost race only as a generic IOException whose message
+        // mentions "exists" — but so do GENUINE failures ("parent
+        // directory ... does not exist", "rename source ... does not
+        // exist"). Misreading one of those as a lost race would send the
+        // caller's retry loop spinning forever. Confirm the race by
+        // checking the destination: lost ⟺ the manifest is actually
+        // there; otherwise rethrow the real error.
         case e: java.io.IOException
             if e.getMessage != null &&
-               e.getMessage.toLowerCase.contains("exists") => false
+               e.getMessage.toLowerCase.contains("exists") =>
+          if (f.exists(manifestPath(table, v))) false else throw e
       }
     if (!won) f.delete(tmp, false)
     won
@@ -176,25 +206,53 @@ object TxnLog {
     var committed = -1
     while (committed < 0) {
       val base = latestVersion(s, table)
-      val baseFiles = base.map(snapshotFiles(s, table, _)).getOrElse(Nil)
+      val baseLines = base.map(manifestLines(s, table, _)).getOrElse(Nil)
+      val baseFiles = baseLines.filterNot(_.startsWith("#"))
+      val baseInfo = parseInfo(baseLines)
       val target = base.getOrElse(0) + 1
       // idempotence re-check INSIDE the retry loop: if the lost race was
       // against a writer committing the SAME batch id (a racing restart),
       // retrying would double-append — return the winner's version instead.
-      // O(1): only the base manifest's high-water is read.
-      val baseHigh = base.flatMap(batchHighOf(s, table, _))
+      // O(1) on the hot path: only the base manifest is read.
+      val baseHigh = baseInfo.get("batchHigh").flatMap(h => Try(h.toLong).toOption)
       if (batchId.exists(b => baseHigh.exists(b <= _))) {
-        committed = committedVersionOfBatch(s, table, batchId.get)
-          .getOrElse(base.get) // vacuumed history: visible in the base
+        committed = resolveReplayedBatch(s, table, batchId.get, base.get)
       } else {
         val high = (batchId.toSeq ++ baseHigh.toSeq).reduceOption(_ max _)
+        val baseTs = baseInfo.get("ts").flatMap(t => Try(t.toLong).toOption)
         if (tryPublish(s, table, target, baseFiles ++ newFiles, "append",
-            batchId, high))
+            batchId, high, baseTs.map(_ + 1).getOrElse(0L)))
           committed = target
       }
     }
     committed
   }
+
+  /** A batch id at-or-under the log's high-water landed on the skip path:
+    * either a genuine foreachBatch REPLAY (its committing version exists —
+    * return it) or NON-MONOTONE MISUSE (a second stream sharing the table,
+    * a manual backfill with a recycled id) that the old code silently
+    * swallowed, acking rows that were never written (VERDICT r12 #4).
+    * The two are distinguishable whenever the log is complete: version
+    * numbering starts at 1 and vacuum only drops a prefix, so
+    * min(version) == 1 ⇔ no manifest has been dropped ⇒ a missing
+    * batchId manifest proves the id was never committed — throw. With a
+    * vacuumed prefix the id may legitimately live in a dropped manifest;
+    * its rows are part of the base snapshot, so returning the latest
+    * version keeps the documented at-most-once contract. */
+  private def resolveReplayedBatch(s: SparkSession, table: String,
+      batchId: Long, latest: Int): Int =
+    committedVersionOfBatch(s, table, batchId).getOrElse {
+      val versions = listVersions(fs(s, table), table)
+      if (versions.nonEmpty && versions.min == 1)
+        throw new IllegalArgumentException(
+          s"batchId $batchId is <= $table's committed high-water but no " +
+            "manifest committed it: non-monotone batch ids (second stream " +
+            "on this table, or a manual backfill reusing an id) violate " +
+            "the appendBatch contract — use a separate table or plain " +
+            "append() for out-of-band writes")
+      else latest // vacuumed history: the batch's rows are in the base
+    }
 
   /** Commit a new snapshot = previous snapshot's files + df's files.
     * Optimistic: on a lost race the base snapshot is re-read, so the
@@ -202,14 +260,31 @@ object TxnLog {
   def append(s: SparkSession, table: String, df: DataFrame): Int =
     appendFiles(s, table, writeData(s, table, df), None)
 
-  /** The version that committed streaming batch `batchId`, if any —
-    * an O(versions) manifest scan, used only on the rare replay path
-    * (the hot-path skip decision reads one header via [[batchHighOf]]). */
+  /** The version that committed streaming batch `batchId`, if any.
+    * O(log versions) manifest reads (VERDICT r12 #6): every manifest
+    * carries the monotone `batchHigh` high-water, so the FIRST version
+    * whose high-water reaches `batchId` is the only candidate — binary
+    * search it, then confirm that manifest's own batchId (the high-water
+    * may have jumped past an id that never committed). Headerless
+    * pre-batch manifests read as high-water −∞, which keeps the
+    * sequence monotone (they can only precede the first batch commit). */
   def committedVersionOfBatch(s: SparkSession, table: String,
-      batchId: Long): Option[Int] =
-    listVersions(fs(s, table), table).sorted.find { v =>
-      commitInfo(s, table, v).get("batchId").contains(batchId.toString)
+      batchId: Long): Option[Int] = {
+    val versions = listVersions(fs(s, table), table).sorted.toIndexedSeq
+    if (versions.isEmpty) return None
+    def high(v: Int): Long =
+      batchHighOf(s, table, v).getOrElse(Long.MinValue)
+    // smallest index whose batchHigh >= batchId
+    var lo = 0; var hi = versions.size - 1; var found = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (high(versions(mid)) >= batchId) { found = mid; hi = mid - 1 }
+      else lo = mid + 1
     }
+    if (found < 0) None
+    else Some(versions(found)).filter(v =>
+      commitInfo(s, table, v).get("batchId").contains(batchId.toString))
+  }
 
   /** Idempotent micro-batch append — the `foreachBatch` sink primitive.
     * Spark's foreachBatch is at-least-once: after a failure the restarted
@@ -223,13 +298,15 @@ object TxnLog {
     * which matters when a long-running stream has committed thousands of
     * versions. Returns the committing version — the existing one on a
     * skip (or the latest version when the original manifest was
-    * vacuumed; the batch's rows are part of that snapshot either way). */
+    * vacuumed; the batch's rows are part of that snapshot either way).
+    * A skipped id that was NEVER committed (provable whenever the log
+    * has no vacuumed prefix) throws instead of silently acking — see
+    * [[resolveReplayedBatch]] (VERDICT r12 #4). */
   def appendBatch(s: SparkSession, table: String, df: DataFrame,
       batchId: Long): Int = {
     val latest = latestVersion(s, table)
     val skip = latest.flatMap(batchHighOf(s, table, _)).exists(batchId <= _)
-    if (skip)
-      committedVersionOfBatch(s, table, batchId).orElse(latest).get
+    if (skip) resolveReplayedBatch(s, table, batchId, latest.get)
     else appendFiles(s, table, writeData(s, table, df), Some(batchId))
   }
 
@@ -242,8 +319,12 @@ object TxnLog {
     while (committed < 0) {
       val base = latestVersion(s, table)
       val target = base.getOrElse(0) + 1
-      val high = base.flatMap(batchHighOf(s, table, _))
-      if (tryPublish(s, table, target, newFiles, "overwrite", None, high))
+      val baseInfo = base.map(v => commitInfo(s, table, v))
+        .getOrElse(Map.empty)
+      val high = baseInfo.get("batchHigh").flatMap(h => Try(h.toLong).toOption)
+      val baseTs = baseInfo.get("ts").flatMap(t => Try(t.toLong).toOption)
+      if (tryPublish(s, table, target, newFiles, "overwrite", None, high,
+          baseTs.map(_ + 1).getOrElse(0L)))
         committed = target
     }
     committed
@@ -267,22 +348,45 @@ object TxnLog {
     s.read.option("mergeSchema", mergeSchema.toString).parquet(files: _*)
   }
 
-  /** Timestamp time travel: the snapshot as of wall-clock `ts` (epoch
-    * millis) — the HIGHEST version whose commit ts is ≤ `ts` (the Delta
-    * `timestampAsOf` contract). Commit timestamps come from the manifest
-    * headers, so pre-r12 headerless versions are ignored; throws when no
-    * version is old enough. O(versions) header reads, driver-side. */
-  def readAsOf(s: SparkSession, table: String, ts: Long): DataFrame = {
-    val v = listVersions(fs(s, table), table).sorted
-      .filter { v =>
-        commitInfo(s, table, v).get("ts")
-          .flatMap(t => Try(t.toLong).toOption).exists(_ <= ts)
-      }
-      .lastOption
-      .getOrElse(throw new IllegalStateException(
-        s"$table has no snapshot committed at or before $ts"))
-    read(s, table, Some(v))
+  /** The version a timestamp time-travel resolves to: the HIGHEST version
+    * whose commit ts is ≤ `ts` (the Delta `timestampAsOf` contract).
+    * O(log versions) header reads (VERDICT r12 #6): commit timestamps are
+    * clamped monotone at publish (see [[tryPublish]] — max(now, base+1),
+    * Delta's own adjustment), so the predicate "ts(v) ≤ target" is
+    * downward-closed and binary-searchable; headerless pre-r12 versions
+    * read as −∞ (monotone: they predate every stamped commit) but are
+    * never RETURNED — resolving to one throws, exactly like the old
+    * linear scan. Throws when no version is old enough. */
+  def versionAsOf(s: SparkSession, table: String, ts: Long): Int = {
+    val versions = listVersions(fs(s, table), table).sorted.toIndexedSeq
+    def tsOf(v: Int): Option[Long] =
+      commitInfo(s, table, v).get("ts").flatMap(t => Try(t.toLong).toOption)
+    // largest index whose commit ts (−∞ if headerless) is <= target
+    var lo = 0; var hi = versions.size - 1; var found = -1
+    var foundTs: Option[Long] = None
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val t = tsOf(versions(mid))
+      if (t.forall(_ <= ts)) { found = mid; foundTs = t; lo = mid + 1 }
+      else hi = mid - 1
+    }
+    // robustness for the undocumented case of a headerless manifest NOT
+    // in the prefix: never return an unstamped version — walk left to the
+    // nearest stamped one (bounded by the headerless run length)
+    while (found >= 0 && !foundTs.exists(_ <= ts)) {
+      found -= 1
+      foundTs = if (found >= 0) tsOf(versions(found)) else None
+    }
+    if (found < 0 || foundTs.isEmpty)
+      throw new IllegalStateException(
+        s"$table has no snapshot committed at or before $ts")
+    versions(found)
   }
+
+  /** Timestamp time travel: the snapshot as of wall-clock `ts` (epoch
+    * millis) — [[versionAsOf]] + a pinned [[read]]. */
+  def readAsOf(s: SparkSession, table: String, ts: Long): DataFrame =
+    read(s, table, Some(versionAsOf(s, table, ts)))
 
   /** Incremental read: the rows ADDED between snapshot `fromV`
     * (exclusive) and `toV` (inclusive) — the files `toV` references that
@@ -309,21 +413,38 @@ object TxnLog {
   }
 
   /** Retention-bounded cleanup (VERDICT r11 stretch #7): keep the newest
-    * `retain` manifests; delete older manifests, stale `.tmp-` staging
-    * litter, and every data file referenced by NO retained manifest
-    * (which also reclaims directories orphaned by failed/replayed
-    * commits). A reader already holding a DataFrame pinned at a retained
-    * version is untouched; a read at a dropped version fails loudly with
-    * the missing manifest. Maintenance op: run it from one process with
-    * no concurrent writers (like Delta's VACUUM, it is not itself a
-    * transaction). Returns the number of deleted data files. */
-  def vacuum(s: SparkSession, table: String, retain: Int): Int = {
+    * `retain` manifests; delete older manifests, aged `.tmp-` staging
+    * litter, and data files no retained manifest references. A reader
+    * already holding a DataFrame pinned at a retained version is
+    * untouched; a read at a dropped version fails loudly with the
+    * missing manifest. Returns the number of deleted data files.
+    *
+    * Concurrent-writer safety (VERDICT r12 #3): an in-flight `append`
+    * writes its data directory BEFORE publishing the manifest, so at the
+    * instant vacuum lists the data root that directory is referenced by
+    * nothing — the old "reclaim every unreferenced file" rule would
+    * delete a live writer's data out from under its commit (the last
+    * silent-data-loss edge; Delta's VACUUM has the same hazard and the
+    * same fix). Unreferenced files are therefore split:
+    *  - referenced by a DROPPED manifest → published-then-superseded
+    *    history, reclaim immediately;
+    *  - referenced by NO manifest ever (a dead attempt's litter — or an
+    *    in-flight writer!) → reclaim only when older than
+    *    `orphanGraceMs` (default 24 h, Delta's spirit of a retention
+    *    horizon). A commit takes seconds, so any real in-flight write is
+    *    far inside the grace window. `.tmp-` manifest staging files get
+    *    the same gate — deleting a concurrent writer's staged manifest
+    *    mid-publish would crash its rename. */
+  def vacuum(s: SparkSession, table: String, retain: Int,
+      orphanGraceMs: Long = 24L * 3600 * 1000): Int = {
     require(retain >= 1, "retain must keep at least the latest snapshot")
     val f = fs(s, table)
     val versions = listVersions(f, table).sorted
     if (versions.isEmpty) return 0
     val (dropped, kept) = versions.splitAt(math.max(0, versions.size - retain))
     val referenced = kept.flatMap(snapshotFiles(s, table, _)).toSet
+    val droppedRef = dropped.flatMap(snapshotFiles(s, table, _)).toSet
+    val cutoff = System.currentTimeMillis() - orphanGraceMs
     // delete unreferenced data files (under every data/<uuid>/ dir)
     val dataRoot = new Path(table, "data")
     var deleted = 0
@@ -332,14 +453,21 @@ object TxnLog {
         val sub = s"data/${dir.getPath.getName}"
         val parts = f.listStatus(dir.getPath).toSeq
           .filter(_.getPath.getName.endsWith(".parquet"))
-        val (kept, drop) = parts.partition(p =>
-          referenced(s"$sub/${p.getPath.getName}"))
-        if (kept.isEmpty) {
-          // fully-unreferenced commit dir (dead attempt / dropped
-          // restatement): remove it whole, _SUCCESS/.crc husks included
-          deleted += drop.size
+        def rel(p: org.apache.hadoop.fs.FileStatus) =
+          s"$sub/${p.getPath.getName}"
+        val (live, unref) = parts.partition(p => referenced(rel(p)))
+        val reclaimable = unref.filter(p =>
+          droppedRef(rel(p)) || p.getModificationTime < cutoff)
+        // whole-dir removal (husks included) is safe when the dir was
+        // PUBLISHED and fully superseded (all parts in dropped manifests
+        // — no in-flight writer can own it), or when it is aged litter
+        val allDropped = unref.nonEmpty && unref.forall(p => droppedRef(rel(p)))
+        if (live.isEmpty && (allDropped ||
+            (reclaimable.size == unref.size &&
+              dir.getModificationTime < cutoff))) {
+          deleted += reclaimable.size
           f.delete(dir.getPath, true)
-        } else drop.foreach { p =>
+        } else reclaimable.foreach { p =>
           if (f.delete(p.getPath, false)) deleted += 1
         }
       }
@@ -347,7 +475,8 @@ object TxnLog {
     dropped.foreach(v => f.delete(manifestPath(table, v), false))
     if (f.exists(logDir(table)))
       f.listStatus(logDir(table)).toSeq
-        .filter(_.getPath.getName.startsWith(".tmp-"))
+        .filter(p => p.getPath.getName.startsWith(".tmp-") &&
+          p.getModificationTime < cutoff)
         .foreach(p => f.delete(p.getPath, false))
     deleted
   }

@@ -117,7 +117,16 @@ class Round12Spec extends SparkSpec {
       new java.io.File(log, ".tmp-deadbeef").toPath, "x".getBytes)
     val pinned = TxnLog.read(spark, dir, Some(3)) // resolves files NOW
     val before = pinned.agg(sum("value")).head.getLong(0)
-    val deleted = TxnLog.vacuum(spark, dir, retain = 2) // keep v3, v4
+    // default grace: the young .tmp- litter is protected (it could be a
+    // concurrent writer's staged manifest — r13 age gate)...
+    TxnLog.vacuum(spark, dir, retain = 4)
+    assert(log.listFiles().map(_.getName).exists(_.startsWith(".tmp-")),
+      "young staging litter must survive a default-grace vacuum")
+    // ...while grace=0 reclaims aged litter; dropped-manifest data files
+    // are reclaimed regardless of age (published-then-superseded)
+    Thread.sleep(20)
+    val deleted =
+      TxnLog.vacuum(spark, dir, retain = 2, orphanGraceMs = 0) // keep v3, v4
     assert(deleted > 0, "v1/v2's unreferenced data files were not reclaimed")
     // pinned reader at a RETAINED version: file list unchanged, still reads
     assert(pinned.agg(sum("value")).head.getLong(0) === before)
@@ -210,7 +219,10 @@ class Round12Spec extends SparkSpec {
     // its orphan and assert vacuum reclaims it without touching live data
     df(0, 10).write.parquet(s"$dir/data/orphan-dead-attempt")
     assert(dataRoot.listFiles().count(_.isDirectory) === 2)
-    val deleted = TxnLog.vacuum(spark, dir, retain = 1)
+    // grace=0 treats the orphan as aged (Round13Spec gates the default-
+    // grace protection of an IN-FLIGHT writer's identical-looking dir)
+    Thread.sleep(20)
+    val deleted = TxnLog.vacuum(spark, dir, retain = 1, orphanGraceMs = 0)
     assert(deleted > 0, "the orphan's files were not reclaimed")
     assert(dataRoot.listFiles().count(_.isDirectory) === 1)
     assert(TxnLog.read(spark, dir).count() === 10L)
