@@ -140,6 +140,15 @@ object QPipeline extends QueryPack {
     * mirrored exactly); scoring is per-row over the feature aggregate.
     * Weights sized so the score spreads over the corpus (probed: 1.0–3.5
     * at sf0.01, clamp never binds on this data — it guards outliers). */
+  /** The churn feature table, memoized + lineage-truncated per corpus:
+    * user-bounded model state shared by the RFM/reason-code keys (each
+    * previously re-ran the events feature pass — and its orderBy — per
+    * call, or per consumer branch via a per-call localCheckpoint). */
+  private[operators] def chpFeaturesPersisted(s: SparkSession, d: String)
+      : DataFrame =
+    graft.Memo.memo(s, "chpfeat", d)(
+      chpFeaturesLabel(s, d).localCheckpoint(true))
+
   private def chpScored(s: SparkSession, d: String): DataFrame =
     // memoized + persisted: every decile consumer reads it twice (the
     // bounded histogram pass and the final join), and both scoring keys

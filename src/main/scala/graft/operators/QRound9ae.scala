@@ -98,7 +98,7 @@ object QRound9ae extends QueryPack {
   private[graft] def knnLookup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val probes = knnProbeIds.toDF("pid")
-    val knn = QSim.queries("sim_knn_join")(s, d)
+    val knn = QSim.knnJoinPersisted(s, d)
     knn.join(broadcast(probes), col("vec_id") === col("pid"))
       .join(broadcast(t(s, d, "embeddings")
         .select(col("vec_id").as("nid"), col("label").as("n_label"))),

@@ -77,7 +77,7 @@ object QRound9bh extends QueryPack {
   private[graft] def attrAssortativity(s: SparkSession, d: String): DataFrame = {
     val dd = DoubleType
     val lang = t(s, d, "documents").select(col("doc_id"), col("lang"))
-    val knn = QSim.queries("sim_knn_join")(s, d)
+    val knn = QSim.knnJoinPersisted(s, d)
       .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
     val edges = graft.Memo.memo(s, "bfsedges", d)(
       knn.unionByName(knn.select(col("dst").as("src"), col("src").as("dst")))

@@ -64,7 +64,7 @@ object QRound9k extends QueryPack {
 
   private def embKnnClassifier(s: SparkSession, d: String): DataFrame =
     knnClassifier(
-      QSim.queries("sim_knn_join")(s, d).select("vec_id", "nbr_id"),
+      QSim.knnJoinPersisted(s, d).select("vec_id", "nbr_id"),
       t(s, d, "embeddings").select("vec_id", "label"))
 
   private val oEmbKnnClassifier =

@@ -141,7 +141,7 @@ object QRound9l extends QueryPack {
     graft.Memo.memo(s, "hitsscores", d)(
       hitsScores(
         QSim.embPersisted(s, d).select("vec_id"),
-        QSim.queries("sim_knn_join")(s, d)
+        QSim.knnJoinPersisted(s, d)
           .select(col("vec_id").as("src"), col("nbr_id").as("dst")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 

@@ -67,12 +67,30 @@ object QRound9m extends QueryPack {
     * join, so the pair space is Σ_doc |vocab∩doc|² ≤ N·k² — the df-cap
     * discipline of the jaccard/containment family; the vocab table is a
     * TakeOrderedAndProject. */
-  private[graft] def pmiCooccur(docs: DataFrame): DataFrame = {
-    val toks = docs
-      .select(col("doc_id"),
-        explode(split(lower(col("text")), "[^a-z]+")).as("term"))
-      .filter(col("term") =!= "" && length(col("term")) >= 3)
-      .distinct()
+  /** Distinct lowercase-alpha (doc_id, term) table (length ≥ 3),
+    * memoized + lineage-truncated per corpus: `pmiCooccur` consumes it
+    * THREE times in one call (the vocab df-aggregate and both sides of
+    * the pair self-join) — un-shared, the tokenize + distinct scan
+    * re-ran per consumer. Corpus-bounded (one row per distinct doc,
+    * term); the docwords discipline with pmi's own tokenizer. */
+  private def pmiToksPersisted(s: SparkSession, d: String): DataFrame =
+    graft.Memo.memo(s, "pmitoks", d)(
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), "[^a-z]+")).as("term"))
+        .filter(col("term") =!= "" && length(col("term")) >= 3)
+        .distinct()
+        .localCheckpoint(true))
+
+  private[graft] def pmiCooccur(docs: DataFrame): DataFrame =
+    pmiCooccurFrom(docs,
+      docs.select(col("doc_id"),
+          explode(split(lower(col("text")), "[^a-z]+")).as("term"))
+        .filter(col("term") =!= "" && length(col("term")) >= 3)
+        .distinct())
+
+  private[graft] def pmiCooccurFrom(docs: DataFrame, toks: DataFrame)
+      : DataFrame = {
     val n = docs.select(countDistinct(col("doc_id")).as("n_docs"))
     val vocab = toks.groupBy("term").agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("term").asc).limit(pmiVocab)
@@ -93,7 +111,7 @@ object QRound9m extends QueryPack {
   }
 
   private def textPmiCooccur(s: SparkSession, d: String): DataFrame =
-    pmiCooccur(t(s, d, "documents"))
+    pmiCooccurFrom(t(s, d, "documents"), pmiToksPersisted(s, d))
 
   private val oTextPmiCooccur =
     s"""WITH toks AS (SELECT DISTINCT doc_id, tok AS term FROM (
@@ -211,7 +229,7 @@ object QRound9m extends QueryPack {
   }
 
   private def graphHarmonicSampled(s: SparkSession, d: String): DataFrame = {
-    val knn = QSim.queries("sim_knn_join")(s, d)
+    val knn = QSim.knnJoinPersisted(s, d)
       .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
     val edges = graft.Memo.memo(s, "bfsedges", d)(
       knn.unionByName(knn.select(col("dst").as("src"), col("src").as("dst")))

@@ -96,7 +96,7 @@ object QRound9p extends QueryPack {
   }
 
   private def graphStressSampled(s: SparkSession, d: String): DataFrame = {
-    val knn = QSim.queries("sim_knn_join")(s, d)
+    val knn = QSim.knnJoinPersisted(s, d)
       .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
     val edges = graft.Memo.memo(s, "bfsedges", d)(
       knn.unionByName(knn.select(col("dst").as("src"), col("src").as("dst")))

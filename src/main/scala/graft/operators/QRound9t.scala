@@ -47,7 +47,7 @@ object QRound9t extends QueryPack {
   private def embHubnessStats(s: SparkSession, d: String): DataFrame =
     hubnessStats(
       QSim.embPersisted(s, d).select("vec_id"),
-      QSim.queries("sim_knn_join")(s, d).select("vec_id", "nbr_id"))
+      QSim.knnJoinPersisted(s, d).select("vec_id", "nbr_id"))
 
   private val oEmbHubnessStats =
     s"""WITH knn AS MATERIALIZED (SELECT vec_id, nbr_id

@@ -308,23 +308,37 @@ object QSim extends QueryPack {
     * the standard blocked-kNN-join recipe (same cells as sim_ann_kmeans,
     * so the routing model is built once conceptually; a vector alone in
     * its cell yields no rows, deterministically on both engines). */
-  private def simKnnJoin(s: SparkSession, d: String): DataFrame = {
-    graft.plans.CosineSim.register(s)
-    graft.functions.VecCentroid.register(s)
-    val e = embPersisted(s, d)
-    val cent = AnnKMeans.centroidsMemo(s, d, "emb", kmCells, kmIters)(e)
-    val assigned = AnnKMeans.assign(e, cent)
-    val a = assigned.select(col("cell"), col("vec_id"), col("v"))
-    val b = assigned.select(col("cell"), col("vec_id").as("nbr_id"),
-      col("v").as("nv"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("score").desc, col("nbr_id"))
-    a.join(b, Seq("cell")).filter(col("vec_id") =!= col("nbr_id"))
-      .select(col("vec_id"), col("nbr_id"), trunc4(cosine("v", "nv")).as("score"))
-      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= knnK)
-      .select("vec_id", "rnk", "nbr_id", "score")
-      .orderBy("vec_id", "rnk")
-  }
+  /** The kNN neighbor-list table (vec_id, rnk, nbr_id, score), memoized
+    * + lineage-truncated per corpus: it is ANN-index state — consumed by
+    * `sim_knn_join` itself and SIX downstream keys (knn classifier,
+    * neighbor preservation, hist quantile, HDI interval, knn lookup,
+    * survival strata), each of which previously re-ran the full
+    * Σ|cell|²/k cell-blocked distance join per call. N·k rows — tiny.
+    * The memo key embeds shuffle partitions (Memo.memo), so the CPUS=1
+    * determinism sweep genuinely re-executes the join. */
+  private[operators] def knnJoinPersisted(s: SparkSession, d: String)
+      : DataFrame =
+    graft.Memo.memo(s, "knnjoin", d) {
+      graft.plans.CosineSim.register(s)
+      graft.functions.VecCentroid.register(s)
+      val e = embPersisted(s, d)
+      val cent = AnnKMeans.centroidsMemo(s, d, "emb", kmCells, kmIters)(e)
+      val assigned = AnnKMeans.assign(e, cent)
+      val a = assigned.select(col("cell"), col("vec_id"), col("v"))
+      val b = assigned.select(col("cell"), col("vec_id").as("nbr_id"),
+        col("v").as("nv"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("score").desc, col("nbr_id"))
+      a.join(b, Seq("cell")).filter(col("vec_id") =!= col("nbr_id"))
+        .select(col("vec_id"), col("nbr_id"),
+          trunc4(cosine("v", "nv")).as("score"))
+        .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= knnK)
+        .select("vec_id", "rnk", "nbr_id", "score")
+        .localCheckpoint(true)
+    }
+
+  private def simKnnJoin(s: SparkSession, d: String): DataFrame =
+    knnJoinPersisted(s, d).orderBy("vec_id", "rnk")
 
   private val oSimKnnJoin =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
