@@ -19,7 +19,11 @@ import java.nio.file.{Files, Paths}
   * is > 2 the run first waits (≤3 min) for the machine to go quiet, and if
   * it never does, emits a `load_warn` field naming the cold column
   * non-adjudicable. Keys that succeed cold but fail warm are listed in
-  * `warm_errors` (they are invisible in totals otherwise).
+  * `warm_errors` (they are invisible in totals otherwise). A key whose
+  * in-suite warm exceeded max(3 s, 3× its cold) is re-measured once at
+  * suite end and both numbers ship (`warm_remeasured`) — a contended
+  * window mid-suite self-corrects in the artifact instead of reading as
+  * a 30 s "regression" on a 1 s key (VERDICT r13).
   * `calib_single`/`calib_parallel` time one fixed CPU burn run on one
   * thread and on all worker threads: parallel/single ≈ 1 on an
   * unconstrained machine; a ratio of k means the sandbox only delivered
@@ -110,6 +114,19 @@ object Bench {
       val builds = Memo.buildLogFrom(m0)
       (name, cold, warm, builds)
     }
+    // Warm-side self-adjudication (VERDICT r13 missing #3): two driver
+    // rounds landed 10–100 s warm outliers that a standalone re-run
+    // dismissed (r13: lsh_tuning 33.8 s warm vs 1.2 s steady) — a
+    // contended window mid-suite reads as a per-key regression to anyone
+    // diffing artifacts. At suite end, re-measure once any key whose warm
+    // exceeded max(3 s, 3× its cold) and record BOTH numbers; the in-suite
+    // warm stays in `warm` (totals unchanged, comparable across rounds),
+    // the re-measure lands in `warm_remeasured` so the artifact
+    // self-corrects instead of demanding a manual adjudication session.
+    val warmRemeasured = results.collect {
+      case (k, c, w, _) if c >= 0 && w > math.max(3.0, 3.0 * c) =>
+        (k, timed(k))
+    }
     val load1 = loadAvg
     def f3(v: Double): String = f3s(v)
     val errs = results.collect { case (k, c, _, _) if c < 0 => "\"" + k + "\"" }
@@ -141,13 +158,17 @@ object Bench {
         s""","load_warn":"start load ${f3(load0)} > 2 after ${settleWait}s wait; adjudicate on warm"""" else ""
       val we = if (warmErrs.nonEmpty)
         s""","warm_errors":[${warmErrs.mkString(",")}]""" else ""
+      val wr = if (warmRemeasured.nonEmpty)
+        s""","warm_remeasured":${warmRemeasured.map { case (k, v) =>
+          "\"" + k + "\":" + f3(v)
+        }.mkString("{", ",", "}")}""" else ""
       val mm = if (withMemoMap) s""","memo_builds":$memoJson""" else ""
       s"""{"metric":"total","value":${f3(total)},"unit":"sec"""" +
         s""","total_warm":${f3(totalWarm)}""" +
         s""","total_memo_build":${f3(totalMemo)}$mm""" +
         s""","calib_single":${f3(calibSingle)},"calib_parallel":${f3(calibParallel)}""" +
         s""","load_avg_start":${f3(load0)},"load_avg_end":${f3(load1)}$lw""" +
-        s""","queries":$cm,"warm":$wm,"errors":[${errs.mkString(",")}]$we$om""" +
+        s""","queries":$cm,"warm":$wm,"errors":[${errs.mkString(",")}]$we$wr$om""" +
         s""","sf":"$sfDir"}"""
     }
     // Full per-query map to a committed file: the complete JSON line is far
@@ -166,7 +187,8 @@ object Bench {
     // envelope + omitted-fields slack + the errors array (ADVICE r3: a run
     // with many failures must not push the line past the 2000-char tail);
     // each kept key appears in BOTH maps, so it costs 2x(name + number)
-    var len = 430 + (errs ++ warmErrs).map(_.length + 1).sum
+    var len = 430 + (errs ++ warmErrs).map(_.length + 1).sum +
+      warmRemeasured.map(_._1.length + 12).sum
     for ((k, c, w) <- bySlowest if len + 2 * (k.length + 12) <= budget) {
       keep += ((k, c, w)); len += 2 * (k.length + 12)
     }

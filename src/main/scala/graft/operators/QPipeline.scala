@@ -133,13 +133,6 @@ object QPipeline extends QueryPack {
        |  CAST(list_aggregate(list_transform(v, x -> CAST(floor(x / scale * 127 + 0.5) AS BIGINT)), 'max') AS BIGINT) AS q_max
        |FROM s ORDER BY vec_id""".stripMargin
 
-  /** Scored feature rows (user_id, n_purchases, total_value, score):
-    * a fixed linear engagement model over the declared feature set,
-    * clamped to [-10, 10]. Pure arithmetic — no transcendentals, so both
-    * engines compute bit-identical doubles (the expression tree is
-    * mirrored exactly); scoring is per-row over the feature aggregate.
-    * Weights sized so the score spreads over the corpus (probed: 1.0–3.5
-    * at sf0.01, clamp never binds on this data — it guards outliers). */
   /** The churn feature table, memoized + lineage-truncated per corpus:
     * user-bounded model state shared by the RFM/reason-code keys (each
     * previously re-ran the events feature pass — and its orderBy — per
@@ -149,6 +142,13 @@ object QPipeline extends QueryPack {
     graft.Memo.memo(s, "chpfeat", d)(
       chpFeaturesLabel(s, d).localCheckpoint(true))
 
+  /** Scored feature rows (user_id, n_purchases, total_value, score):
+    * a fixed linear engagement model over the declared feature set,
+    * clamped to [-10, 10]. Pure arithmetic — no transcendentals, so both
+    * engines compute bit-identical doubles (the expression tree is
+    * mirrored exactly); scoring is per-row over the feature aggregate.
+    * Weights sized so the score spreads over the corpus (probed: 1.0–3.5
+    * at sf0.01, clamp never binds on this data — it guards outliers). */
   private def chpScored(s: SparkSession, d: String): DataFrame =
     // memoized + persisted: every decile consumer reads it twice (the
     // bounded histogram pass and the final join), and both scoring keys

@@ -1,0 +1,163 @@
+package graft.operators
+
+import graft.QueryPack
+import graft.sources.TxnLog
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-14 transactional-layout keys: the per-writer streaming
+  * idempotence and commit-log checkpoint/compaction surfaces (VERDICT
+  * r13 missing #1/#2) exposed as first-class audited queries, the
+  * `stream_txn_sink`/`maint_txn_vacuum` discipline.
+  *
+  *  - `stream_txn_multiwriter`: TWO streams share one TxnLog table, each
+  *    with its own `appId` and batch clock (the Delta `txnAppId`
+  *    pattern). The staged build interleaves their commits and replays
+  *    one batch of EACH — both replays must be skipped against their own
+  *    high-water while the other stream's commits proceed untouched.
+  *    The audit emits every version's (appId, batchId) from the manifest
+  *    header plus cumulative snapshot totals, so a cross-stream
+  *    high-water collision (the r13 contract rejected the second stream
+  *    outright) or a double-apply breaks rows AND hash.
+  *  - `maint_txn_checkpoint`: the commit log itself as the audited
+  *    subject: N single-file appends produce delta manifests (O(new
+  *    files) text) with full checkpoints at v=1 and every
+  *    [[TxnLog.checkpointInterval]]-th version. The audit reads each
+  *    version's manifest KIND and listed-file count alongside the
+  *    resolved snapshot's file count and row totals — a checkpoint
+  *    missing at its slot, a delta listing history it didn't add, or a
+  *    mis-resolved chain all break the hash.
+  *
+  * Scale shapes: both audits are log-length-bounded driver metadata
+  * (exactly like every table format's history inspection) plus one
+  * pruned parquet scan + map-side-partial aggregate per version; the
+  * staged builds are one-time per sfDir. Checkpoint resolution reads ≤
+  * interval manifests; steady-state commit text is O(new files)
+  * (TxnLog.scala).
+  */
+object QRound14 extends QueryPack {
+
+  // ---- stream_txn_multiwriter ----
+
+  private[graft] val mwBatches = 3 // per stream
+  private[graft] val mwRowsA = 100L
+  private[graft] val mwRowsB = 50L
+  private[graft] val mwBaseB = 1000L
+
+  /** Staged once per sfDir: streams wA and wB alternate batch commits on
+    * one table; each stream replays one of its own already-committed ids
+    * mid-run (the at-least-once restart shape) — the skip must resolve
+    * against ITS high-water only. */
+  private[graft] def mwTable(s: SparkSession, d: String): String =
+    QRound3.staged(s, d, "txnmw") { dir =>
+      def sliceA(b: Int): DataFrame =
+        s.range(b * mwRowsA, (b + 1) * mwRowsA, 1, 1).toDF("value")
+      def sliceB(b: Int): DataFrame =
+        s.range(mwBaseB + b * mwRowsB, mwBaseB + (b + 1) * mwRowsB, 1, 1)
+          .toDF("value")
+      for (b <- 0 until mwBatches) {
+        TxnLog.appendBatch(s, dir, sliceA(b), b.toLong, appId = "wA")
+        // wA's restart replays the id it just committed — must skip
+        if (b == 1) TxnLog.appendBatch(s, dir, sliceA(b), b.toLong,
+          appId = "wA")
+        TxnLog.appendBatch(s, dir, sliceB(b), b.toLong, appId = "wB")
+        // wB's restart replays its FIRST id well after committing it
+        if (b == 2) TxnLog.appendBatch(s, dir, sliceB(0), 0L, appId = "wB")
+      }
+    }
+
+  /** Per-version audit: the committing writer + batch id from the
+    * manifest header, and the snapshot's cumulative totals. Exactly-once
+    * per writer means exactly 2·mwBatches versions, strictly
+    * alternating writers. */
+  private def streamTxnMultiwriter(s: SparkSession, d: String): DataFrame = {
+    val dir = mwTable(s, d)
+    val latest = TxnLog.latestVersion(s, dir).getOrElse(0)
+    (1 to latest).map { v =>
+      val info = TxnLog.commitInfo(s, dir, v)
+      TxnLog.read(s, dir, Some(v))
+        .agg(count(lit(1)).as("n_rows"), sum(col("value")).as("sum_value"))
+        .select(lit(v).as("version"),
+          lit(info.getOrElse("appId", "")).as("app_id"),
+          info.get("batchId").map(b => lit(b.toLong))
+            .getOrElse(lit(null)).cast(LongType).as("batch_id"),
+          col("n_rows"), col("sum_value"))
+    }.reduce(_ unionAll _).orderBy("version")
+  }
+
+  /** Analytic replay: odd versions are wA commits, even are wB; after
+    * version v the snapshot holds ceil(v/2) wA slices of 100 values
+    * [0, 100·aB) and floor(v/2) wB slices of 50 values
+    * [1000, 1000 + 50·bB). Replayed ids add no versions. */
+  private val oStreamTxnMultiwriter =
+    s"""SELECT CAST(v AS INT) AS version,
+       |  CASE WHEN v % 2 = 1 THEN 'wA' ELSE 'wB' END AS app_id,
+       |  CAST((v - 1) // 2 AS BIGINT) AS batch_id,
+       |  CAST($mwRowsA * ((v + 1) // 2) + $mwRowsB * (v // 2) AS BIGINT)
+       |    AS n_rows,
+       |  CAST(($mwRowsA * ((v + 1) // 2)) * ($mwRowsA * ((v + 1) // 2) - 1)
+       |      // 2
+       |    + $mwBaseB * ($mwRowsB * (v // 2))
+       |    + ($mwRowsB * (v // 2)) * ($mwRowsB * (v // 2) - 1) // 2
+       |    AS BIGINT) AS sum_value
+       |FROM (SELECT unnest(generate_series(1, ${2 * mwBatches})) AS v)
+       |ORDER BY version""".stripMargin
+
+  // ---- maint_txn_checkpoint ----
+
+  private[graft] val ckAppends = 23
+  private[graft] val ckRowsPer = 10L
+
+  /** Staged once per sfDir: ckAppends single-file appends — every
+    * manifest between checkpoints must list exactly one file. */
+  private[graft] def ckTable(s: SparkSession, d: String): String =
+    QRound3.staged(s, d, "txnck") { dir =>
+      for (i <- 1 to ckAppends)
+        TxnLog.append(s, dir,
+          s.range((i - 1) * ckRowsPer, i * ckRowsPer, 1, 1).toDF("value"))
+    }
+
+  /** Per-version log-shape audit: manifest kind + listed-file count vs
+    * the resolved snapshot's file count and row totals. */
+  private def maintTxnCheckpoint(s: SparkSession, d: String): DataFrame = {
+    val dir = ckTable(s, d)
+    val latest = TxnLog.latestVersion(s, dir).getOrElse(0)
+    (1 to latest).map { v =>
+      val kind = TxnLog.commitInfo(s, dir, v).getOrElse("kind", "full")
+      val listed = TxnLog.listedFiles(s, dir, v).size
+      val resolved = TxnLog.snapshotFiles(s, dir, v).size
+      TxnLog.read(s, dir, Some(v))
+        .agg(count(lit(1)).as("n_rows"), sum(col("value")).as("sum_value"))
+        .select(lit(v).as("version"), lit(kind).as("kind"),
+          lit(listed).as("n_listed"), lit(resolved).as("n_snapshot"),
+          col("n_rows"), col("sum_value"))
+    }.reduce(_ unionAll _).orderBy("version")
+  }
+
+  /** Analytic replay of the log shape: full checkpoints at v=1 and every
+    * interval-th version listing all v files, deltas listing exactly 1;
+    * version v's snapshot is v single-file appends = rows [0, 10v). */
+  private val oMaintTxnCheckpoint = {
+    val iv = TxnLog.checkpointInterval
+    s"""SELECT CAST(v AS INT) AS version,
+       |  CASE WHEN v = 1 OR v % $iv = 0 THEN 'full' ELSE 'delta' END
+       |    AS kind,
+       |  CAST(CASE WHEN v = 1 OR v % $iv = 0 THEN v ELSE 1 END AS INT)
+       |    AS n_listed,
+       |  CAST(v AS INT) AS n_snapshot,
+       |  CAST($ckRowsPer * v AS BIGINT) AS n_rows,
+       |  CAST(($ckRowsPer * v) * ($ckRowsPer * v - 1) // 2 AS BIGINT)
+       |    AS sum_value
+       |FROM (SELECT unnest(generate_series(1, $ckAppends)) AS v)
+       |ORDER BY version""".stripMargin
+  }
+
+  val queries: Map[String, QFn] = Map(
+    "stream_txn_multiwriter" -> ((s, d) => streamTxnMultiwriter(s, d)),
+    "maint_txn_checkpoint"   -> ((s, d) => maintTxnCheckpoint(s, d)))
+
+  val oracles: Map[String, String] = Map(
+    "stream_txn_multiwriter" -> oStreamTxnMultiwriter,
+    "maint_txn_checkpoint"   -> oMaintTxnCheckpoint)
+}

@@ -60,10 +60,14 @@ object QRound7d extends QueryPack {
     * (distinct) train set once or not at all, so n_grams = count(*) and
     * n_hit = count(matched) in the same pass (the first spelling ran a
     * semi-join plus two separate per-doc aggregates, re-deriving the
-    * n-gram explode per consumer — 3× the tokenize+md5 scan per call). */
-  private[graft] def decontamAuditFrom(train: DataFrame, ev: DataFrame)
-      : DataFrame =
-    ev.join(train.withColumn("hit", lit(1)), Seq("h"), "left")
+    * n-gram explode per consumer — 3× the tokenize+md5 scan per call).
+    * `distinctTrain` MUST be distinct on h — a duplicated fingerprint
+    * would multiply matching eval rows through the left join and
+    * silently inflate n_grams and n_hit; the name states the
+    * precondition both callers already satisfy (ADVICE r13). */
+  private[graft] def decontamAuditFrom(distinctTrain: DataFrame,
+      ev: DataFrame): DataFrame =
+    ev.join(distinctTrain.withColumn("hit", lit(1)), Seq("h"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hit"))
       .withColumn("contam_frac",

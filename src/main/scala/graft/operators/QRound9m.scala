@@ -73,21 +73,21 @@ object QRound9m extends QueryPack {
     * the pair self-join) — un-shared, the tokenize + distinct scan
     * re-ran per consumer. Corpus-bounded (one row per distinct doc,
     * term); the docwords discipline with pmi's own tokenizer. */
+  /** The one spelling of pmi's tokenizer, shared by the memoized
+    * declared-key path and the unit-test wrapper so the two cannot
+    * drift apart (ADVICE r13). */
+  private def pmiToks(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(split(lower(col("text")), "[^a-z]+")).as("term"))
+      .filter(col("term") =!= "" && length(col("term")) >= 3)
+      .distinct()
+
   private def pmiToksPersisted(s: SparkSession, d: String): DataFrame =
     graft.Memo.memo(s, "pmitoks", d)(
-      t(s, d, "documents")
-        .select(col("doc_id"),
-          explode(split(lower(col("text")), "[^a-z]+")).as("term"))
-        .filter(col("term") =!= "" && length(col("term")) >= 3)
-        .distinct()
-        .localCheckpoint(true))
+      pmiToks(t(s, d, "documents")).localCheckpoint(true))
 
   private[graft] def pmiCooccur(docs: DataFrame): DataFrame =
-    pmiCooccurFrom(docs,
-      docs.select(col("doc_id"),
-          explode(split(lower(col("text")), "[^a-z]+")).as("term"))
-        .filter(col("term") =!= "" && length(col("term")) >= 3)
-        .distinct())
+    pmiCooccurFrom(docs, pmiToks(docs))
 
   private[graft] def pmiCooccurFrom(docs: DataFrame, toks: DataFrame)
       : DataFrame = {

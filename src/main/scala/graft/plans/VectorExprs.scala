@@ -145,3 +145,61 @@ object SqDistLong {
       .createOrReplaceTempFunction("sqdist_q",
         (exprs: Seq[Expression]) => SqDistLong(exprs.head, exprs(1)), "scala_udf")
 }
+
+/** Native kernel for the EXACT long dot product Σ a_i·b_i over
+  * ARRAY<BIGINT> (the quantized-vector spelling): one fused loop,
+  * whole-stage codegen — the `sq_diff_sum`/`sqdist_q` pattern applied to
+  * the remaining interpreted reduction (VERDICT r13 #5: the PCA
+  * projection ran `aggregate(zip_with(qv, z, a*b), 0L, acc+x)` — two
+  * boxed-long lambdas per element per row — for every projected vector;
+  * the cosine family itself already runs the native [[CosineSim]]
+  * kernel). Integer sums are order-independent, so results are
+  * bit-identical to the HOF spelling and the DuckDB
+  * list_transform/list_sum twin. */
+case class DotLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(org.apache.spark.sql.types.LongType, _),
+            ArrayType(org.apache.spark.sql.types.LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "dot_q requires ARRAY<BIGINT> arguments, got " +
+          s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    DotLong.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.plans.DotLong.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotLong =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotLong {
+  def compute(x: ArrayData, y: ArrayData): Long = {
+    val n = x.numElements()
+    require(n == y.numElements(),
+      s"dot_q: vector length mismatch ($n vs ${y.numElements()})")
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    acc
+  }
+
+  def register(spark: SparkSession): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction("dot_q",
+        (exprs: Seq[Expression]) => DotLong(exprs.head, exprs(1)), "scala_udf")
+}

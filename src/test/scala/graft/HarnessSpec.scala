@@ -96,7 +96,11 @@ class HarnessSpec extends SparkSpec {
     "dedup_tfidf_nn",
     // round 11 second pass: shared seq-edge memo + driver-side bounded
     // closure (hub pick is a limit over a deterministic tiebreak sort)
-    "graph_scc_hubs", "graph_reciprocity")
+    "graph_scc_hubs", "graph_reciprocity",
+    // round 14: per-writer idempotent commits + delta/checkpoint log
+    // shape (staged TxnLog tables — file layout varies with
+    // partitioning; the audits must not)
+    "stream_txn_multiwriter", "maint_txn_checkpoint")
 
   test("Memo.memo: concurrent misses build exactly once (no leaked loser)") {
     val built = new java.util.concurrent.atomic.AtomicInteger(0)

@@ -146,7 +146,10 @@ class Round7bSpec extends SparkSpec {
   test("plan shapes: semdedup pairs stay an equi-join on cell, EWMA is one partitioned window, phash adjacency broadcasts") {
     graft.plans.CosineSim.register(spark)
     graft.functions.VecCentroid.register(spark)
-    val sd = SparkEntry.queries("dedup_semdedup")(spark, sf)
+    // gate the RAW verdict dataflow — the declared key reads the memoized
+    // localCheckpoint of this plan, whose executed plan is just a cached
+    // scan + sort (see semdedupVerdict)
+    val sd = operators.QRound7b.semdedupVerdictBuild(spark, sf)
       .queryExecution.executedPlan.toString
     // the pair space is bucketed by cell: no cartesian anywhere, and the
     // centroid attach is broadcast model state
