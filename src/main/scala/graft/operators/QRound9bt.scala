@@ -140,7 +140,20 @@ object QRound9bt extends QueryPack {
     * Scale shape: the projection is one explode-join-rollup against a
     * broadcast 1024-row sign matrix (map-side); the audit joins two
     * bounded deterministic samples. */
-  private[graft] def jlProjection(s: SparkSession, d: String): DataFrame = {
+  /** Per-corpus JL projection index (vec_id, q, pq) — corpus-count × 80
+    * longs, the sketch a real pipeline materializes once. Memoized:
+    * un-memoized the explode/sign/re-collect chain re-ran under BOTH
+    * pair branches on every call (VERDICT r12 #1b, ~4.9× the oracle).
+    * Shared with `emb_neighbor_preservation` (QRound9cf), which
+    * previously re-spelled AND re-derived it per call. */
+  private[operators] def jlIndex(s: SparkSession, d: String): DataFrame =
+    graft.Memo.memo(s, "jlproj", d)(
+      jlIndexBuild(s, d).localCheckpoint(true))
+
+  /** The raw (un-memoized) index dataflow behind [[jlIndex]]: quantized
+    * embeddings + a deterministic md5-sign 64→16 projection matrix,
+    * explode-join-rollup against the broadcast 1024-row matrix. */
+  private[operators] def jlIndexBuild(s: SparkSession, d: String): DataFrame = {
     val qe = t(s, d, "embeddings").select(col("vec_id"),
       expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1e6 + 5e-1) AS BIGINT))")
         .as("q"))
@@ -156,12 +169,11 @@ object QRound9bt extends QueryPack {
       .groupBy("vec_id").agg(
         expr("transform(array_sort(collect_list(struct(tdim, pv))), z -> z.pv)")
           .as("pq"))
-    // per-corpus projection index (vec_id, q, pq) — corpus-count × 80
-    // longs, the JL sketch a real pipeline materializes once. Un-memoized
-    // the explode/sign/re-collect chain re-ran under BOTH pair branches
-    // on every call (VERDICT r12 #1b, ~4.9× the oracle).
-    val full = graft.Memo.memo(s, "jlproj", d)(
-      qe.join(proj, "vec_id").localCheckpoint(true))
+    qe.join(proj, "vec_id")
+  }
+
+  private[graft] def jlProjection(s: SparkSession, d: String): DataFrame = {
+    val full = jlIndex(s, d)
     val anch = full.filter(col("vec_id") % 8 === 0).select(
       col("vec_id").as("ia"), col("q").as("qa"), col("pq").as("pa"))
     val cand = full.filter(col("vec_id") % 8 === 4).select(

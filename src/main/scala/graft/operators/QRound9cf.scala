@@ -180,22 +180,11 @@ object QRound9cf extends QueryPack {
     * sqdist_q kernel; overlap is a tiny join. */
   private[graft] def neighborPreservation(s: SparkSession, d: String): DataFrame = {
     graft.plans.SqDistLong.register(s)
-    val qe = t(s, d, "embeddings").select(col("vec_id"),
-      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1e6 + 5e-1) AS BIGINT))")
-        .as("q"))
-    val signs = s.range(16).select(col("id").cast(IntegerType).as("tdim"))
-      .crossJoin(s.range(64).select(col("id").cast(IntegerType).as("sdim")))
-      .select(col("tdim"), col("sdim"), expr(
-        "1L - 2L * (CAST(conv(substring(md5(concat(CAST(tdim AS STRING), '_', CAST(sdim AS STRING))), 1, 15), 16, 10) AS BIGINT) % 2L)")
-        .as("sg"))
-    val comps = qe.select(col("vec_id"), posexplode(col("q")))
-      .select(col("vec_id"), col("pos").as("sdim"), col("col").as("qv"))
-    val proj = comps.join(broadcast(signs), "sdim")
-      .groupBy("vec_id", "tdim").agg(sum(col("sg") * col("qv")).as("pv"))
-      .groupBy("vec_id").agg(
-        expr("transform(array_sort(collect_list(struct(tdim, pv))), z -> z.pv)")
-          .as("pq"))
-    val full = qe.join(proj, "vec_id")
+    // the memoized (vec_id, q, pq) JL index shared with
+    // emb_jl_projection — one spelling, one build (ADVICE-r13-style
+    // dedup: the re-spelled copy here could drift from the declared
+    // projection, and re-derived it per call)
+    val full = QRound9bt.jlIndex(s, d)
     def top5(space: String): DataFrame = {
       val anch = full.filter(col("vec_id") % 8 === 0)
         .select(col("vec_id").as("aid"), col(space).as("av"))

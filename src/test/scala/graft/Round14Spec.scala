@@ -67,6 +67,47 @@ class Round14Spec extends SparkSpec {
     }
   }
 
+  test("two RACING streams: concurrent per-appId appendBatch commits all " +
+    "land exactly once, high-waters merge across the retry path") {
+    val dir = freshTable()
+    TxnLog.append(spark, dir, df(0, 10)) // v1 so both racers retry against it
+    import java.util.concurrent.{CountDownLatch, Executors}
+    val pool = Executors.newFixedThreadPool(2)
+    try {
+      val gate = new CountDownLatch(1)
+      val fa = pool.submit[Unit] { () =>
+        gate.await()
+        for (b <- 0 to 2)
+          TxnLog.appendBatch(spark, dir, df(100 + b * 10, 110 + b * 10),
+            b.toLong, appId = "ra")
+      }
+      val fb = pool.submit[Unit] { () =>
+        gate.await()
+        for (b <- 0 to 2)
+          TxnLog.appendBatch(spark, dir, df(200 + b * 10, 210 + b * 10),
+            b.toLong, appId = "rb")
+      }
+      gate.countDown(); fa.get(); fb.get()
+    } finally pool.shutdown()
+    // every batch of both writers landed exactly once: 10 base + 6×10
+    val snap = TxnLog.read(spark, dir)
+    assert(snap.count() === 70L)
+    import org.apache.spark.sql.functions._
+    assert(snap.groupBy("value").count()
+      .agg(max("count")).head.getLong(0) === 1L, "a racing retry double-applied")
+    val latest = TxnLog.latestVersion(spark, dir).get
+    assert(latest === 7)
+    // the latest manifest carries BOTH writers' high-waters — a lost race
+    // must merge the winner's tokens, not clobber them
+    assert(TxnLog.batchHighOf(spark, dir, latest, "ra") === Some(2L))
+    assert(TxnLog.batchHighOf(spark, dir, latest, "rb") === Some(2L))
+    // and each writer's ids resolve to distinct committing versions
+    val vs = (for (app <- Seq("ra", "rb"); b <- 0L to 2L)
+      yield TxnLog.committedVersionOfBatch(spark, dir, b, app)).flatten
+    assert(vs.size === 6 && vs.distinct.size === 6,
+      s"committed versions not unique: $vs")
+  }
+
   test("default-appId contract is byte-compatible: a legacy header " +
     "round-trips and the default stream behaves as before") {
     val dir = freshTable()
