@@ -158,7 +158,10 @@ object Bench {
         s""","load_warn":"start load ${f3(load0)} > 2 after ${settleWait}s wait; adjudicate on warm"""" else ""
       val we = if (warmErrs.nonEmpty)
         s""","warm_errors":[${warmErrs.mkString(",")}]""" else ""
-      val wr = if (warmRemeasured.nonEmpty)
+      // always present in the FULL artifact (empty = the trigger fired on
+      // nothing), so a reader can tell "mechanism armed, no outlier" from
+      // "pre-r14 artifact"; the compact stdout line drops it when empty
+      val wr = if (warmRemeasured.nonEmpty || withMemoMap)
         s""","warm_remeasured":${warmRemeasured.map { case (k, v) =>
           "\"" + k + "\":" + f3(v)
         }.mkString("{", ",", "}")}""" else ""

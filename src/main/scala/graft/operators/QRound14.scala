@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.QueryPack
+import graft.sources.Tables.t
 import graft.sources.TxnLog
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -28,6 +29,11 @@ import org.apache.spark.sql.types._
   *    resolved snapshot's file count and row totals — a checkpoint
   *    missing at its slot, a delta listing history it didn't add, or a
   *    mis-resolved chain all break the hash.
+  *  - `maint_txn_restore`: roll-back-by-committing-forward (Delta's
+  *    RESTORE): v4 restores v2's exact snapshot as a NEW commit (v3
+  *    stays readable history), and a post-restore append extends the
+  *    restored base — the bad-deploy recovery every versioned table
+  *    needs, audited version-by-version across the boundary.
   *
   * Scale shapes: both audits are log-length-bounded driver metadata
   * (exactly like every table format's history inspection) plus one
@@ -192,11 +198,75 @@ object QRound14 extends QueryPack {
        |ORDER BY version""".stripMargin
   }
 
+  // ---- maint_txn_restore ----
+
+  /** Staged once per sfDir: three commits over deterministic orders
+    * slices, a RESTORE back to v2, then a post-restore append — the
+    * roll-back-then-keep-going shape every bad-deploy recovery runs.
+    *   v1 overwrite: o_orderkey % 4 == 0    v2 append: % 4 == 1
+    *   v3 append:    % 4 == 2               v4 RESTORE to v2
+    *   v5 append:    % 4 == 3  (on the restored base) */
+  private[graft] def restoreTable(s: SparkSession, d: String): String =
+    QRound3.staged(s, d, "txnrestore") { dir =>
+      val o = t(s, d, "orders").select(col("o_orderkey"),
+        floor(col("o_totalprice") * lit(1e2) + lit(5e-1)).cast(LongType)
+          .as("cents"))
+      TxnLog.overwrite(s, dir, o.filter(col("o_orderkey") % 4 === 0))
+      TxnLog.append(s, dir, o.filter(col("o_orderkey") % 4 === 1))
+      TxnLog.append(s, dir, o.filter(col("o_orderkey") % 4 === 2))
+      TxnLog.restore(s, dir, 2)
+      TxnLog.append(s, dir, o.filter(col("o_orderkey") % 4 === 3))
+    }
+
+  /** Per-version audit across the restore boundary: op from the manifest
+    * header + snapshot totals. v4 must equal v2 exactly (the restore is
+    * a commit, not a rewrite — v3 stays readable), v5 extends the
+    * RESTORED base (slice C stays gone). Log-length-bounded per-version
+    * reads, each one pruned scan + a map-side-partial aggregate. */
+  private def maintTxnRestore(s: SparkSession, d: String): DataFrame = {
+    val dir = restoreTable(s, d)
+    val latest = TxnLog.latestVersion(s, dir).getOrElse(0)
+    (1 to latest).map { v =>
+      val op = TxnLog.commitInfo(s, dir, v).getOrElse("op", "")
+      TxnLog.read(s, dir, Some(v))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+        .select(lit(v).as("version"), lit(op).as("op"),
+          col("n_rows"), col("sum_cents"))
+    }.reduce(_ unionAll _).orderBy("version")
+  }
+
+  private val oMaintTxnRestore =
+    """WITH o AS (SELECT o_orderkey,
+      |    CAST(floor(o_totalprice * 1e2 + 5e-1) AS BIGINT) AS cents
+      |  FROM orders),
+      |s AS (SELECT o_orderkey % 4 AS m, count(*) AS n,
+      |    CAST(sum(cents) AS BIGINT) AS sc FROM o GROUP BY 1),
+      |v AS (
+      |  SELECT 1 AS version, 'overwrite' AS op, (SELECT n FROM s WHERE m = 0) AS n_rows,
+      |    (SELECT sc FROM s WHERE m = 0) AS sum_cents
+      |  UNION ALL SELECT 2, 'append',
+      |    (SELECT sum(n) FROM s WHERE m IN (0, 1)),
+      |    (SELECT sum(sc) FROM s WHERE m IN (0, 1))
+      |  UNION ALL SELECT 3, 'append',
+      |    (SELECT sum(n) FROM s WHERE m IN (0, 1, 2)),
+      |    (SELECT sum(sc) FROM s WHERE m IN (0, 1, 2))
+      |  UNION ALL SELECT 4, 'restore',
+      |    (SELECT sum(n) FROM s WHERE m IN (0, 1)),
+      |    (SELECT sum(sc) FROM s WHERE m IN (0, 1))
+      |  UNION ALL SELECT 5, 'append',
+      |    (SELECT sum(n) FROM s WHERE m IN (0, 1, 3)),
+      |    (SELECT sum(sc) FROM s WHERE m IN (0, 1, 3)))
+      |SELECT version, op, CAST(n_rows AS BIGINT) AS n_rows,
+      |  CAST(sum_cents AS BIGINT) AS sum_cents
+      |FROM v ORDER BY version""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "stream_txn_multiwriter" -> ((s, d) => streamTxnMultiwriter(s, d)),
-    "maint_txn_checkpoint"   -> ((s, d) => maintTxnCheckpoint(s, d)))
+    "maint_txn_checkpoint"   -> ((s, d) => maintTxnCheckpoint(s, d)),
+    "maint_txn_restore"      -> ((s, d) => maintTxnRestore(s, d)))
 
   val oracles: Map[String, String] = Map(
     "stream_txn_multiwriter" -> oStreamTxnMultiwriter,
-    "maint_txn_checkpoint"   -> oMaintTxnCheckpoint)
+    "maint_txn_checkpoint"   -> oMaintTxnCheckpoint,
+    "maint_txn_restore"      -> oMaintTxnRestore)
 }

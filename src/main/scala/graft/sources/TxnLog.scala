@@ -443,6 +443,31 @@ object TxnLog {
     committed
   }
 
+  /** Roll the table back to snapshot `toVersion` by COMMITTING FORWARD
+    * (Delta's RESTORE): publishes a new version whose file list is
+    * exactly `toVersion`'s — history is never rewritten, the restore is
+    * itself a commit (readable, time-travelable, vacuum-safe: the
+    * restored files are referenced by the new head, so they survive
+    * vacuum even after `toVersion`'s own manifest is dropped). Always a
+    * full checkpoint manifest; carries every writer's batch high-water
+    * forward — a restore does not reset streaming idempotence (replayed
+    * batch ids must still skip, exactly as after an overwrite
+    * restatement). Returns the new version. */
+  def restore(s: SparkSession, table: String, toVersion: Int): Int = {
+    val files = snapshotFiles(s, table, toVersion) // fails loudly if gone
+    var committed = -1
+    while (committed < 0) {
+      val base = latestVersion(s, table).getOrElse(
+        throw new IllegalStateException(s"$table has no committed snapshot"))
+      val baseInfo = commitInfo(s, table, base)
+      val baseTs = baseInfo.get("ts").flatMap(t => Try(t.toLong).toOption)
+      if (tryPublish(s, table, base + 1, files, "restore", None, "",
+          highsOf(baseInfo), "full", baseTs.map(_ + 1).getOrElse(0L)))
+        committed = base + 1
+    }
+    committed
+  }
+
   /** Snapshot read: resolves `version` (default: latest) ONCE and pins
     * that manifest's file list — later commits are invisible (snapshot
     * isolation), and any published version stays readable (time travel)

@@ -100,7 +100,7 @@ class HarnessSpec extends SparkSpec {
     // round 14: per-writer idempotent commits + delta/checkpoint log
     // shape (staged TxnLog tables — file layout varies with
     // partitioning; the audits must not)
-    "stream_txn_multiwriter", "maint_txn_checkpoint")
+    "stream_txn_multiwriter", "maint_txn_checkpoint", "maint_txn_restore")
 
   test("Memo.memo: concurrent misses build exactly once (no leaked loser)") {
     val built = new java.util.concurrent.atomic.AtomicInteger(0)

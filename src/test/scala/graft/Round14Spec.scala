@@ -199,6 +199,34 @@ class Round14Spec extends SparkSpec {
       "interpreted HOF reduction still in the projection")
   }
 
+  test("restore commits forward and survives vacuum: the restored head " +
+    "keeps its files after the source version's manifest drops") {
+    val dir = freshTable()
+    TxnLog.overwrite(spark, dir, df(0, 10))  // v1
+    TxnLog.append(spark, dir, df(10, 30))    // v2
+    TxnLog.overwrite(spark, dir, df(50, 55)) // v3 restates (drops v1/v2 files)
+    val rv = TxnLog.restore(spark, dir, 2)   // v4 = v2's exact snapshot
+    assert(rv === 4)
+    assert(TxnLog.read(spark, dir).count() === 30L)
+    assert(TxnLog.commitInfo(spark, dir, 4).get("op") === Some("restore"))
+    // history intact: v3 still reads its own restatement
+    assert(TxnLog.read(spark, dir, Some(3)).count() === 5L)
+    // a replayed batch id must still skip after a restore (high-waters
+    // carried forward like an overwrite)
+    TxnLog.appendBatch(spark, dir, df(100, 110), batchId = 1L) // v5
+    assert(TxnLog.appendBatch(spark, dir, df(100, 110), batchId = 1L) === 5)
+    assert(TxnLog.read(spark, dir).count() === 40L)
+    // vacuum drops v1..v3; the restored files are referenced by v4/v5
+    // and survive — the head stays fully readable
+    Thread.sleep(20)
+    TxnLog.vacuum(spark, dir, retain = 2, orphanGraceMs = 0)
+    intercept[Exception] { TxnLog.read(spark, dir, Some(2)).count() }
+    assert(TxnLog.read(spark, dir, Some(4)).count() === 30L)
+    assert(TxnLog.read(spark, dir).count() === 40L)
+    // restoring to a vacuumed version fails loudly
+    intercept[Exception] { TxnLog.restore(spark, dir, 1) }
+  }
+
   test("vacuum materializes the oldest retained delta into a full " +
     "checkpoint before dropping its chain prefix") {
     val dir = freshTable()
