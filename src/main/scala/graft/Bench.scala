@@ -20,10 +20,21 @@ import java.nio.file.{Files, Paths}
   * it never does, emits a `load_warn` field naming the cold column
   * non-adjudicable. Keys that succeed cold but fail warm are listed in
   * `warm_errors` (they are invisible in totals otherwise). A key whose
-  * in-suite warm exceeded max(3 s, 3× its cold) is re-measured once at
-  * suite end and both numbers ship (`warm_remeasured`) — a contended
-  * window mid-suite self-corrects in the artifact instead of reading as
-  * a 30 s "regression" on a 1 s key (VERDICT r13).
+  * in-suite warm exceeded an ABSOLUTE 3 s is re-measured once at suite
+  * end and both numbers ship (`warm_remeasured`) — a contended window
+  * mid-suite self-corrects in the artifact instead of reading as a 30 s
+  * "regression" on a 1 s key (VERDICT r13). The r14 driver run proved
+  * the earlier relative trigger (warm > 3× cold) insufficient: a ~10 min
+  * environment stall inflated cold AND warm equally across one
+  * alphabetical block (win_* 15–93 s on keys that run 0.4–1.4 s steady),
+  * so the ratio never fired; the absolute trigger costs ~3 re-runs
+  * (~16 s) on a clean suite and catches uniform stalls. A re-measure
+  * that itself fails lands in `warm_remeasure_errors` (never a fake
+  * -1.0 "time" — ADVICE r14). The full artifact also carries `t`, each
+  * key's suite-relative start offset in seconds, and
+  * `calib_parallel_end` (the start-of-suite burn repeated at suite end),
+  * so a mid-run stall window is directly visible in the artifact
+  * instead of demanding a standalone adjudication session.
   * `calib_single`/`calib_parallel` time one fixed CPU burn run on one
   * thread and on all worker threads: parallel/single ≈ 1 on an
   * unconstrained machine; a ratio of k means the sandbox only delivered
@@ -107,33 +118,49 @@ object Bench {
     // around each key and emit the builds it triggered alongside its
     // times. A reader diffing BENCH_r{N} subtracts the attributed build
     // seconds before calling a cold regression.
+    val suiteT0 = System.nanoTime()
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+      val off = (System.nanoTime() - suiteT0) / 1e9
       val m0 = Memo.buildLogSize
       val cold = timed(name)
       val warm = if (cold < 0) -1.0 else timed(name)
       val builds = Memo.buildLogFrom(m0)
-      (name, cold, warm, builds)
+      (name, cold, warm, builds, off)
     }
-    // Warm-side self-adjudication (VERDICT r13 missing #3): two driver
+    // Warm-side self-adjudication (VERDICT r13 missing #3): THREE driver
     // rounds landed 10–100 s warm outliers that a standalone re-run
-    // dismissed (r13: lsh_tuning 33.8 s warm vs 1.2 s steady) — a
-    // contended window mid-suite reads as a per-key regression to anyone
-    // diffing artifacts. At suite end, re-measure once any key whose warm
-    // exceeded max(3 s, 3× its cold) and record BOTH numbers; the in-suite
-    // warm stays in `warm` (totals unchanged, comparable across rounds),
-    // the re-measure lands in `warm_remeasured` so the artifact
-    // self-corrects instead of demanding a manual adjudication session.
-    val warmRemeasured = results.collect {
-      case (k, c, w, _) if c >= 0 && w > math.max(3.0, 3.0 * c) =>
-        (k, timed(k))
+    // dismissed (r13: lsh_tuning 33.8 s warm vs 1.2 s steady; r14: the
+    // whole win_* block 10–58 s warm vs 0.4–1.4 s steady under a ~10 min
+    // uniform stall). At suite end, re-measure once any key whose warm
+    // exceeded an ABSOLUTE 3 s and record BOTH numbers; the in-suite warm
+    // stays in `warm` (totals unchanged, comparable across rounds), the
+    // re-measure lands in `warm_remeasured` so the artifact self-corrects
+    // instead of demanding a manual adjudication session. The old
+    // relative trigger (w > 3× cold) could not see r14's stall — it
+    // inflated cold and warm EQUALLY. A failed re-measure is an ERROR
+    // (`warm_remeasure_errors`), never emitted as a -1.0 "time"
+    // (ADVICE r14).
+    val warmRemeasuredAll = results.collect {
+      case (k, c, w, _, _) if c >= 0 && w > 3.0 => (k, timed(k))
     }
+    val (warmRemeasureErrs0, warmRemeasured) =
+      warmRemeasuredAll.partition(_._2 < 0)
+    val warmRemeasureErrs = warmRemeasureErrs0.map("\"" + _._1 + "\"")
+    // bracket the run: the start-of-suite calibration burn repeated at
+    // suite end — a stall that ends before the suite does still shows up
+    // as calib drift when it overlaps either probe, and per-key `t`
+    // offsets (full artifact) localize it regardless
+    val calT2 = System.nanoTime()
+    val calThreads2 = (1 to cpus.toInt).map(_ => new Thread(() => burn()))
+    calThreads2.foreach(_.start()); calThreads2.foreach(_.join())
+    val calibParallelEnd = (System.nanoTime() - calT2) / 1e9
     val load1 = loadAvg
     def f3(v: Double): String = f3s(v)
-    val errs = results.collect { case (k, c, _, _) if c < 0 => "\"" + k + "\"" }
+    val errs = results.collect { case (k, c, _, _, _) if c < 0 => "\"" + k + "\"" }
     // A key that succeeds cold but fails warm must not vanish from the
     // artifact (ADVICE r7): total_warm silently omits it and the compact
     // line keeps only the slowest keys, so surface it explicitly.
-    val warmErrs = results.collect { case (k, c, w, _) if c >= 0 && w < 0 => "\"" + k + "\"" }
+    val warmErrs = results.collect { case (k, c, w, _, _) if c >= 0 && w < 0 => "\"" + k + "\"" }
     val total = results.map(_._2).filter(_ >= 0).sum
     val totalWarm = results.map(_._3).filter(_ >= 0).sum
     // per-key map of the session-memo builds that ran inside this key's
@@ -141,10 +168,17 @@ object Bench {
     // are logged, so the sum is wall-clock-consistent
     val totalMemo = results.flatMap(_._4).map(_._3).sum
     val memoJson = results.collect {
-      case (k, _, _, bs) if bs.nonEmpty =>
+      case (k, _, _, bs, _) if bs.nonEmpty =>
         "\"" + k + "\":" + bs.map { case (tag, _, sec) =>
           "\"" + tag + "\":" + f3(sec)
         }.mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
+    // suite-relative start offset per key (full artifact only): the r14
+    // stall diagnosis took a cross-referencing session precisely because
+    // the artifact had no time axis — with `t` a reader sees "these 11
+    // keys started inside the same 10-minute window" directly
+    val tJson = results.map { case (k, _, _, _, off) =>
+      "\"" + k + "\":" + f3(off)
     }.mkString("{", ",", "}")
     def mkJson(qs: Seq[(String, Double, Double)], omitted: Int,
         withMemoMap: Boolean): String = {
@@ -165,13 +199,18 @@ object Bench {
         s""","warm_remeasured":${warmRemeasured.map { case (k, v) =>
           "\"" + k + "\":" + f3(v)
         }.mkString("{", ",", "}")}""" else ""
+      val wre = if (warmRemeasureErrs.nonEmpty)
+        s""","warm_remeasure_errors":[${warmRemeasureErrs.mkString(",")}]"""
+      else ""
       val mm = if (withMemoMap) s""","memo_builds":$memoJson""" else ""
+      val tt = if (withMemoMap) s""","t":$tJson""" else ""
       s"""{"metric":"total","value":${f3(total)},"unit":"sec"""" +
         s""","total_warm":${f3(totalWarm)}""" +
-        s""","total_memo_build":${f3(totalMemo)}$mm""" +
+        s""","total_memo_build":${f3(totalMemo)}$mm$tt""" +
         s""","calib_single":${f3(calibSingle)},"calib_parallel":${f3(calibParallel)}""" +
+        s""","calib_parallel_end":${f3(calibParallelEnd)}""" +
         s""","load_avg_start":${f3(load0)},"load_avg_end":${f3(load1)}$lw""" +
-        s""","queries":$cm,"warm":$wm,"errors":[${errs.mkString(",")}]$we$wr$om""" +
+        s""","queries":$cm,"warm":$wm,"errors":[${errs.mkString(",")}]$we$wr$wre$om""" +
         s""","sf":"$sfDir"}"""
     }
     // Full per-query map to a committed file: the complete JSON line is far
@@ -190,7 +229,7 @@ object Bench {
     // envelope + omitted-fields slack + the errors array (ADVICE r3: a run
     // with many failures must not push the line past the 2000-char tail);
     // each kept key appears in BOTH maps, so it costs 2x(name + number)
-    var len = 430 + (errs ++ warmErrs).map(_.length + 1).sum +
+    var len = 460 + (errs ++ warmErrs ++ warmRemeasureErrs).map(_.length + 1).sum +
       warmRemeasured.map(_._1.length + 12).sum
     for ((k, c, w) <- bySlowest if len + 2 * (k.length + 12) <= budget) {
       keep += ((k, c, w)); len += 2 * (k.length + 12)

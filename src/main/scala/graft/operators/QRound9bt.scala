@@ -153,7 +153,7 @@ object QRound9bt extends QueryPack {
   /** The raw (un-memoized) index dataflow behind [[jlIndex]]: quantized
     * embeddings + a deterministic md5-sign 64→16 projection matrix,
     * explode-join-rollup against the broadcast 1024-row matrix. */
-  private[operators] def jlIndexBuild(s: SparkSession, d: String): DataFrame = {
+  private[graft] def jlIndexBuild(s: SparkSession, d: String): DataFrame = {
     val qe = t(s, d, "embeddings").select(col("vec_id"),
       expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1e6 + 5e-1) AS BIGINT))")
         .as("q"))

@@ -452,15 +452,31 @@ object TxnLog {
     * full checkpoint manifest; carries every writer's batch high-water
     * forward — a restore does not reset streaming idempotence (replayed
     * batch ids must still skip, exactly as after an overwrite
-    * restatement). Returns the new version. */
+    * restatement). Returns the new version.
+    *
+    * Vacuum-race guard (ADVICE r14): a concurrent [[vacuum]] may drop
+    * `toVersion`'s manifest AND reclaim its data files between our
+    * resolve and the publish — the new head would silently reference
+    * deleted parquet. [[vacuum]]'s uniform `orphanGraceMs` age gate makes
+    * that window a full retention horizon for recently-written data, and
+    * this method re-verifies every resolved file still exists immediately
+    * before EACH publish attempt, failing loudly instead of publishing a
+    * corrupt head. */
   def restore(s: SparkSession, table: String, toVersion: Int): Int = {
     val files = snapshotFiles(s, table, toVersion) // fails loudly if gone
+    val f = fs(s, table)
     var committed = -1
     while (committed < 0) {
       val base = latestVersion(s, table).getOrElse(
         throw new IllegalStateException(s"$table has no committed snapshot"))
       val baseInfo = commitInfo(s, table, base)
       val baseTs = baseInfo.get("ts").flatMap(t => Try(t.toLong).toOption)
+      val missing = files.filterNot(rel => f.exists(new Path(table, rel)))
+      if (missing.nonEmpty)
+        throw new IllegalStateException(
+          s"restore of $table to version $toVersion aborted: " +
+            s"${missing.size} resolved data file(s) were vacuumed " +
+            s"concurrently (first: ${missing.head}); no head published")
       if (tryPublish(s, table, base + 1, files, "restore", None, "",
           highsOf(baseInfo), "full", baseTs.map(_ + 1).getOrElse(0L)))
         committed = base + 1
@@ -563,16 +579,32 @@ object TxnLog {
     * nothing — the old "reclaim every unreferenced file" rule would
     * delete a live writer's data out from under its commit (the last
     * silent-data-loss edge; Delta's VACUUM has the same hazard and the
-    * same fix). Unreferenced files are therefore split:
-    *  - referenced by a DROPPED manifest → published-then-superseded
-    *    history, reclaim immediately;
-    *  - referenced by NO manifest ever (a dead attempt's litter — or an
-    *    in-flight writer!) → reclaim only when older than
-    *    `orphanGraceMs` (default 24 h, Delta's spirit of a retention
-    *    horizon). A commit takes seconds, so any real in-flight write is
-    *    far inside the grace window. `.tmp-` manifest staging files get
-    *    the same gate — deleting a concurrent writer's staged manifest
-    *    mid-publish would crash its rename. */
+    * same fix). EVERY file unreferenced by a retained manifest — whether
+    * its manifest was dropped in this very call or it was never
+    * referenced at all (a dead attempt's litter, or an in-flight
+    * writer!) — is reclaimed only when older than `orphanGraceMs`
+    * (default 24 h, Delta's retention horizon). The r13 split that
+    * reclaimed dropped-manifest data IMMEDIATELY was a restore-race
+    * hazard (ADVICE r14): [[restore]] resolves a target version's file
+    * list, then commits forward — an immediate dropped-ref reclaim
+    * landing between those two steps would publish a head referencing
+    * deleted parquet. With the uniform age gate a racing restore has the
+    * whole grace window to publish (a restore takes seconds), and
+    * [[restore]] additionally verifies the resolved files still exist
+    * immediately before each publish attempt. Residual caveat
+    * (documented, Delta tracks tombstone-time to close it): the gate
+    * keys on file WRITE time, so data written more than `orphanGraceMs`
+    * ago and superseded just now is reclaimable at once — the restore's
+    * own exists-check is the guard on that path. `.tmp-` manifest
+    * staging files get the same age gate — deleting a concurrent
+    * writer's staged manifest mid-publish would crash its rename; the
+    * litter filter matches ANY name containing `.tmp-` (ADVICE r14), so
+    * a crashed writer's orphaned `..tmp-<uuid>.crc` checksum sibling is
+    * swept with its staging file. (Healthy publishes do NOT accumulate
+    * crc litter here — the checksummed FileContext rename moves the crc
+    * along as the manifest's `.NNNNN.manifest.crc` twin, and deleting a
+    * dropped manifest via the checksummed FileSystem removes its twin;
+    * Round15Spec gates both facts.) */
   def vacuum(s: SparkSession, table: String, retain: Int,
       orphanGraceMs: Long = 24L * 3600 * 1000): Int = {
     require(retain >= 1, "retain must keep at least the latest snapshot")
@@ -611,9 +643,10 @@ object TxnLog {
       }
     }
     val referenced = kept.flatMap(snapshotFiles(s, table, _)).toSet
-    val droppedRef = dropped.flatMap(snapshotFiles(s, table, _)).toSet
     val cutoff = System.currentTimeMillis() - orphanGraceMs
-    // delete unreferenced data files (under every data/<uuid>/ dir)
+    // delete unreferenced data files (under every data/<uuid>/ dir) —
+    // uniformly age-gated (see scaladoc: the immediate dropped-ref
+    // reclaim was a restore-race hazard, ADVICE r14)
     val dataRoot = new Path(table, "data")
     var deleted = 0
     if (f.exists(dataRoot)) {
@@ -624,15 +657,13 @@ object TxnLog {
         def rel(p: org.apache.hadoop.fs.FileStatus) =
           s"$sub/${p.getPath.getName}"
         val (live, unref) = parts.partition(p => referenced(rel(p)))
-        val reclaimable = unref.filter(p =>
-          droppedRef(rel(p)) || p.getModificationTime < cutoff)
-        // whole-dir removal (husks included) is safe when the dir was
-        // PUBLISHED and fully superseded (all parts in dropped manifests
-        // — no in-flight writer can own it), or when it is aged litter
-        val allDropped = unref.nonEmpty && unref.forall(p => droppedRef(rel(p)))
-        if (live.isEmpty && (allDropped ||
-            (reclaimable.size == unref.size &&
-              dir.getModificationTime < cutoff))) {
+        val reclaimable = unref.filter(_.getModificationTime < cutoff)
+        // whole-dir removal (husks included) only when every part is
+        // aged past the grace window and the dir itself is too — a
+        // younger dir may belong to an in-flight writer or a racing
+        // restore's resolved-but-unpublished target
+        if (live.isEmpty && reclaimable.size == unref.size &&
+            dir.getModificationTime < cutoff) {
           deleted += reclaimable.size
           f.delete(dir.getPath, true)
         } else reclaimable.foreach { p =>
@@ -643,7 +674,7 @@ object TxnLog {
     dropped.foreach(v => f.delete(manifestPath(table, v), false))
     if (f.exists(logDir(table)))
       f.listStatus(logDir(table)).toSeq
-        .filter(p => p.getPath.getName.startsWith(".tmp-") &&
+        .filter(p => p.getPath.getName.contains(".tmp-") &&
           p.getModificationTime < cutoff)
         .foreach(p => f.delete(p.getPath, false))
     deleted

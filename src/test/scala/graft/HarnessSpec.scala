@@ -134,4 +134,27 @@ class HarnessSpec extends SparkSpec {
       assert(run(1) === run(32), s"$key depends on partition count")
     }
   }
+
+  // Memoization-immune probes (ADVICE r14): the declared-key probes above
+  // re-execute memoized pipelines only because Memo keys on the partition
+  // setting — a future memo keyed without it would silently turn those
+  // probes into cached-vs-cached comparisons. These run the RAW builder
+  // dataflows directly (no memo, no localCheckpoint), so the
+  // cross-partitioning gate exercises the real dedup_semdedup /
+  // emb_jl_projection / emb_neighbor_preservation dataflows regardless of
+  // any caching discipline layered on top.
+  private val rawBuilders: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+    ("semdedupVerdictBuild", () => operators.QRound7b.semdedupVerdictBuild(spark, sf)),
+    ("jlIndexBuild", () => operators.QRound9bt.jlIndexBuild(spark, sf)))
+
+  rawBuilders.foreach { case (name, build) =>
+    test(s"raw builder $name: identical at shuffle.partitions 1 and 32") {
+      def run(parts: Int): Seq[String] = {
+        spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+        try build().collect().map(_.toString).sorted.toSeq
+        finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+      }
+      assert(run(1) === run(32), s"$name depends on partition count")
+    }
+  }
 }

@@ -1,0 +1,102 @@
+package graft
+
+import graft.sources.TxnLog
+
+/** Round-15 gates for the ADVICE r14 TxnLog items: the restore-vs-vacuum
+  * race (medium — a restore racing a vacuum could publish a head
+  * referencing already-deleted parquet) and the `..tmp-*.crc` checksum
+  * litter LocalFileSystem leaves behind per publish. Semantics no SQL
+  * oracle can see. */
+class Round15Spec extends SparkSpec {
+
+  private def freshTable(): String =
+    Staging.trackedTempDir("graft_txn15_")
+
+  private def df(lo: Long, hi: Long) = {
+    import spark.implicits._
+    spark.range(lo, hi, 1, 1).toDF("value")
+  }
+
+  private def dataFilesOnDisk(dir: String): Set[String] = {
+    val root = new java.io.File(dir, "data")
+    if (!root.exists()) Set.empty
+    else root.listFiles().filter(_.isDirectory).flatMap { sub =>
+      sub.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => s"data/${sub.getName}/${f.getName}")
+    }.toSet
+  }
+
+  test("restore aborts loudly (no head published) when the resolved " +
+    "files were reclaimed underneath it — never a corrupt head") {
+    val dir = freshTable()
+    TxnLog.overwrite(spark, dir, df(0, 10))  // v1
+    TxnLog.overwrite(spark, dir, df(50, 55)) // v2 restates
+    // simulate the race's fatal half: v1's manifest is still present
+    // (restore resolves it fine) but a concurrent vacuum already
+    // reclaimed one of its data files
+    val victim = TxnLog.snapshotFiles(spark, dir, 1).head
+    assert(new java.io.File(dir, victim).delete(), s"fixture: $victim")
+    val e = intercept[IllegalStateException] { TxnLog.restore(spark, dir, 1) }
+    assert(e.getMessage.contains("vacuumed concurrently"), e.getMessage)
+    // the loud abort published NOTHING: head still v2, fully readable
+    assert(TxnLog.latestVersion(spark, dir) === Some(2))
+    assert(TxnLog.read(spark, dir).count() === 5L)
+  }
+
+  test("vacuum age-gates dropped-manifest data too: a default-grace " +
+    "vacuum leaves freshly-superseded files for a racing restore " +
+    "(ADVICE r14); grace=0 still reclaims them") {
+    val dir = freshTable()
+    TxnLog.overwrite(spark, dir, df(0, 10))  // v1
+    TxnLog.overwrite(spark, dir, df(50, 55)) // v2 restates — v1 superseded
+    val v1Files = TxnLog.snapshotFiles(spark, dir, 1).toSet
+    // default grace drops v1's MANIFEST but must not reclaim its young
+    // data files — under the old immediate dropped-ref rule a restore
+    // that resolved v1 just before this vacuum would publish a head
+    // referencing deleted parquet
+    val deleted = TxnLog.vacuum(spark, dir, retain = 1)
+    assert(deleted === 0, "default-grace vacuum reclaimed young " +
+      "dropped-manifest data — the restore race is open")
+    assert(v1Files.subsetOf(dataFilesOnDisk(dir)),
+      "v1's data files must survive the grace window")
+    intercept[Exception] { TxnLog.read(spark, dir, Some(1)).count() }
+    // an explicit zero grace reclaims them (the spec/maintenance path)
+    Thread.sleep(20)
+    assert(TxnLog.vacuum(spark, dir, retain = 1, orphanGraceMs = 0) > 0)
+    val referenced = TxnLog.snapshotFiles(spark, dir, 2).toSet
+    assert(dataFilesOnDisk(dir) === referenced,
+      "unreferenced data survived a grace=0 vacuum")
+    assert(TxnLog.read(spark, dir).count() === 5L)
+  }
+
+  test("vacuum sweeps .tmp- litter INCLUDING ..tmp-*.crc checksum " +
+    "siblings (ADVICE r14) while live manifests and their crc twins " +
+    "survive; a clean log accumulates NO orphan crc per commit") {
+    val dir = freshTable()
+    for (i <- 1 to 5) TxnLog.append(spark, dir, df(10L * i, 10L * i + 10))
+    val log = new java.io.File(dir, "_txnlog")
+    // Adjudication of the ADVICE r14 premise: on this FileContext the
+    // checksummed rename moves the tmp's crc ALONG (it lands as the
+    // retained manifest's legitimate `.0000N.manifest.crc` twin), and a
+    // dropped manifest's crc twin is deleted with it by the checksummed
+    // FileSystem — so a healthy log holds AT MOST one crc per manifest,
+    // no per-commit accumulation. The broadened `contains(".tmp-")`
+    // filter is the defense for a CRASHED writer's orphaned staging pair.
+    val names0 = log.listFiles().map(_.getName)
+    assert(!names0.exists(_.contains(".tmp-")),
+      s"healthy publishes must not accumulate tmp litter: ${names0.toSeq}")
+    // plant a crashed writer's staging pair (tmp + its crc sibling)
+    java.nio.file.Files.write(
+      new java.io.File(log, ".tmp-deadbeef").toPath, "x".getBytes)
+    java.nio.file.Files.write(
+      new java.io.File(log, "..tmp-deadbeef.crc").toPath, "x".getBytes)
+    Thread.sleep(20)
+    TxnLog.vacuum(spark, dir, retain = 2, orphanGraceMs = 0)
+    val names1 = log.listFiles().map(_.getName)
+    assert(!names1.exists(_.contains(".tmp-")),
+      s"staged litter (or its crc sibling) survived vacuum: ${names1.toSeq}")
+    // retained manifests intact and readable
+    assert(TxnLog.read(spark, dir, Some(5)).count() === 50L)
+    assert(TxnLog.read(spark, dir, Some(4)).count() === 40L)
+  }
+}
