@@ -82,7 +82,7 @@ object QRound14 extends QueryPack {
     * files (version v's snapshot holds v files) — 3.4 s warm at 23
     * versions and quadratic at a real log length; this is one scan + one
     * bounded window. */
-  private def cumulativeByVersion(s: SparkSession, dir: String,
+  private[operators] def cumulativeByVersion(s: SparkSession, dir: String,
       latest: Int): DataFrame = {
     val added = (1 to latest).map { v =>
       val prev = if (v == 1) Set.empty[String]

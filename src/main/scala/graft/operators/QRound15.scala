@@ -1,0 +1,153 @@
+package graft.operators
+
+import graft.QueryPack
+import graft.sources.Tables.t
+import graft.sources.TxnLog
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-15 transactional-layout keys: the two maintenance surfaces the
+  * r14 family still lacked, exposed as first-class audited queries.
+  *
+  *  - `maint_txn_compact`: small-file compaction ([[TxnLog.compact]] —
+  *    Delta OPTIMIZE / Iceberg rewrite_data_files). Six single-file
+  *    appends build the classic streaming-sink layout (one tiny file per
+  *    batch), a compact rewrites the head into 2 files WITHOUT changing a
+  *    row, and a post-compact append extends the compacted base. The
+  *    audit reads per-version (op, kind, file count, totals): a compact
+  *    that loses rows, changes values, fails to shrink the file count, or
+  *    rewrites history instead of committing forward breaks rows AND
+  *    hash. The 100 TB point is the file count column itself — a year of
+  *    minute-batches is ~500k tiny files whose footers dominate scan
+  *    planning; compaction is the maintenance pass that keeps scans
+  *    healthy, and it must be a COMMIT (time travel across it intact),
+  *    not a rewrite.
+  *  - `scan_txn_time_travel`: timestamp time travel as an audited query
+  *    ([[TxnLog.versionAsOf]]/[[TxnLog.readAsOf]], previously spec-only).
+  *    For every version of the 23-append log, resolving the version's own
+  *    commit timestamp must land exactly on it, ts−1 must land on its
+  *    predecessor (commit timestamps are clamped strictly monotone at
+  *    publish — Delta's adjustment), and the snapshot totals at that
+  *    timestamp must replay the append prefix. Binary-search resolution
+  *    stays O(log versions) manifest reads.
+  *
+  * Scale shapes: audits are log-length-bounded driver metadata plus
+  * either one shared one-scan rollup ([[QRound14.cumulativeByVersion]])
+  * or ≤ 8 pruned per-version scans with map-side-partial aggregates;
+  * staged builds are one-time per sfDir.
+  */
+object QRound15 extends QueryPack {
+
+  // ---- maint_txn_compact ----
+
+  private[graft] val cpSlices = 6  // single-file appends before compact
+  private[graft] val cpTarget = 2 // compacted file count
+
+  /** Staged once per sfDir: six 1-file appends over deterministic orders
+    * slices (o_orderkey % 7 = 0..5), compact to [[cpTarget]] files, then
+    * one more 1-file append (% 7 = 6) on the compacted base. Slices are
+    * repartition(1)'d so the pre-compact layout is exactly one file per
+    * version regardless of scan parallelism. */
+  private[graft] def cpTable(s: SparkSession, d: String): String =
+    QRound3.staged(s, d, "txncompact") { dir =>
+      val o = t(s, d, "orders").select(col("o_orderkey"),
+        floor(col("o_totalprice") * lit(1e2) + lit(5e-1)).cast(LongType)
+          .as("cents"))
+      for (m <- 0 until cpSlices)
+        TxnLog.append(s, dir,
+          o.filter(col("o_orderkey") % 7 === m).repartition(1))
+      TxnLog.compact(s, dir, cpTarget)
+      TxnLog.append(s, dir,
+        o.filter(col("o_orderkey") % 7 === cpSlices).repartition(1))
+    }
+
+  /** Per-version audit across the compact boundary: op + manifest kind
+    * from the header, snapshot file count, and totals. v7 (the compact)
+    * must carry v6's exact rows in [[cpTarget]] files; v8 extends the
+    * compacted base. ≤ 8 bounded per-version reads (the append-only
+    * one-scan rollup does not apply — compact rewrites files). */
+  private def maintTxnCompact(s: SparkSession, d: String): DataFrame = {
+    val dir = cpTable(s, d)
+    val latest = TxnLog.latestVersion(s, dir).getOrElse(0)
+    (1 to latest).map { v =>
+      val info = TxnLog.commitInfo(s, dir, v)
+      TxnLog.read(s, dir, Some(v))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+        .select(lit(v).as("version"),
+          lit(info.getOrElse("op", "")).as("op"),
+          lit(info.getOrElse("kind", "full")).as("kind"),
+          lit(TxnLog.snapshotFiles(s, dir, v).size).as("n_files"),
+          col("n_rows"), col("sum_cents"))
+    }.reduce(_ unionAll _).orderBy("version")
+  }
+
+  /** Analytic replay: version v ≤ 6 holds slices 0..v−1 in v files;
+    * v7 = compact (same rows as v6, cpTarget files); v8 adds slice 6. */
+  private val oMaintTxnCompact =
+    s"""WITH o AS (SELECT o_orderkey,
+       |    CAST(floor(o_totalprice * 1e2 + 5e-1) AS BIGINT) AS cents
+       |  FROM orders),
+       |s AS (SELECT o_orderkey % 7 AS m, count(*) AS n,
+       |    CAST(sum(cents) AS BIGINT) AS sc FROM o GROUP BY 1)
+       |SELECT CAST(v AS INT) AS version,
+       |  CASE WHEN v = ${cpSlices + 1} THEN 'compact' ELSE 'append' END
+       |    AS op,
+       |  CASE WHEN v = 1 OR v = ${cpSlices + 1} THEN 'full' ELSE 'delta' END
+       |    AS kind,
+       |  CAST(CASE WHEN v <= $cpSlices THEN v
+       |            WHEN v = ${cpSlices + 1} THEN $cpTarget
+       |            ELSE ${cpTarget + 1} END AS INT) AS n_files,
+       |  (SELECT CAST(sum(n) AS BIGINT) FROM s
+       |    WHERE m <= CASE WHEN v <= $cpSlices THEN v - 1 ELSE v - 2 END)
+       |    AS n_rows,
+       |  (SELECT CAST(sum(sc) AS BIGINT) FROM s
+       |    WHERE m <= CASE WHEN v <= $cpSlices THEN v - 1 ELSE v - 2 END)
+       |    AS sum_cents
+       |FROM (SELECT unnest(generate_series(1, ${cpSlices + 2})) AS v)
+       |ORDER BY version""".stripMargin
+
+  // ---- scan_txn_time_travel ----
+
+  /** Timestamp time travel audited over the shared 23-append log
+    * ([[QRound14.ckTable]] — no extra staging): each version's own
+    * commit ts resolves to itself, ts−1 to its predecessor (0 for v1),
+    * and the as-of snapshot totals replay the prefix. Totals come from
+    * the shared one-scan rollup; the resolution probes are log-length
+    * driver metadata at O(log n) manifest reads each. */
+  private def scanTxnTimeTravel(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = QRound14.ckTable(s, d)
+    val latest = TxnLog.latestVersion(s, dir).getOrElse(0)
+    val meta = (1 to latest).map { v =>
+      val ts = TxnLog.commitInfo(s, dir, v)("ts").toLong
+      val self = TxnLog.versionAsOf(s, dir, ts)
+      val prev = if (v == 1) 0 else TxnLog.versionAsOf(s, dir, ts - 1)
+      (v, self, prev)
+    }.toDF("version", "v_self", "v_prev")
+    QRound14.cumulativeByVersion(s, dir, latest)
+      .join(broadcast(meta), Seq("version"))
+      .select(col("version"), col("v_self"), col("v_prev"),
+        col("n_rows"), col("sum_value"))
+      .orderBy("version")
+  }
+
+  private val oScanTxnTimeTravel = {
+    val r = QRound14.ckRowsPer
+    s"""SELECT CAST(v AS INT) AS version,
+       |  CAST(v AS INT) AS v_self,
+       |  CAST(v - 1 AS INT) AS v_prev,
+       |  CAST($r * v AS BIGINT) AS n_rows,
+       |  CAST(($r * v) * ($r * v - 1) // 2 AS BIGINT) AS sum_value
+       |FROM (SELECT unnest(generate_series(1, ${QRound14.ckAppends})) AS v)
+       |ORDER BY version""".stripMargin
+  }
+
+  val queries: Map[String, QFn] = Map(
+    "maint_txn_compact"    -> ((s, d) => maintTxnCompact(s, d)),
+    "scan_txn_time_travel" -> ((s, d) => scanTxnTimeTravel(s, d)))
+
+  val oracles: Map[String, String] = Map(
+    "maint_txn_compact"    -> oMaintTxnCompact,
+    "scan_txn_time_travel" -> oScanTxnTimeTravel)
+}

@@ -484,6 +484,45 @@ object TxnLog {
     committed
   }
 
+  /** Small-file compaction (Delta OPTIMIZE / Iceberg rewrite_data_files):
+    * publishes a NEW version whose snapshot holds the SAME rows as the
+    * current head rewritten into exactly `targetFiles` data files. The
+    * streaming-ingest maintenance pass: a micro-batch sink commits one
+    * small file per batch, and at 100 TB a year of minute-batches is
+    * ~500k files whose footers alone dominate scan planning — compaction
+    * is what keeps the per-file row count healthy. History is never
+    * rewritten: pre-compact versions stay readable, and the superseded
+    * small files become dropped-manifest history that [[vacuum]] reclaims
+    * after the grace window. Every writer's batch high-water is carried
+    * forward — compaction must not reset streaming idempotence.
+    *
+    * `repartition(targetFiles)`, not `coalesce`: coalesce's output file
+    * count inherits the SCAN's partitioning (tiny files can merge into
+    * one scan partition under low parallelism), so the rewritten layout
+    * would vary by cluster size; repartition pins it.
+    *
+    * Concurrency: rows are frozen at the snapshot read, so unlike
+    * [[append]]/[[overwrite]] a lost publish race cannot be retried
+    * blindly (the winner's rows would be silently dropped from the
+    * rewrite). A compact that loses the race to ANY concurrent commit
+    * aborts loudly; re-run it on the new head. */
+  def compact(s: SparkSession, table: String, targetFiles: Int = 1): Int = {
+    require(targetFiles >= 1, "targetFiles must be >= 1")
+    val base = latestVersion(s, table).getOrElse(
+      throw new IllegalStateException(s"$table has no committed snapshot"))
+    val baseInfo = commitInfo(s, table, base)
+    val baseTs = baseInfo.get("ts").flatMap(t => Try(t.toLong).toOption)
+    val newFiles =
+      writeData(s, table, read(s, table, Some(base)).repartition(targetFiles))
+    if (!tryPublish(s, table, base + 1, newFiles, "compact", None, "",
+        highsOf(baseInfo), "full", baseTs.map(_ + 1).getOrElse(0L)))
+      throw new IllegalStateException(
+        s"compact of $table aborted: a concurrent writer committed " +
+          s"version ${base + 1} while the rewrite ran; re-run compact " +
+          "on the new head (no compacted head was published)")
+    base + 1
+  }
+
   /** Snapshot read: resolves `version` (default: latest) ONCE and pins
     * that manifest's file list — later commits are invisible (snapshot
     * isolation), and any published version stays readable (time travel)

@@ -100,7 +100,11 @@ class HarnessSpec extends SparkSpec {
     // round 14: per-writer idempotent commits + delta/checkpoint log
     // shape (staged TxnLog tables — file layout varies with
     // partitioning; the audits must not)
-    "stream_txn_multiwriter", "maint_txn_checkpoint", "maint_txn_restore")
+    "stream_txn_multiwriter", "maint_txn_checkpoint", "maint_txn_restore",
+    // round 15: compaction rewrite + timestamp time travel (the compact
+    // repartition and the staged layouts vary with parallelism; the
+    // audited op/kind/file-count/total columns must not)
+    "maint_txn_compact", "scan_txn_time_travel")
 
   test("Memo.memo: concurrent misses build exactly once (no leaked loser)") {
     val built = new java.util.concurrent.atomic.AtomicInteger(0)
