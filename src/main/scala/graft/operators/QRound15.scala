@@ -7,9 +7,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Round-15 transactional-layout keys: the two maintenance surfaces the
-  * r14 family still lacked, exposed as first-class audited queries.
+/** Round-15 transactional-layout keys: the maintenance and metadata-read
+  * surfaces the r14 family still lacked, exposed as first-class audited
+  * queries.
   *
+  *  - `scan_txn_skip`: per-file min/max DATA SKIPPING
+  *    ([[TxnLog.appendWithStats]]/[[TxnLog.readSkipped]] — Delta column
+  *    stats / Iceberg manifest min-max). Over a range-clustered 8-file
+  *    layout, each audited probe emits how many files the pruned read
+  *    OPENED next to totals that must match the plain range aggregate —
+  *    pruning is metadata-only and always a correct superset. At 100 TB
+  *    this is the difference between planning over ~all footers and
+  *    opening 1/8 of them for a selective range.
   *  - `maint_txn_compact`: small-file compaction ([[TxnLog.compact]] —
   *    Delta OPTIMIZE / Iceberg rewrite_data_files). Six single-file
   *    appends build the classic streaming-sink layout (one tiny file per
@@ -107,6 +116,81 @@ object QRound15 extends QueryPack {
        |FROM (SELECT unnest(generate_series(1, ${cpSlices + 2})) AS v)
        |ORDER BY version""".stripMargin
 
+  // ---- scan_txn_skip ----
+
+  private[graft] val skSlices = 8
+
+  /** Staged once per sfDir: [[skSlices]] single-file appends, each
+    * covering one contiguous o_orderkey range (slice i =
+    * `o_orderkey·8 div (maxk+1) = i`), committed via
+    * [[TxnLog.appendWithStats]] so every manifest line carries the
+    * file's (min, max, rows) for `o_orderkey` — the range-clustered
+    * ingest layout data skipping exists for. */
+  private[graft] def skTable(s: SparkSession, d: String): String =
+    QRound3.staged(s, d, "txnskip") { dir =>
+      val o = t(s, d, "orders").select(col("o_orderkey"),
+        floor(col("o_totalprice") * lit(1e2) + lit(5e-1)).cast(LongType)
+          .as("cents"))
+      val maxk = o.agg(max("o_orderkey")).head.getLong(0)
+      for (i <- 0 until skSlices)
+        TxnLog.appendWithStats(s, dir,
+          o.filter(expr(s"o_orderkey * $skSlices DIV ${maxk + 1} = $i"))
+            .repartition(1),
+          "o_orderkey")
+    }
+
+  /** Data skipping audited: four range probes over the stats-clustered
+    * table; each emits HOW MANY files the pruned read opened (the 100 TB
+    * column — a selective probe on a range-clustered layout must open
+    * ~1/8 of the files, a full-range probe all of them) alongside the
+    * residual-filtered totals, which must equal the plain range
+    * aggregate regardless of pruning (kept files are always a superset).
+    * Per-probe work is a bounded pruned scan + map-side-partial
+    * aggregate; the pruning decision itself is manifest metadata, no
+    * data I/O. */
+  private def scanTxnSkip(s: SparkSession, d: String): DataFrame = {
+    val dir = skTable(s, d)
+    val maxk = t(s, d, "orders").agg(max("o_orderkey")).head.getLong(0)
+    val probes = Seq(
+      (1, 0L, maxk / 8),
+      (2, maxk / 4, maxk / 2),
+      (3, maxk - maxk / 8, maxk),
+      (4, 0L, maxk))
+    probes.map { case (p, lo, hi) =>
+      val (df, kept, total) = TxnLog.readSkipped(s, dir, "o_orderkey", lo, hi)
+      df.filter(col("o_orderkey").between(lo, hi))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+        .select(lit(p).as("probe"), lit(kept).as("files_scanned"),
+          lit(total).as("files_total"), col("n_rows"), col("sum_cents"))
+    }.reduce(_ unionAll _).orderBy("probe")
+  }
+
+  /** Analytic replay: per-slice actual (min, max) from the same slice
+    * rule, probe keeps the slices whose range intersects; totals are the
+    * plain range aggregates. */
+  private val oScanTxnSkip =
+    s"""WITH o AS (SELECT o_orderkey,
+       |    CAST(floor(o_totalprice * 1e2 + 5e-1) AS BIGINT) AS cents
+       |  FROM orders),
+       |mk AS (SELECT max(o_orderkey) AS maxk FROM o),
+       |sl AS (SELECT o_orderkey * $skSlices // (maxk + 1) AS slice,
+       |    min(o_orderkey) AS mn, max(o_orderkey) AS mx
+       |  FROM o, mk GROUP BY 1),
+       |pr AS (
+       |  SELECT 1 AS probe, CAST(0 AS BIGINT) AS lo, maxk // 8 AS hi FROM mk
+       |  UNION ALL SELECT 2, maxk // 4, maxk // 2 FROM mk
+       |  UNION ALL SELECT 3, maxk - maxk // 8, maxk FROM mk
+       |  UNION ALL SELECT 4, 0, maxk FROM mk)
+       |SELECT CAST(probe AS INT) AS probe,
+       |  CAST((SELECT count(*) FROM sl WHERE mx >= lo AND mn <= hi) AS INT)
+       |    AS files_scanned,
+       |  CAST($skSlices AS INT) AS files_total,
+       |  (SELECT count(*) FROM o WHERE o_orderkey BETWEEN lo AND hi)
+       |    AS n_rows,
+       |  (SELECT CAST(sum(cents) AS BIGINT) FROM o
+       |    WHERE o_orderkey BETWEEN lo AND hi) AS sum_cents
+       |FROM pr ORDER BY probe""".stripMargin
+
   // ---- scan_txn_time_travel ----
 
   /** Timestamp time travel audited over the shared 23-append log
@@ -145,9 +229,11 @@ object QRound15 extends QueryPack {
 
   val queries: Map[String, QFn] = Map(
     "maint_txn_compact"    -> ((s, d) => maintTxnCompact(s, d)),
+    "scan_txn_skip"        -> ((s, d) => scanTxnSkip(s, d)),
     "scan_txn_time_travel" -> ((s, d) => scanTxnTimeTravel(s, d)))
 
   val oracles: Map[String, String] = Map(
     "maint_txn_compact"    -> oMaintTxnCompact,
+    "scan_txn_skip"        -> oScanTxnSkip,
     "scan_txn_time_travel" -> oScanTxnTimeTravel)
 }

@@ -137,21 +137,44 @@ object TxnLog {
   private def isCheckpointVersion(v: Int): Boolean =
     v == 1 || v % checkpointInterval == 0
 
+  /** A manifest file line is `path[\tstats:<col>=<min>:<max>:<rows>]` —
+    * the optional tab-suffixed block carries per-file data-skipping
+    * stats ([[appendWithStats]]). Everything that wants a PATH must
+    * strip at the first tab; stats-aware readers parse the suffix. */
+  private[graft] def pathOf(line: String): String = {
+    val i = line.indexOf('\t')
+    if (i < 0) line else line.substring(0, i)
+  }
+
+  /** (min, max, rows) for `statsCol` parsed from a manifest line's stats
+    * suffix; None when the line carries no stats for that column (the
+    * reader must then keep the file — correctness before pruning). */
+  private[graft] def statsOf(line: String, statsCol: String)
+      : Option[(Long, Long, Long)] = {
+    val i = line.indexOf('\t')
+    if (i < 0) return None
+    line.substring(i + 1).split("\t").collectFirst {
+      case t if t.startsWith(s"stats:$statsCol=") =>
+        t.substring(s"stats:$statsCol=".length).split(":") match {
+          case Array(mn, mx, n) =>
+            Try((mn.toLong, mx.toLong, n.toLong)).toOption
+          case _ => None
+        }
+    }.flatten
+  }
+
   /** The file lines the manifest at `v` ITSELF lists (a delta manifest:
     * only that commit's added files; a full checkpoint: the whole
     * snapshot) — the log-shape audit surface. [[snapshotFiles]] is the
     * RESOLVED snapshot. */
   def listedFiles(s: SparkSession, table: String, v: Int): Seq[String] =
-    manifestLines(s, table, v).filterNot(_.startsWith("#"))
+    manifestLines(s, table, v).filterNot(_.startsWith("#")).map(pathOf)
 
-  /** The file list of snapshot `v` (relative to the table root) —
-    * resolved across delta manifests: walk back from `v` collecting each
-    * delta's added files until the nearest full checkpoint (a delta's
-    * base is always exactly v−1 by construction; the walk is ≤
-    * [[checkpointInterval]] reads on any log this code wrote). A broken
-    * chain (base manifest vacuumed or missing) fails loudly with the
-    * missing file, never a silent partial list. */
-  def snapshotFiles(s: SparkSession, table: String, v: Int): Seq[String] = {
+  /** The resolved FULL LINES of snapshot `v` (paths + any stats
+    * suffixes) — what checkpoint re-listing, restore, and the skipping
+    * reader consume so stats survive every manifest rewrite. */
+  private[graft] def snapshotLines(s: SparkSession, table: String,
+      v: Int): Seq[String] = {
     var cur = v
     var acc: List[Seq[String]] = Nil
     while (true) {
@@ -163,6 +186,16 @@ object TxnLog {
     }
     Nil // unreachable
   }
+
+  /** The file list of snapshot `v` (relative to the table root) —
+    * resolved across delta manifests: walk back from `v` collecting each
+    * delta's added files until the nearest full checkpoint (a delta's
+    * base is always exactly v−1 by construction; the walk is ≤
+    * [[checkpointInterval]] reads on any log this code wrote). A broken
+    * chain (base manifest vacuumed or missing) fails loudly with the
+    * missing file, never a silent partial list. */
+  def snapshotFiles(s: SparkSession, table: String, v: Int): Seq[String] =
+    snapshotLines(s, table, v).map(pathOf)
 
   private def parseInfo(lines: Seq[String]): Map[String, String] =
     lines.filter(_.startsWith("#"))
@@ -311,10 +344,12 @@ object TxnLog {
           .getOrElse(baseHighs)
         val baseTs = baseInfo.get("ts").flatMap(t => Try(t.toLong).toOption)
         // checkpoint versions re-list the full snapshot; everything else
-        // commits O(new files) delta text (see snapshotFiles)
+        // commits O(new files) delta text (see snapshotFiles). Full
+        // LINES, not bare paths — data-skipping stats must survive the
+        // checkpoint rewrite.
         val (files, kind) =
           if (isCheckpointVersion(target))
-            (base.map(snapshotFiles(s, table, _)).getOrElse(Nil) ++ newFiles,
+            (base.map(snapshotLines(s, table, _)).getOrElse(Nil) ++ newFiles,
               "full")
           else (newFiles, "delta")
         if (tryPublish(s, table, target, files, "append",
@@ -357,6 +392,66 @@ object TxnLog {
     * append composes with the winner's commit instead of clobbering it. */
   def append(s: SparkSession, table: String, df: DataFrame): Int =
     appendFiles(s, table, writeData(s, table, df), None)
+
+  /** [[append]] plus per-file DATA-SKIPPING stats on `statsCol` (a
+    * BIGINT column): one aggregate pass over the freshly-written files
+    * computes each file's (min, max, rows), embedded after a tab in its
+    * manifest line — Delta's per-file column stats / Iceberg's manifest
+    * min-max, the metadata that lets a 100 TB scan with a selective
+    * range predicate open only the files that can match instead of every
+    * footer. Stats survive checkpoint re-listing, restore, and vacuum's
+    * delta materialization (all resolve full LINES); stats-agnostic
+    * readers strip them. Files written by plain [[append]]/[[compact]]
+    * carry none and are always kept by [[readSkipped]] — pruning is only
+    * ever a correct superset. */
+  def appendWithStats(s: SparkSession, table: String, df: DataFrame,
+      statsCol: String): Int = {
+    require(!statsCol.exists(c => c.isWhitespace || c == ':' || c == '='),
+      s"statsCol '$statsCol' must be free of whitespace/':'/'=' (it is " +
+        "embedded in manifest line tokens)")
+    val newFiles = writeData(s, table, df)
+    val byName = newFiles.map(rel => rel.split("/").last -> rel).toMap
+    import org.apache.spark.sql.functions.{col, count, element_at, input_file_name, lit, max, min, split => fsplit}
+    val stats = s.read.parquet(newFiles.map(rel => s"$table/$rel"): _*)
+      .groupBy(element_at(fsplit(input_file_name(), "/"), -1).as("fname"))
+      .agg(min(col(statsCol)).as("mn"), max(col(statsCol)).as("mx"),
+        count(lit(1)).as("n"))
+      .collect()
+      .map(r => byName(r.getAs[String]("fname")) ->
+        (r.getAs[Long]("mn"), r.getAs[Long]("mx"), r.getAs[Long]("n")))
+      .toMap
+    val lines = newFiles.map { rel =>
+      stats.get(rel) match {
+        case Some((mn, mx, n)) => s"$rel\tstats:$statsCol=$mn:$mx:$n"
+        case None => rel // an empty file: no stats, always kept
+      }
+    }
+    appendFiles(s, table, lines, None)
+  }
+
+  /** Stats-pruned snapshot read: the files of snapshot `version`
+    * (default latest) whose `statsCol` range [min, max] intersects
+    * [lo, hi], plus every file without stats for that column. Returns
+    * (rows of the KEPT files — a superset of the predicate, apply the
+    * residual filter downstream exactly like a parquet scan after
+    * row-group pruning; kept count; total count). */
+  def readSkipped(s: SparkSession, table: String, statsCol: String,
+      lo: Long, hi: Long, version: Option[Int] = None)
+      : (DataFrame, Int, Int) = {
+    val v = version.orElse(latestVersion(s, table)).getOrElse(
+      throw new IllegalStateException(s"$table has no committed snapshot"))
+    val lines = snapshotLines(s, table, v)
+    val kept = lines.filter { ln =>
+      statsOf(ln, statsCol) match {
+        case Some((mn, mx, _)) => mx >= lo && mn <= hi
+        case None => true
+      }
+    }.map(pathOf)
+    val df =
+      if (kept.isEmpty) read(s, table, Some(v)).limit(0)
+      else s.read.parquet(kept.map(rel => s"$table/$rel"): _*)
+    (df, kept.size, lines.size)
+  }
 
   /** The version where writer `appId` committed streaming batch
     * `batchId`, if any. O(log versions) manifest reads (VERDICT r12 #6):
@@ -463,7 +558,9 @@ object TxnLog {
     * before EACH publish attempt, failing loudly instead of publishing a
     * corrupt head. */
   def restore(s: SparkSession, table: String, toVersion: Int): Int = {
-    val files = snapshotFiles(s, table, toVersion) // fails loudly if gone
+    // full lines (stats suffixes survive the restore), bare paths for
+    // the existence verification
+    val files = snapshotLines(s, table, toVersion) // fails loudly if gone
     val f = fs(s, table)
     var committed = -1
     while (committed < 0) {
@@ -471,7 +568,8 @@ object TxnLog {
         throw new IllegalStateException(s"$table has no committed snapshot"))
       val baseInfo = commitInfo(s, table, base)
       val baseTs = baseInfo.get("ts").flatMap(t => Try(t.toLong).toOption)
-      val missing = files.filterNot(rel => f.exists(new Path(table, rel)))
+      val missing = files.map(pathOf)
+        .filterNot(rel => f.exists(new Path(table, rel)))
       if (missing.nonEmpty)
         throw new IllegalStateException(
           s"restore of $table to version $toVersion aborted: " +
@@ -666,7 +764,7 @@ object TxnLog {
       val lines = manifestLines(s, table, oldest)
       val info = parseInfo(lines)
       if (info.get("kind").contains("delta")) {
-        val full = snapshotFiles(s, table, oldest) // chain intact here
+        val full = snapshotLines(s, table, oldest) // chain intact here
         val header = "#" + (info - "kind").toSeq
           .sortBy { case (k, _) => (k != "ts", k != "op", k) }
           .map { case (k, v0) => s" $k=$v0" }.mkString

@@ -69,6 +69,44 @@ class Round15Spec extends SparkSpec {
     assert(TxnLog.read(spark, dir).count() === 5L)
   }
 
+  test("data skipping: stats-pruned reads open only intersecting files, " +
+    "stats-less files are always kept, and stats survive checkpoint " +
+    "re-listing and restore") {
+    val dir = freshTable()
+    // four range-disjoint stats appends: values [0,10) [10,20) [20,30) [30,40)
+    for (i <- 0 until 4)
+      TxnLog.appendWithStats(spark, dir, df(10L * i, 10L * i + 10), "value")
+    def probe(lo: Long, hi: Long): (Seq[Long], Int, Int) = {
+      val (d0, kept, total) = TxnLog.readSkipped(spark, dir, "value", lo, hi)
+      (d0.filter(s"value BETWEEN $lo AND $hi").collect()
+        .map(_.getLong(0)).sorted.toSeq, kept, total)
+    }
+    // a selective probe opens exactly the one intersecting file
+    assert(probe(12, 18) === ((12L to 18L).toSeq, 1, 4))
+    // a boundary-spanning probe opens both its files
+    assert(probe(8, 12) === ((8L to 12L).toSeq, 2, 4))
+    // a file written WITHOUT stats is always kept (correct superset)
+    TxnLog.append(spark, dir, df(100, 110))
+    assert(probe(12, 18) === ((12L to 18L).toSeq, 2, 5))
+    // push past the v10 full checkpoint: stats must survive re-listing
+    for (i <- 4 until 10)
+      TxnLog.appendWithStats(spark, dir, df(10L * i, 10L * i + 10), "value")
+    assert(TxnLog.latestVersion(spark, dir) === Some(11))
+    assert(TxnLog.commitInfo(spark, dir, 10).get("kind") !== Some("delta"))
+    val (_, k1, t1) = TxnLog.readSkipped(spark, dir, "value", 12, 18)
+    assert((k1, t1) === ((2, 11)),
+      "stats lost through the checkpoint re-list (everything kept)")
+    // ...and survive a restore (full lines carried forward)
+    TxnLog.restore(spark, dir, 4)
+    val (d2, k2, t2) = TxnLog.readSkipped(spark, dir, "value", 12, 18)
+    assert((k2, t2) === ((1, 4)))
+    assert(d2.filter("value BETWEEN 12 AND 18").count() === 7L)
+    // a no-intersection probe reads zero rows without opening stats files
+    val (d3, k3, _) = TxnLog.readSkipped(spark, dir, "value", 500, 600)
+    assert(k3 === 0)
+    assert(d3.count() === 0L)
+  }
+
   test("compact rewrites the head into exactly targetFiles files with " +
     "identical rows, commits forward (history + streaming idempotence " +
     "intact), and vacuum later reclaims the superseded small files") {
