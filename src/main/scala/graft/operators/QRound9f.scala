@@ -107,7 +107,17 @@ object QRound9f extends QueryPack {
   private[graft] def tokenBudget(lm: DataFrame, docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"),
       size(split(col("text"), " ")).cast(LongType).as("n_toks"))
-    val scored = lm.select(col("doc_id"), col("lm_score")).join(toks, "doc_id")
+    tokenBudgetFrom(lm.select(col("doc_id"), col("lm_score"))
+      .join(toks, "doc_id"))
+  }
+
+  /** The core over a pre-joined (doc_id, lm_score, n_toks) table —
+    * `scored` is consumed THREE times (total, histogram, selection), so
+    * the production key feeds it the session-memoized
+    * [[scoredToksPersisted]] instead of re-tokenizing documents and
+    * re-running the join per consumer (measured 1.5 s warm vs the 0.17 s
+    * oracle — the whole excess was the tripled tokenize+join). */
+  private[graft] def tokenBudgetFrom(scored: DataFrame): DataFrame = {
     val tot = scored.agg(sum(col("n_toks")).as("total_tokens"),
       count(lit(1)).as("n_docs_total"))
       .withColumn("budget_tokens", expr("total_tokens * 2 div 5"))
@@ -132,8 +142,19 @@ object QRound9f extends QueryPack {
           / col("budget_tokens").cast(DoubleType)).as("utilization"))
   }
 
+  /** Session-memoized (doc_id, lm_score, n_toks) — the curation "scored
+    * corpus" table a production pipeline materializes once per snapshot
+    * and every budget/tier/verdict pass reads. Corpus-sized, 3 columns. */
+  private[graft] def scoredToksPersisted(s: SparkSession, d: String): DataFrame =
+    graft.Memo.memo(s, "lmtoks", d)(
+      lmScoresPersisted(s, d).select(col("doc_id"), col("lm_score"))
+        .join(t(s, d, "documents").select(col("doc_id"),
+          size(split(col("text"), " ")).cast(LongType).as("n_toks")),
+          "doc_id")
+        .localCheckpoint(true))
+
   private def pipelineTokenBudget(s: SparkSession, d: String): DataFrame =
-    tokenBudget(lmScoresPersisted(s, d), t(s, d, "documents"))
+    tokenBudgetFrom(scoredToksPersisted(s, d))
 
   private val oPipelineTokenBudget =
     s"""WITH lm AS MATERIALIZED (SELECT * FROM ($oLmScores)),
