@@ -191,6 +191,75 @@ object QRound15 extends QueryPack {
        |    WHERE o_orderkey BETWEEN lo AND hi) AS sum_cents
        |FROM pr ORDER BY probe""".stripMargin
 
+  // ---- maint_txn_delete ----
+
+  /** Staged once per sfDir: the same range-clustered 8-file stats layout
+    * as [[skTable]] (separate table — delete MUTATES the head, and the
+    * skip key's staged table is shared session state), then ONE
+    * copy-on-write delete of o_orderkey ∈ [maxk/4, maxk/2]. */
+  private[graft] def delTable(s: SparkSession, d: String): String =
+    QRound3.staged(s, d, "txndel") { dir =>
+      val o = t(s, d, "orders").select(col("o_orderkey"),
+        floor(col("o_totalprice") * lit(1e2) + lit(5e-1)).cast(LongType)
+          .as("cents"))
+      val maxk = o.agg(max("o_orderkey")).head.getLong(0)
+      for (i <- 0 until skSlices)
+        TxnLog.appendWithStats(s, dir,
+          o.filter(expr(s"o_orderkey * $skSlices DIV ${maxk + 1} = $i"))
+            .repartition(1),
+          "o_orderkey")
+      TxnLog.deleteWhere(s, dir, "o_orderkey", maxk / 4, maxk / 2)
+    }
+
+  /** Copy-on-write DELETE audited version-by-version: v1..8 build the
+    * range-clustered layout, v9 is the delete — its rows/sums must equal
+    * the pre-delete snapshot minus exactly the predicate range, its file
+    * count stays 8 (untouched files carried by LINE, intersecting files
+    * rewritten 1:1), and v8 must still read the FULL data (history never
+    * rewritten). The 100 TB point: the rewrite touches only the
+    * stats-intersecting files — the skipping layer applied to writes —
+    * which is what makes a compliance delete tractable on a petabyte
+    * table. ≤ 9 bounded per-version scans. */
+  private def maintTxnDelete(s: SparkSession, d: String): DataFrame = {
+    val dir = delTable(s, d)
+    val latest = TxnLog.latestVersion(s, dir).getOrElse(0)
+    (1 to latest).map { v =>
+      val op = TxnLog.commitInfo(s, dir, v).getOrElse("op", "")
+      TxnLog.read(s, dir, Some(v))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+        .select(lit(v).as("version"), lit(op).as("op"),
+          lit(TxnLog.snapshotFiles(s, dir, v).size).as("n_files"),
+          col("n_rows"), col("sum_cents"))
+    }.reduce(_ unionAll _).orderBy("version")
+  }
+
+  /** Analytic replay: cumulative slice prefixes for v1..8; v9 subtracts
+    * exactly the [maxk/4, maxk/2] range. File count: v files while
+    * appending, 8 after the delete (intersecting files rewrite 1:1). */
+  private val oMaintTxnDelete =
+    s"""WITH o AS (SELECT o_orderkey,
+       |    CAST(floor(o_totalprice * 1e2 + 5e-1) AS BIGINT) AS cents
+       |  FROM orders),
+       |mk AS (SELECT max(o_orderkey) AS maxk FROM o),
+       |s AS (SELECT o_orderkey * $skSlices // (maxk + 1) AS m, count(*) AS n,
+       |    CAST(sum(cents) AS BIGINT) AS sc FROM o, mk GROUP BY 1),
+       |del AS (SELECT count(*) AS dn, CAST(sum(cents) AS BIGINT) AS dsc
+       |  FROM o, mk WHERE o_orderkey BETWEEN maxk // 4 AND maxk // 2),
+       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+       |    CAST(sum(sc) AS BIGINT) AS tsc FROM s)
+       |SELECT CAST(v AS INT) AS version,
+       |  CASE WHEN v = 9 THEN 'delete' ELSE 'append' END AS op,
+       |  CAST(CASE WHEN v <= $skSlices THEN v ELSE $skSlices END AS INT)
+       |    AS n_files,
+       |  CASE WHEN v <= $skSlices
+       |    THEN (SELECT CAST(sum(n) AS BIGINT) FROM s WHERE m < v)
+       |    ELSE (SELECT tn - dn FROM tot, del) END AS n_rows,
+       |  CASE WHEN v <= $skSlices
+       |    THEN (SELECT CAST(sum(sc) AS BIGINT) FROM s WHERE m < v)
+       |    ELSE (SELECT tsc - dsc FROM tot, del) END AS sum_cents
+       |FROM (SELECT unnest(generate_series(1, ${skSlices + 1})) AS v)
+       |ORDER BY version""".stripMargin
+
   // ---- scan_txn_time_travel ----
 
   /** Timestamp time travel audited over the shared 23-append log
@@ -229,11 +298,13 @@ object QRound15 extends QueryPack {
 
   val queries: Map[String, QFn] = Map(
     "maint_txn_compact"    -> ((s, d) => maintTxnCompact(s, d)),
+    "maint_txn_delete"     -> ((s, d) => maintTxnDelete(s, d)),
     "scan_txn_skip"        -> ((s, d) => scanTxnSkip(s, d)),
     "scan_txn_time_travel" -> ((s, d) => scanTxnTimeTravel(s, d)))
 
   val oracles: Map[String, String] = Map(
     "maint_txn_compact"    -> oMaintTxnCompact,
+    "maint_txn_delete"     -> oMaintTxnDelete,
     "scan_txn_skip"        -> oScanTxnSkip,
     "scan_txn_time_travel" -> oScanTxnTimeTravel)
 }

@@ -405,11 +405,22 @@ object TxnLog {
     * carry none and are always kept by [[readSkipped]] — pruning is only
     * ever a correct superset. */
   def appendWithStats(s: SparkSession, table: String, df: DataFrame,
-      statsCol: String): Int = {
+      statsCol: String): Int =
+    appendFiles(s, table,
+      statsLines(s, table, writeData(s, table, df), statsCol), None)
+
+  /** Decorate freshly-written file paths with their per-file
+    * (min, max, rows) stats for `statsCol`: one groupBy(input_file_name)
+    * aggregate over exactly the new files, collected at metadata scale
+    * (one tiny row per file — the same order as the manifest text
+    * itself). Files with no rows keep a bare line (no stats → always
+    * kept). */
+  private def statsLines(s: SparkSession, table: String,
+      newFiles: Seq[String], statsCol: String): Seq[String] = {
     require(!statsCol.exists(c => c.isWhitespace || c == ':' || c == '='),
       s"statsCol '$statsCol' must be free of whitespace/':'/'=' (it is " +
         "embedded in manifest line tokens)")
-    val newFiles = writeData(s, table, df)
+    if (newFiles.isEmpty) return Nil
     val byName = newFiles.map(rel => rel.split("/").last -> rel).toMap
     import org.apache.spark.sql.functions.{col, count, element_at, input_file_name, lit, max, min, split => fsplit}
     val stats = s.read.parquet(newFiles.map(rel => s"$table/$rel"): _*)
@@ -420,13 +431,68 @@ object TxnLog {
       .map(r => byName(r.getAs[String]("fname")) ->
         (r.getAs[Long]("mn"), r.getAs[Long]("mx"), r.getAs[Long]("n")))
       .toMap
-    val lines = newFiles.map { rel =>
+    newFiles.map { rel =>
       stats.get(rel) match {
         case Some((mn, mx, n)) => s"$rel\tstats:$statsCol=$mn:$mx:$n"
         case None => rel // an empty file: no stats, always kept
       }
     }
-    appendFiles(s, table, lines, None)
+  }
+
+  /** Copy-on-write range DELETE (Delta DELETE WHERE / Iceberg
+    * copy-on-write): removes every row with `statsCol` in [lo, hi] by
+    * rewriting ONLY the files whose stats range intersects the predicate
+    * — the skipping layer applied to writes, which is what makes a
+    * GDPR-scale delete tractable at 100 TB (touch the ~1/N matching
+    * files, not the table). Files without stats for `statsCol` are
+    * conservatively rewritten (they might hold matching rows). Untouched
+    * files keep their exact manifest lines (paths AND stats); rewritten
+    * remainders are re-stats'd so skipping stays sharp on the new head.
+    * NULL `statsCol` rows never match a range and are preserved.
+    * History is never rewritten: the pre-delete snapshot stays readable
+    * and vacuum reclaims the superseded files after the grace window.
+    * Batch high-waters carry forward (a delete must not reset streaming
+    * idempotence).
+    *
+    * Returns the new version — or the CURRENT version unchanged when no
+    * file intersects (a provable no-op publishes nothing). Concurrency:
+    * rows are frozen at the snapshot read, so like [[compact]] a lost
+    * publish race aborts loudly; re-run against the new head. */
+  def deleteWhere(s: SparkSession, table: String, statsCol: String,
+      lo: Long, hi: Long): Int = {
+    import org.apache.spark.sql.functions.col
+    val base = latestVersion(s, table).getOrElse(
+      throw new IllegalStateException(s"$table has no committed snapshot"))
+    val baseInfo = commitInfo(s, table, base)
+    val baseTs = baseInfo.get("ts").flatMap(t => Try(t.toLong).toOption)
+    val lines = snapshotLines(s, table, base)
+    val (touched, untouched) = lines.partition { ln =>
+      statsOf(ln, statsCol) match {
+        case Some((mn, mx, _)) => mx >= lo && mn <= hi
+        case None => true // no stats → might hold matching rows
+      }
+    }
+    if (touched.isEmpty) return base // provable no-op: nothing intersects
+    val remaining = s.read
+      .parquet(touched.map(ln => s"$table/${pathOf(ln)}"): _*)
+      .filter(col(statsCol).isNull ||
+        !(col(statsCol) >= lo && col(statsCol) <= hi))
+    // a fully-emptied rewrite keeps no new files — unless the delete
+    // empties the whole TABLE, which must still publish one (empty)
+    // schema-bearing file so the head stays readable
+    val newLines =
+      if (remaining.isEmpty && untouched.nonEmpty) Nil
+      else if (remaining.isEmpty)
+        statsLines(s, table, writeData(s, table, remaining), statsCol)
+      else statsLines(s, table,
+        writeData(s, table, remaining.repartition(touched.size)), statsCol)
+    if (!tryPublish(s, table, base + 1, untouched ++ newLines, "delete",
+        None, "", highsOf(baseInfo), "full", baseTs.map(_ + 1).getOrElse(0L)))
+      throw new IllegalStateException(
+        s"delete on $table aborted: a concurrent writer committed version " +
+          s"${base + 1} while the rewrite ran; re-run against the new head " +
+          "(no head was published)")
+    base + 1
   }
 
   /** Stats-pruned snapshot read: the files of snapshot `version`

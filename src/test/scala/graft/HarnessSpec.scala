@@ -104,7 +104,8 @@ class HarnessSpec extends SparkSpec {
     // round 15: compaction rewrite + timestamp time travel (the compact
     // repartition and the staged layouts vary with parallelism; the
     // audited op/kind/file-count/total columns must not)
-    "maint_txn_compact", "scan_txn_time_travel", "scan_txn_skip")
+    "maint_txn_compact", "scan_txn_time_travel", "scan_txn_skip",
+    "maint_txn_delete")
 
   test("Memo.memo: concurrent misses build exactly once (no leaked loser)") {
     val built = new java.util.concurrent.atomic.AtomicInteger(0)

@@ -107,6 +107,61 @@ class Round15Spec extends SparkSpec {
     assert(d3.count() === 0L)
   }
 
+  test("copy-on-write delete rewrites ONLY stats-intersecting files, " +
+    "preserves history and streaming idempotence, keeps NULL/no-stats " +
+    "rows safe, and updates stats so skipping stays sharp") {
+    val dir = freshTable()
+    for (i <- 0 until 4)
+      TxnLog.appendWithStats(spark, dir, df(10L * i, 10L * i + 10), "value")
+    // a stats-LESS batch commit (streaming sink shape): must be
+    // conservatively rewritten but its rows and its batch clock survive
+    val vB = TxnLog.appendBatch(spark, dir, df(100, 110), batchId = 3L)
+    val before = TxnLog.snapshotFiles(spark, dir, vB).toSet
+    val dv = TxnLog.deleteWhere(spark, dir, "value", 12, 27)
+    assert(dv === vB + 1)
+    assert(TxnLog.commitInfo(spark, dir, dv).get("op") === Some("delete"))
+    val after = TxnLog.snapshotFiles(spark, dir, dv).toSet
+    // untouched files carried by LINE (identical paths); intersecting +
+    // stats-less files rewritten away
+    val untouchedBefore = Seq(0, 3).map(i =>
+      TxnLog.listedFiles(spark, dir, i + 1).head).toSet
+    assert(untouchedBefore.subsetOf(after),
+      "non-intersecting stats files must not be rewritten")
+    val touchedBefore = Seq(1, 2).map(i =>
+      TxnLog.listedFiles(spark, dir, i + 1).head).toSet
+    assert(touchedBefore.intersect(after).isEmpty,
+      "intersecting files must be rewritten out of the head")
+    // exact row set: [0,12) ∪ (27,40) ∪ the stats-less batch rows
+    val vals = TxnLog.read(spark, dir).collect().map(_.getLong(0)).sorted
+    assert(vals === ((0L to 11L) ++ (28L to 39L) ++ (100L to 109L)).sorted)
+    // history never rewritten
+    assert(TxnLog.read(spark, dir, Some(vB)).count() === 50L)
+    // batch high-water carried through the delete: id 3 still skips
+    assert(TxnLog.appendBatch(spark, dir, df(100, 110), batchId = 3L) === vB)
+    assert(TxnLog.read(spark, dir).count() === 34L, "replay double-applied")
+    // rewritten remainders re-stats'd: a probe inside the deleted range
+    // finds zero rows, opening at most the rewritten files
+    val (d1, k1, _) = TxnLog.readSkipped(spark, dir, "value", 12, 27)
+    assert(d1.filter("value BETWEEN 12 AND 27").count() === 0L)
+    assert(k1 <= 3, s"stale stats kept $k1 files for an emptied range")
+    // provable no-op: nothing intersects → no commit published
+    assert(TxnLog.deleteWhere(spark, dir, "value", 500, 600) === dv)
+    assert(TxnLog.latestVersion(spark, dir) === Some(dv))
+  }
+
+  test("delete that empties the whole table still publishes a readable " +
+    "(empty) head") {
+    val dir = freshTable()
+    TxnLog.appendWithStats(spark, dir, df(0, 10), "value")
+    val dv = TxnLog.deleteWhere(spark, dir, "value", 0, 9)
+    assert(dv === 2)
+    assert(TxnLog.read(spark, dir).count() === 0L)
+    assert(TxnLog.read(spark, dir, Some(1)).count() === 10L)
+    // and the table keeps working afterwards
+    TxnLog.append(spark, dir, df(50, 55))
+    assert(TxnLog.read(spark, dir).count() === 5L)
+  }
+
   test("compact rewrites the head into exactly targetFiles files with " +
     "identical rows, commits forward (history + streaming idempotence " +
     "intact), and vacuum later reclaims the superseded small files") {
