@@ -260,6 +260,76 @@ object QRound15 extends QueryPack {
        |FROM (SELECT unnest(generate_series(1, ${skSlices + 1})) AS v)
        |ORDER BY version""".stripMargin
 
+  // ---- upsert_txn_merge ----
+
+  /** Staged once per sfDir: the range-clustered 8-file stats layout,
+    * then ONE copy-on-write MERGE whose source restates every row with
+    * o_orderkey ∈ [maxk/4, maxk/2] at DOUBLED cents (the CDC
+    * restatement shape — same keys, new values). */
+  private[graft] def mergeTable(s: SparkSession, d: String): String =
+    QRound3.staged(s, d, "txnmerge") { dir =>
+      val o = t(s, d, "orders").select(col("o_orderkey"),
+        floor(col("o_totalprice") * lit(1e2) + lit(5e-1)).cast(LongType)
+          .as("cents"))
+      val maxk = o.agg(max("o_orderkey")).head.getLong(0)
+      for (i <- 0 until skSlices)
+        TxnLog.appendWithStats(s, dir,
+          o.filter(expr(s"o_orderkey * $skSlices DIV ${maxk + 1} = $i"))
+            .repartition(1),
+          "o_orderkey")
+      TxnLog.mergeInto(s, dir,
+        o.filter(col("o_orderkey").between(maxk / 4, maxk / 2))
+          .select(col("o_orderkey"), (col("cents") * 2).as("cents")),
+        "o_orderkey")
+    }
+
+  /** Copy-on-write MERGE audited version-by-version: v9 restates the
+    * predicate range at doubled cents — row count UNCHANGED (every
+    * source key matched), sum raised by exactly the range's original
+    * mass, file count still 8 (untouched files carry by line, the
+    * touched slice rewrites 1:1). The 100 TB point mirrors
+    * `maint_txn_delete`: a key-range CDC upsert rewrites only the
+    * stats-intersecting files. ≤ 9 bounded per-version scans. */
+  private def upsertTxnMerge(s: SparkSession, d: String): DataFrame = {
+    val dir = mergeTable(s, d)
+    val latest = TxnLog.latestVersion(s, dir).getOrElse(0)
+    (1 to latest).map { v =>
+      val op = TxnLog.commitInfo(s, dir, v).getOrElse("op", "")
+      TxnLog.read(s, dir, Some(v))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+        .select(lit(v).as("version"), lit(op).as("op"),
+          lit(TxnLog.snapshotFiles(s, dir, v).size).as("n_files"),
+          col("n_rows"), col("sum_cents"))
+    }.reduce(_ unionAll _).orderBy("version")
+  }
+
+  /** Analytic replay: cumulative slice prefixes for v1..8; v9 keeps the
+    * row count and adds the [maxk/4, maxk/2] range's cents once more
+    * (doubling adds the original mass). */
+  private val oUpsertTxnMerge =
+    s"""WITH o AS (SELECT o_orderkey,
+       |    CAST(floor(o_totalprice * 1e2 + 5e-1) AS BIGINT) AS cents
+       |  FROM orders),
+       |mk AS (SELECT max(o_orderkey) AS maxk FROM o),
+       |s AS (SELECT o_orderkey * $skSlices // (maxk + 1) AS m, count(*) AS n,
+       |    CAST(sum(cents) AS BIGINT) AS sc FROM o, mk GROUP BY 1),
+       |upd AS (SELECT CAST(sum(cents) AS BIGINT) AS dsc
+       |  FROM o, mk WHERE o_orderkey BETWEEN maxk // 4 AND maxk // 2),
+       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+       |    CAST(sum(sc) AS BIGINT) AS tsc FROM s)
+       |SELECT CAST(v AS INT) AS version,
+       |  CASE WHEN v = 9 THEN 'merge' ELSE 'append' END AS op,
+       |  CAST(CASE WHEN v <= $skSlices THEN v ELSE $skSlices END AS INT)
+       |    AS n_files,
+       |  CASE WHEN v <= $skSlices
+       |    THEN (SELECT CAST(sum(n) AS BIGINT) FROM s WHERE m < v)
+       |    ELSE (SELECT tn FROM tot) END AS n_rows,
+       |  CASE WHEN v <= $skSlices
+       |    THEN (SELECT CAST(sum(sc) AS BIGINT) FROM s WHERE m < v)
+       |    ELSE (SELECT tsc + dsc FROM tot, upd) END AS sum_cents
+       |FROM (SELECT unnest(generate_series(1, ${skSlices + 1})) AS v)
+       |ORDER BY version""".stripMargin
+
   // ---- scan_txn_time_travel ----
 
   /** Timestamp time travel audited over the shared 23-append log
@@ -299,12 +369,14 @@ object QRound15 extends QueryPack {
   val queries: Map[String, QFn] = Map(
     "maint_txn_compact"    -> ((s, d) => maintTxnCompact(s, d)),
     "maint_txn_delete"     -> ((s, d) => maintTxnDelete(s, d)),
+    "upsert_txn_merge"     -> ((s, d) => upsertTxnMerge(s, d)),
     "scan_txn_skip"        -> ((s, d) => scanTxnSkip(s, d)),
     "scan_txn_time_travel" -> ((s, d) => scanTxnTimeTravel(s, d)))
 
   val oracles: Map[String, String] = Map(
     "maint_txn_compact"    -> oMaintTxnCompact,
     "maint_txn_delete"     -> oMaintTxnDelete,
+    "upsert_txn_merge"     -> oUpsertTxnMerge,
     "scan_txn_skip"        -> oScanTxnSkip,
     "scan_txn_time_travel" -> oScanTxnTimeTravel)
 }

@@ -687,6 +687,55 @@ object TxnLog {
     base + 1
   }
 
+  /** Copy-on-write MERGE / upsert (Delta MERGE INTO ... WHEN MATCHED
+    * UPDATE, WHEN NOT MATCHED INSERT): every row of `source` replaces
+    * the table row with the same `keyCol` value, or is inserted when no
+    * such row exists. File-level pruning comes free from the stats
+    * layer: all source keys lie in [min, max] of `source`, so only the
+    * files whose `keyCol` stats intersect that range can hold matching
+    * rows — they are rewritten with matches anti-joined out; every other
+    * file carries by exact manifest line (a CDC upsert against a
+    * key-clustered 100 TB table rewrites the touched slice, not the
+    * table). Stats-less files are conservatively rewritten; rewritten
+    * files and the inserted rows are re-stats'd on `keyCol`. `source`
+    * must be key-unique (two source rows with one key would both land —
+    * the caller owns that contract, same as Delta's multiple-match
+    * error). History, batch high-waters, and the lost-race abort behave
+    * exactly like [[deleteWhere]]. Returns the new version. */
+  def mergeInto(s: SparkSession, table: String, source: DataFrame,
+      keyCol: String): Int = {
+    import org.apache.spark.sql.functions.{col, max => fmax, min => fmin}
+    val base = latestVersion(s, table).getOrElse(
+      throw new IllegalStateException(s"$table has no committed snapshot"))
+    val baseInfo = commitInfo(s, table, base)
+    val baseTs = baseInfo.get("ts").flatMap(t => Try(t.toLong).toOption)
+    val bounds = source.agg(fmin(col(keyCol)), fmax(col(keyCol))).head()
+    if (bounds.isNullAt(0)) return base // empty source: provable no-op
+    val (slo, shi) = (bounds.getLong(0), bounds.getLong(1))
+    val lines = snapshotLines(s, table, base)
+    val (touched, untouched) = lines.partition { ln =>
+      statsOf(ln, keyCol) match {
+        case Some((mn, mx, _)) => mx >= slo && mn <= shi
+        case None => true // no stats → might hold matching keys
+      }
+    }
+    val newData =
+      if (touched.isEmpty) source
+      else s.read.parquet(touched.map(ln => s"$table/${pathOf(ln)}"): _*)
+        .join(source.select(col(keyCol)), Seq(keyCol), "left_anti")
+        .unionByName(source)
+    val parts = math.max(1, touched.size)
+    val newLines = statsLines(s, table,
+      writeData(s, table, newData.repartition(parts)), keyCol)
+    if (!tryPublish(s, table, base + 1, untouched ++ newLines, "merge",
+        None, "", highsOf(baseInfo), "full", baseTs.map(_ + 1).getOrElse(0L)))
+      throw new IllegalStateException(
+        s"merge into $table aborted: a concurrent writer committed " +
+          s"version ${base + 1} while the rewrite ran; re-run against " +
+          "the new head (no head was published)")
+    base + 1
+  }
+
   /** Snapshot read: resolves `version` (default: latest) ONCE and pins
     * that manifest's file list — later commits are invisible (snapshot
     * isolation), and any published version stays readable (time travel)

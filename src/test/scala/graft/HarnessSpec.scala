@@ -105,7 +105,7 @@ class HarnessSpec extends SparkSpec {
     // repartition and the staged layouts vary with parallelism; the
     // audited op/kind/file-count/total columns must not)
     "maint_txn_compact", "scan_txn_time_travel", "scan_txn_skip",
-    "maint_txn_delete")
+    "maint_txn_delete", "upsert_txn_merge")
 
   test("Memo.memo: concurrent misses build exactly once (no leaked loser)") {
     val built = new java.util.concurrent.atomic.AtomicInteger(0)

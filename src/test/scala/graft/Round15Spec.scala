@@ -149,6 +149,61 @@ class Round15Spec extends SparkSpec {
     assert(TxnLog.latestVersion(spark, dir) === Some(dv))
   }
 
+  test("copy-on-write merge updates matched keys, inserts new ones, " +
+    "rewrites only key-range-intersecting files, and carries history + " +
+    "idempotence") {
+    import spark.implicits._
+    val dir = freshTable()
+    for (i <- 0 until 4)
+      TxnLog.appendWithStats(spark, dir, df(10L * i, 10L * i + 10), "value")
+    val vB = TxnLog.appendBatch(spark, dir,
+      spark.range(100, 105, 1, 1).toDF("value"), batchId = 9L) // stats-less
+    // source: update keys 12..15 (values exist) + insert 16? exists too —
+    // keys here ARE the values; build a 2-col table to tell them apart
+    val dir2 = Staging.trackedTempDir("graft_txn15m_")
+    def kv(pairs: (Long, Long)*) = pairs.toDF("k", "v")
+    for (i <- 0 until 4)
+      TxnLog.appendWithStats(spark, dir2,
+        (10L * i until 10L * i + 10).map(k => (k, k)).toDF("k", "v"), "k")
+    val before = TxnLog.snapshotFiles(spark, dir2, 4).toSet
+    // updates: k=12,13 get v=-1; inserts: k=15999,16001 (outside any file)
+    val mv = TxnLog.mergeInto(spark, dir2,
+      kv(12L -> -1L, 13L -> -1L, 15999L -> 7L, 16001L -> 7L), "k")
+    assert(mv === 5)
+    assert(TxnLog.commitInfo(spark, dir2, 5).get("op") === Some("merge"))
+    val after = TxnLog.snapshotFiles(spark, dir2, 5).toSet
+    // source keys span [12, 16001] → files [10,20) [20,30) [30,40)
+    // intersect and rewrite; [0,10) carries by line
+    val f1 = TxnLog.listedFiles(spark, dir2, 1).head
+    assert(after.contains(f1), "non-intersecting file must carry by line")
+    assert(!after.contains(TxnLog.listedFiles(spark, dir2, 2).head),
+      "intersecting file must be rewritten")
+    val rows = TxnLog.read(spark, dir2).as[(Long, Long)].collect().toMap
+    assert(rows.size === 42)
+    assert(rows(12L) === -1L && rows(13L) === -1L, "updates not applied")
+    assert(rows(15999L) === 7L && rows(16001L) === 7L, "inserts missing")
+    assert(rows(14L) === 14L && rows(5L) === 5L, "unmatched rows damaged")
+    // history intact
+    assert(TxnLog.read(spark, dir2, Some(4)).as[(Long, Long)]
+      .collect().toMap.apply(12L) === 12L)
+    // rewritten files re-stats'd: a probe on the inserted island opens
+    // only the rewritten files, never the carried [0,10) file
+    val (d1, k1, t1) = TxnLog.readSkipped(spark, dir2, "k", 15000, 17000)
+    assert(d1.filter("k BETWEEN 15000 AND 17000").count() === 2L)
+    assert(k1 < t1, "merge output stats must keep pruning effective")
+    // pure-insert merge against keys beyond every file range still lands
+    TxnLog.mergeInto(spark, dir2, kv(90000L -> 1L), "k")
+    assert(TxnLog.read(spark, dir2).count() === 43L)
+    // empty source: provable no-op
+    assert(TxnLog.mergeInto(spark, dir2, kv(), "k") ===
+      TxnLog.latestVersion(spark, dir2).get)
+    // batch high-water carried through a merge on the FIRST table
+    TxnLog.mergeInto(spark, dir,
+      spark.range(0, 3, 1, 1).toDF("value"), "value")
+    assert(TxnLog.appendBatch(spark, dir,
+      spark.range(100, 105, 1, 1).toDF("value"), batchId = 9L) === vB)
+  }
+
   test("delete that empties the whole table still publishes a readable " +
     "(empty) head") {
     val dir = freshTable()
