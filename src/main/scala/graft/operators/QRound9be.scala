@@ -133,19 +133,7 @@ object QRound9be extends QueryPack {
        |daily AS (SELECT * FROM daily0
        |  UNION ALL SELECT '_ALL', day_num, CAST(sum(cnt) AS BIGINT)
        |  FROM daily0 GROUP BY day_num),
-       |idx AS MATERIALIZED (SELECT event_type, cnt, row_number() OVER (
-       |    PARTITION BY event_type ORDER BY day_num) AS i FROM daily),
-       |n AS (SELECT event_type, CAST(max(i) AS BIGINT) AS n_days
-       |  FROM idx GROUP BY 1),
-       |rec AS (
-       |  SELECT event_type, i, cnt * 1000000 AS l, CAST(0 AS BIGINT) AS b
-       |  FROM idx WHERE i = 1
-       |  UNION ALL
-       |  SELECT x.event_type, x.i,
-       |    (x.cnt * 1000000 + r.l + r.b) // 2 AS l,
-       |    (((x.cnt * 1000000 + r.l + r.b) // 2) - r.l + r.b) // 2 AS b
-       |  FROM rec r JOIN idx x
-       |    ON x.event_type = r.event_type AND x.i = r.i + 1),
+       |${QRound9y.oHoltRecCtes},
        |fin AS MATERIALIZED (SELECT r.event_type, r.l + r.b AS f6
        |  FROM rec r JOIN n ON n.event_type = r.event_type
        |    AND r.i = n.n_days),

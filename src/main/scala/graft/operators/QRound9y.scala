@@ -63,25 +63,33 @@ object QRound9y extends QueryPack {
   private def tsHoltLinear(s: SparkSession, d: String): DataFrame =
     holtLinear(QRound9b.evDaily(s, d))
 
+  /** The Holt-linear integer recursion as CTE text (`idx`/`n`/`rec`) over
+    * a preceding `daily(event_type, day_num, cnt)` CTE — factored so the
+    * `ts_holt_linear` and `ts_forecast_reconcile` oracles share ONE
+    * spelling of the recursion instead of duplicating the 12-line block
+    * (VERDICT r15 clone-sweep nit). */
+  private[operators] val oHoltRecCtes: String =
+    """idx AS MATERIALIZED (SELECT event_type, cnt, row_number() OVER (
+      |    PARTITION BY event_type ORDER BY day_num) AS i FROM daily),
+      |n AS (SELECT event_type, CAST(max(i) AS BIGINT) AS n_days
+      |  FROM idx GROUP BY 1),
+      |rec AS (
+      |  SELECT event_type, i, cnt * 1000000 AS l, CAST(0 AS BIGINT) AS b
+      |  FROM idx WHERE i = 1
+      |  UNION ALL
+      |  SELECT x.event_type, x.i,
+      |    (x.cnt * 1000000 + r.l + r.b) // 2 AS l,
+      |    (((x.cnt * 1000000 + r.l + r.b) // 2) - r.l + r.b) // 2 AS b
+      |  FROM rec r JOIN idx x
+      |    ON x.event_type = r.event_type AND x.i = r.i + 1)""".stripMargin
+
   private val oTsHoltLinear =
     s"""WITH RECURSIVE daily AS (
        |  SELECT event_type,
        |    epoch_us(date_trunc('day', ts)) // 86400000000 AS day_num,
        |    CAST(count(*) AS BIGINT) AS cnt
        |  FROM events GROUP BY 1, 2),
-       |idx AS MATERIALIZED (SELECT event_type, cnt, row_number() OVER (
-       |    PARTITION BY event_type ORDER BY day_num) AS i FROM daily),
-       |n AS (SELECT event_type, CAST(max(i) AS BIGINT) AS n_days
-       |  FROM idx GROUP BY 1),
-       |rec AS (
-       |  SELECT event_type, i, cnt * 1000000 AS l, CAST(0 AS BIGINT) AS b
-       |  FROM idx WHERE i = 1
-       |  UNION ALL
-       |  SELECT x.event_type, x.i,
-       |    (x.cnt * 1000000 + r.l + r.b) // 2 AS l,
-       |    (((x.cnt * 1000000 + r.l + r.b) // 2) - r.l + r.b) // 2 AS b
-       |  FROM rec r JOIN idx x
-       |    ON x.event_type = r.event_type AND x.i = r.i + 1),
+       |$oHoltRecCtes,
        |fin AS (SELECT r.event_type, r.l, r.b FROM rec r
        |  JOIN n ON n.event_type = r.event_type AND r.i = n.n_days)
        |SELECT f.event_type, n.n_days, CAST(f.l AS BIGINT) AS level6,
