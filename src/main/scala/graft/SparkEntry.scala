@@ -26,7 +26,7 @@ object SparkEntry {
     QRound9bj, QRound9bk, QRound9bl, QRound9bm, QRound9bn, QRound9bo,
     QRound9bp, QRound9bq, QRound9br, QRound9bs, QRound9bt, QRound9bu, QRound9bv, QRound9bw, QRound9bx, QRound9by, QRound9bz, QRound9ca, QRound9cb, QRound9cc, QRound9cd, QRound9ce, QRound9cf, QRound9cg, QRound9ch,
     QRound9ci, QRound9cj, QRound9ck, QRound9cl, QRound9cm, QRound9cn,
-    QRound11, QRound12, QRound14, QRound15, QStreaming)
+    QRound11, QRound12, QRound14, QRound15, QRound16, QStreaming)
 
   /** Flagship query (TPC-H Q1 shape) on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

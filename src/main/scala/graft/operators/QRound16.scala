@@ -1,0 +1,281 @@
+package graft.operators
+
+import graft.QueryPack
+import graft.sources.Tables.t
+import graft.sources.TxnLog
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-16 transactional-layout keys — the VERDICT r15 concurrency and
+  * multi-column-stats asks as first-class audited queries:
+  *
+  *  - `maint_txn_concurrent`: conflict-analyzed concurrent-writer DML
+  *    ([[TxnLog.deleteWhere]] + a racing append — Delta's commit
+  *    conflict checker). A stats'd append lands INSIDE the delete's
+  *    publish window (deterministically, via the fire-once
+  *    [[TxnLog.beforeCowPublish]] injection point — the only way to pin
+  *    a race for a reproducible audit); because the appended file's key
+  *    range is provably disjoint from the delete predicate, the delete
+  *    RETRIES automatically and serializes after the append instead of
+  *    aborting. The audit replays the interleaving version by version:
+  *    v1..7 appends, v8 the concurrent append, v9 the delete — rows,
+  *    sums, and file counts must all land as if the two writers had
+  *    coordinated. The 100 TB point: without conflict analysis, a busy
+  *    ingest table can never schedule a large GDPR delete — every
+  *    micro-batch would abort it.
+  *  - `scan_txn_skip_multi`: MULTI-COLUMN data skipping
+  *    ([[TxnLog.appendWithStats]] with several columns +
+  *    [[TxnLog.readSkippedMulti]] — Delta stats on N columns). Files lie
+  *    on a 4x2 (o_orderkey quarter x o_custkey half) grid, each manifest
+  *    line carrying BOTH columns' (min, max, rows, nulls); the audited
+  *    probes show files_scanned dropping on EACH dimension and their
+  *    conjunction (8 -> 2 -> 4 -> 1), with residual-filtered totals that
+  *    must equal the plain range aggregates regardless of pruning.
+  *  - `scan_txn_skip_null`: NULL-COUNT pruning ([[TxnLog.readSkippedNull]]
+  *    — Delta's nullCount stats). Only 2 of 8 files contain NULLs in the
+  *    probed column; an IS NULL probe opens exactly those 2, and an
+  *    IS NULL probe on a never-null column opens ZERO files — the
+  *    metadata-only fast path for the classic "find the corrupt rows"
+  *    scan.
+  *
+  * Scale shapes: all pruning decisions are manifest metadata (zero data
+  * I/O); per-probe work is one bounded pruned scan + map-side-partial
+  * aggregate; audits are log-length-bounded; staged builds one-time per
+  * sfDir. */
+object QRound16 extends QueryPack {
+
+  private def centsOrders(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+      floor(col("o_totalprice") * lit(1e2) + lit(5e-1)).cast(LongType)
+        .as("cents"))
+
+  // ---- maint_txn_concurrent ----
+
+  private[graft] val cSlices = 8
+
+  /** Staged once per sfDir: 7 single-file stats appends (o_orderkey
+    * slices 0..6 of 8), then a DELETE of [maxk/4, maxk/2] with slice 7
+    * appended concurrently inside its publish window. Slice 7's keys
+    * start above 7(maxk+1)/8 > maxk/2, so its stats prove disjointness
+    * and the delete auto-retries: the log records append v8 then delete
+    * v9 — both landed, no manual retry. */
+  private[graft] def concTable(s: SparkSession, d: String): String =
+    QRound3.staged(s, d, "txnconc") { dir =>
+      val o = centsOrders(s, d).drop("o_custkey")
+      val maxk = o.agg(max("o_orderkey")).head.getLong(0)
+      for (i <- 0 until cSlices - 1)
+        TxnLog.appendWithStats(s, dir,
+          o.filter(expr(s"o_orderkey * $cSlices DIV ${maxk + 1} = $i"))
+            .repartition(1),
+          "o_orderkey")
+      TxnLog.beforeCowPublish = () => {
+        TxnLog.appendWithStats(s, dir,
+          o.filter(
+            expr(s"o_orderkey * $cSlices DIV ${maxk + 1} = ${cSlices - 1}"))
+            .repartition(1),
+          "o_orderkey")
+        ()
+      }
+      TxnLog.deleteWhere(s, dir, "o_orderkey", maxk / 4, maxk / 2)
+    }
+
+  /** The interleaving audited version-by-version: v1..7 build the
+    * range-clustered layout, v8 is the CONCURRENT append (committed while
+    * the delete's rewrite was in flight), v9 the conflict-analyzed delete
+    * that serialized after it. v9's totals must equal all 8 slices minus
+    * exactly the predicate range — the concurrent rows survive the delete
+    * they raced — and its file count stays 8 (carry by line + 1:1
+    * rewrite). ≤ 9 bounded per-version scans. */
+  private def maintTxnConcurrent(s: SparkSession, d: String): DataFrame = {
+    val dir = concTable(s, d)
+    val latest = TxnLog.latestVersion(s, dir).getOrElse(0)
+    (1 to latest).map { v =>
+      val op = TxnLog.commitInfo(s, dir, v).getOrElse("op", "")
+      TxnLog.read(s, dir, Some(v))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+        .select(lit(v).as("version"), lit(op).as("op"),
+          lit(TxnLog.snapshotFiles(s, dir, v).size).as("n_files"),
+          col("n_rows"), col("sum_cents"))
+    }.reduce(_ unionAll _).orderBy("version")
+  }
+
+  /** Analytic replay: cumulative slice prefixes for v1..7; v8 holds ALL
+    * slices (the racing append); v9 subtracts exactly the delete range
+    * from the full table. */
+  private val oMaintTxnConcurrent =
+    s"""WITH o AS (SELECT o_orderkey,
+       |    CAST(floor(o_totalprice * 1e2 + 5e-1) AS BIGINT) AS cents
+       |  FROM orders),
+       |mk AS (SELECT max(o_orderkey) AS maxk FROM o),
+       |s AS (SELECT o_orderkey * $cSlices // (maxk + 1) AS m, count(*) AS n,
+       |    CAST(sum(cents) AS BIGINT) AS sc FROM o, mk GROUP BY 1),
+       |del AS (SELECT count(*) AS dn, CAST(sum(cents) AS BIGINT) AS dsc
+       |  FROM o, mk WHERE o_orderkey BETWEEN maxk // 4 AND maxk // 2),
+       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+       |    CAST(sum(sc) AS BIGINT) AS tsc FROM s)
+       |SELECT CAST(v AS INT) AS version,
+       |  CASE WHEN v = ${cSlices + 1} THEN 'delete' ELSE 'append' END AS op,
+       |  CAST(CASE WHEN v <= $cSlices THEN v ELSE $cSlices END AS INT)
+       |    AS n_files,
+       |  CASE WHEN v <= $cSlices
+       |    THEN (SELECT CAST(sum(n) AS BIGINT) FROM s WHERE m < v)
+       |    ELSE (SELECT tn - dn FROM tot, del) END AS n_rows,
+       |  CASE WHEN v <= $cSlices
+       |    THEN (SELECT CAST(sum(sc) AS BIGINT) FROM s WHERE m < v)
+       |    ELSE (SELECT tsc - dsc FROM tot, del) END AS sum_cents
+       |FROM (SELECT unnest(generate_series(1, ${cSlices + 1})) AS v)
+       |ORDER BY version""".stripMargin
+
+  // ---- scan_txn_skip_multi ----
+
+  private[graft] val mQuarters = 4
+  private[graft] val mHalves = 2
+
+  /** Staged once per sfDir: 8 single-file appends on the (o_orderkey
+    * quarter x o_custkey half) grid, each committed with stats on BOTH
+    * columns — the two-dimensionally clustered ingest layout
+    * multi-column skipping exists for. */
+  private[graft] def multiTable(s: SparkSession, d: String): String =
+    QRound3.staged(s, d, "txnskip2") { dir =>
+      val o = centsOrders(s, d)
+      val b = o.agg(max("o_orderkey"), max("o_custkey")).head
+      val (maxk, maxc) = (b.getLong(0), b.getLong(1))
+      for (i <- 0 until mQuarters; h <- 0 until mHalves)
+        TxnLog.appendWithStats(s, dir,
+          o.filter(expr(s"o_orderkey * $mQuarters DIV ${maxk + 1} = $i " +
+              s"AND o_custkey * $mHalves DIV ${maxc + 1} = $h"))
+            .repartition(1),
+          "o_orderkey", "o_custkey")
+    }
+
+  /** Two-column data skipping audited: four probes over the 4x2 grid —
+    * o_orderkey-only, o_custkey-only, their conjunction, and the full
+    * range — each emitting how many files the pruned read opened next to
+    * residual-filtered totals that must equal the plain range aggregates
+    * (kept files are always a superset per conjunct). files_scanned must
+    * drop on BOTH probe dimensions: 2 of 8 on the key quarter, 4 of 8 on
+    * the custkey half, 1 of 8 on their conjunction. */
+  private def scanTxnSkipMulti(s: SparkSession, d: String): DataFrame = {
+    val dir = multiTable(s, d)
+    val b = centsOrders(s, d)
+      .agg(max("o_orderkey"), max("o_custkey")).head
+    val (maxk, maxc) = (b.getLong(0), b.getLong(1))
+    val probes = Seq(
+      (1, 0L, maxk / 4, 0L, maxc),
+      (2, 0L, maxk, 0L, maxc / 2),
+      (3, 0L, maxk / 4, 0L, maxc / 2),
+      (4, 0L, maxk, 0L, maxc))
+    probes.map { case (p, klo, khi, clo, chi) =>
+      val (df, kept, total) = TxnLog.readSkippedMulti(s, dir,
+        Seq(("o_orderkey", klo, khi), ("o_custkey", clo, chi)))
+      df.filter(col("o_orderkey").between(klo, khi) &&
+          col("o_custkey").between(clo, chi))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+        .select(lit(p).as("probe"), lit(kept).as("files_scanned"),
+          lit(total).as("files_total"), col("n_rows"), col("sum_cents"))
+    }.reduce(_ unionAll _).orderBy("probe")
+  }
+
+  /** Analytic replay: per-cell actual (min, max) on both columns from the
+    * same grid rule; a probe keeps the cells whose ranges intersect on
+    * BOTH dimensions; totals are the plain conjunctive aggregates. */
+  private val oScanTxnSkipMulti =
+    s"""WITH o AS (SELECT o_orderkey, o_custkey,
+       |    CAST(floor(o_totalprice * 1e2 + 5e-1) AS BIGINT) AS cents
+       |  FROM orders),
+       |mk AS (SELECT max(o_orderkey) AS maxk, max(o_custkey) AS maxc FROM o),
+       |cell AS (SELECT o_orderkey * $mQuarters // (maxk + 1) AS i,
+       |    o_custkey * $mHalves // (maxc + 1) AS h,
+       |    min(o_orderkey) AS kmn, max(o_orderkey) AS kmx,
+       |    min(o_custkey) AS cmn, max(o_custkey) AS cmx
+       |  FROM o, mk GROUP BY 1, 2),
+       |pr AS (
+       |  SELECT 1 AS probe, CAST(0 AS BIGINT) AS klo, maxk // 4 AS khi,
+       |    CAST(0 AS BIGINT) AS clo, maxc AS chi FROM mk
+       |  UNION ALL SELECT 2, 0, maxk, 0, maxc // 2 FROM mk
+       |  UNION ALL SELECT 3, 0, maxk // 4, 0, maxc // 2 FROM mk
+       |  UNION ALL SELECT 4, 0, maxk, 0, maxc FROM mk)
+       |SELECT CAST(probe AS INT) AS probe,
+       |  CAST((SELECT count(*) FROM cell WHERE kmx >= klo AND kmn <= khi
+       |    AND cmx >= clo AND cmn <= chi) AS INT) AS files_scanned,
+       |  CAST((SELECT count(*) FROM cell) AS INT) AS files_total,
+       |  (SELECT count(*) FROM o WHERE o_orderkey BETWEEN klo AND khi
+       |    AND o_custkey BETWEEN clo AND chi) AS n_rows,
+       |  (SELECT CAST(sum(cents) AS BIGINT) FROM o
+       |    WHERE o_orderkey BETWEEN klo AND khi
+       |    AND o_custkey BETWEEN clo AND chi) AS sum_cents
+       |FROM pr ORDER BY probe""".stripMargin
+
+  // ---- scan_txn_skip_null ----
+
+  /** Staged once per sfDir: the 8-slice o_orderkey layout where ONLY
+    * slices 2 and 5 contain NULLs in `maybe_cents` (every third key's
+    * cents nulled there) — stats on both columns carry per-file null
+    * counts, so an IS NULL probe can prove 6 of the 8 files clean. */
+  private[graft] def nullTable(s: SparkSession, d: String): String =
+    QRound3.staged(s, d, "txnskipnull") { dir =>
+      val o0 = centsOrders(s, d).drop("o_custkey")
+      val maxk = o0.agg(max("o_orderkey")).head.getLong(0)
+      val o = o0.select(col("o_orderkey"),
+        expr(s"CASE WHEN o_orderkey % 3 = 0 AND " +
+          s"o_orderkey * $cSlices DIV ${maxk + 1} IN (2, 5) " +
+          "THEN CAST(NULL AS BIGINT) ELSE cents END").as("maybe_cents"))
+      for (i <- 0 until cSlices)
+        TxnLog.appendWithStats(s, dir,
+          o.filter(expr(s"o_orderkey * $cSlices DIV ${maxk + 1} = $i"))
+            .repartition(1),
+          "o_orderkey", "maybe_cents")
+    }
+
+  /** Null-count pruning audited: probe 1 (maybe_cents IS NULL) opens
+    * exactly the null-bearing files — 2 of 8 — and its residual-filtered
+    * row count and key sum must equal the plain IS NULL aggregate;
+    * probe 2 (o_orderkey IS NULL, a never-null column) opens ZERO files
+    * and returns the empty aggregate (count 0, sum NULL). The pruning
+    * decision costs no data I/O — at 100 TB this is the
+    * "find the corrupt rows" scan answered from manifest metadata. */
+  private def scanTxnSkipNull(s: SparkSession, d: String): DataFrame = {
+    val dir = nullTable(s, d)
+    Seq("maybe_cents" -> 1, "o_orderkey" -> 2).map { case (c, p) =>
+      val (df, kept, total) = TxnLog.readSkippedNull(s, dir, c)
+      df.filter(col(c).isNull)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_orderkey")).as("sum_key"))
+        .select(lit(p).as("probe"), lit(kept).as("files_scanned"),
+          lit(total).as("files_total"), col("n_rows"), col("sum_key"))
+    }.reduce(_ unionAll _).orderBy("probe")
+  }
+
+  private val oScanTxnSkipNull =
+    s"""WITH base AS (SELECT o_orderkey,
+       |    CAST(floor(o_totalprice * 1e2 + 5e-1) AS BIGINT) AS cents
+       |  FROM orders),
+       |mk AS (SELECT max(o_orderkey) AS maxk FROM base),
+       |o AS (SELECT o_orderkey, o_orderkey * $cSlices // (maxk + 1) AS sl,
+       |    CASE WHEN o_orderkey % 3 = 0 AND
+       |      o_orderkey * $cSlices // (maxk + 1) IN (2, 5)
+       |      THEN NULL ELSE cents END AS maybe_cents
+       |  FROM base, mk),
+       |nl AS (SELECT count(*) AS nn, CAST(sum(o_orderkey) AS BIGINT) AS sk,
+       |    CAST(count(DISTINCT sl) AS INT) AS nf
+       |  FROM o WHERE maybe_cents IS NULL),
+       |tf AS (SELECT CAST(count(DISTINCT sl) AS INT) AS total FROM o)
+       |SELECT CAST(1 AS INT) AS probe, (SELECT nf FROM nl) AS files_scanned,
+       |  (SELECT total FROM tf) AS files_total,
+       |  (SELECT nn FROM nl) AS n_rows, (SELECT sk FROM nl) AS sum_key
+       |UNION ALL
+       |SELECT 2, 0, (SELECT total FROM tf), CAST(0 AS BIGINT),
+       |  CAST(NULL AS BIGINT)
+       |ORDER BY probe""".stripMargin
+
+  val queries: Map[String, QFn] = Map(
+    "maint_txn_concurrent" -> ((s, d) => maintTxnConcurrent(s, d)),
+    "scan_txn_skip_multi"  -> ((s, d) => scanTxnSkipMulti(s, d)),
+    "scan_txn_skip_null"   -> ((s, d) => scanTxnSkipNull(s, d)))
+
+  val oracles: Map[String, String] = Map(
+    "maint_txn_concurrent" -> oMaintTxnConcurrent,
+    "scan_txn_skip_multi"  -> oScanTxnSkipMulti,
+    "scan_txn_skip_null"   -> oScanTxnSkipNull)
+}

@@ -248,11 +248,10 @@ class Round15Spec extends SparkSpec {
     assert(deleted >= 5, s"expected the 5 small files reclaimed, got $deleted")
     assert(TxnLog.read(spark, dir).count() === 60L)
     intercept[Exception] { TxnLog.read(spark, dir, Some(5)).count() }
-    // NOT gated here: the lost-publish abort (a concurrent commit between
-    // compact's snapshot read and its publish) — the window is internal
-    // to one call, so no external fixture can land in it
-    // deterministically; the path is a straight-line !tryPublish → throw
-    // (TxnLog.compact scaladoc documents the contract).
+    // The concurrent-commit window (a commit landing between compact's
+    // snapshot read and its publish) is gated in Round16Spec via the
+    // beforeCowPublish fault-injection point: appends commute (both
+    // commit), non-appends abort loudly.
   }
 
   test("vacuum sweeps .tmp- litter INCLUDING ..tmp-*.crc checksum " +
