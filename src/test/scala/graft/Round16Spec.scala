@@ -1,6 +1,7 @@
 package graft
 
 import graft.sources.TxnLog
+import org.apache.spark.sql.functions.sum
 
 /** Round-16 gates for the VERDICT r15 concurrency + stats asks:
   * conflict-analyzed retry on copy-on-write DML and compact (disjoint
@@ -257,6 +258,102 @@ class Round16Spec extends SparkSpec {
       TxnLog.mergeInto(spark, dir,
         Seq((Option.empty[Long], 9L)).toDF("k", "v"), "k")
     }
+  }
+
+  test("partitioned txn table: part tokens prune like stats on both " +
+    "dimensions, the partition column restores typed on read, and " +
+    "delete/merge/compact preserve the partition layout") {
+    import spark.implicits._
+    val dir = freshTable()
+    // two appends of k-halves, each Hive-partitioned by p = k % 4 with
+    // k-stats: 8 files on a (half x p) grid
+    for (h <- 0 until 2)
+      TxnLog.appendPartitioned(spark, dir,
+        (20L * h until 20L * h + 20L).map(k => (k, 10 * k, k % 4))
+          .toDF("k", "v", "p").coalesce(1),
+        "p", "k")
+    val lines = TxnLog.snapshotLines(spark, dir, 2)
+    assert(lines.size === 8)
+    assert(lines.forall(ln => TxnLog.partTokenOf(ln).exists(_._1 == "p")))
+    // the partition column restores from the directory layout, typed
+    val r = TxnLog.read(spark, dir)
+    assert(r.count() === 40L)
+    assert(r.agg(sum("p")).head.getLong(0) === 60L)
+    // partition pruning IS stats pruning: p's part token reads as
+    // min=max stats, composable with the k-range dimension
+    def kept(preds: (String, Long, Long)*): Int =
+      TxnLog.readSkippedMulti(spark, dir, preds)._2
+    assert(kept(("p", 1L, 1L)) === 2)
+    assert(kept(("k", 0L, 19L)) === 4)
+    assert(kept(("p", 1L, 1L), ("k", 0L, 19L)) === 1)
+    val (d1, _, _) = TxnLog.readSkippedMulti(spark, dir,
+      Seq(("p", 1L, 1L), ("k", 0L, 19L)))
+    assert(d1.filter("p = 1 AND k <= 19").agg(sum("k")).head.getLong(0)
+      === (1L + 5 + 9 + 13 + 17))
+    // DELETE keyed on the PARTITION column: touches only p=2 files
+    // (whole-partition drop — every row in them matches)
+    val dv = TxnLog.deleteWhere(spark, dir, "p", 2L, 2L)
+    assert(TxnLog.snapshotFiles(spark, dir, dv).size === 6)
+    assert(TxnLog.read(spark, dir).count() === 30L)
+    assert(kept(("p", 2L, 2L)) === 0)
+    // DELETE keyed on the DATA column: rewrite preserves the partition
+    // layout (fresh part tokens, p still restores)
+    TxnLog.deleteWhere(spark, dir, "k", 5L, 7L)
+    val lines2 = TxnLog.snapshotLines(spark, dir,
+      TxnLog.latestVersion(spark, dir).get)
+    assert(lines2.forall(ln => TxnLog.partTokenOf(ln).exists(_._1 == "p")),
+      "delete rewrite lost the partition layout")
+    val r2 = TxnLog.read(spark, dir)
+    assert(r2.count() === 28L) // k=5 (p=1) and k=7 (p=3) removed; k=6 was p=2
+    assert(r2.filter("p = 1").count() === 9L)
+    // MERGE on the key column: update lands, partition layout preserved
+    TxnLog.mergeInto(spark, dir,
+      Seq((8L, -1L, 0L)).toDF("k", "v", "p"), "k")
+    val rows = TxnLog.read(spark, dir).select("k", "v").as[(Long, Long)]
+      .collect().toMap
+    assert(rows(8L) === -1L && rows.size === 28)
+    // COMPACT on a partitioned table: one file per live partition value
+    val cv = TxnLog.compact(spark, dir)
+    val lines3 = TxnLog.snapshotLines(spark, dir, cv)
+    assert(lines3.size === 3) // p in {0, 1, 3} survive
+    assert(lines3.flatMap(ln => TxnLog.partTokenOf(ln)).map(_._2).sorted
+      === Seq("0", "1", "3"))
+    assert(TxnLog.read(spark, dir).count() === 28L)
+    assert(TxnLog.read(spark, dir, Some(2)).count() === 40L) // history
+    // vacuum's recursive walk reclaims the superseded NESTED files
+    Thread.sleep(20)
+    val deleted = TxnLog.vacuum(spark, dir, retain = 1, orphanGraceMs = 0)
+    assert(deleted > 0, "nested partitioned files were not reclaimed")
+    val onDisk = {
+      def walk(f: java.io.File): Seq[String] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet"))
+          Seq(f.getPath.stripPrefix(dir + "/")) else Nil
+      walk(new java.io.File(dir, "data")).toSet
+    }
+    assert(onDisk === TxnLog.snapshotFiles(spark, dir, cv).toSet,
+      "on-disk parquet set must equal the retained head's file set")
+    assert(TxnLog.read(spark, dir).count() === 28L)
+  }
+
+  test("a delete that empties a partitioned table leaves a readable " +
+    "plain head carrying the partition column as data; later " +
+    "partitioned appends union back by name") {
+    import spark.implicits._
+    val dir = freshTable()
+    TxnLog.appendPartitioned(spark, dir,
+      (0L until 12L).map(k => (k, k % 3)).toDF("k", "p").coalesce(1),
+      "p", "k")
+    val dv = TxnLog.deleteWhere(spark, dir, "k", 0L, 11L)
+    assert(TxnLog.read(spark, dir).count() === 0L)
+    assert(TxnLog.read(spark, dir).columns.toSet === Set("k", "p"))
+    TxnLog.appendPartitioned(spark, dir,
+      (20L until 26L).map(k => (k, k % 3)).toDF("k", "p").coalesce(1),
+      "p", "k")
+    assert(TxnLog.read(spark, dir).count() === 6L)
+    assert(TxnLog.read(spark, dir).agg(sum("p")).head.getLong(0) ===
+      (20L until 26L).map(_ % 3).sum)
+    assert(TxnLog.read(spark, dir, Some(dv)).count() === 0L)
   }
 
   test("delete remainders stay RANGE-CLUSTERED (ADVICE r15 medium): " +
