@@ -20,20 +20,22 @@ import java.nio.file.{Files, Paths}
   * it never does, emits a `load_warn` field naming the cold column
   * non-adjudicable. Keys that succeed cold but fail warm are listed in
   * `warm_errors` (they are invisible in totals otherwise). A key whose
-  * in-suite warm exceeded an ABSOLUTE 3 s is re-measured once at suite
-  * end and both numbers ship (`warm_remeasured`) — a contended window
-  * mid-suite self-corrects in the artifact instead of reading as a 30 s
-  * "regression" on a 1 s key (VERDICT r13). The r14 driver run proved
-  * the earlier relative trigger (warm > 3× cold) insufficient: a ~10 min
-  * environment stall inflated cold AND warm equally across one
-  * alphabetical block (win_* 15–93 s on keys that run 0.4–1.4 s steady),
-  * so the ratio never fired; the absolute trigger costs ~3 re-runs
-  * (~16 s) on a clean suite and catches uniform stalls. A re-measure
+  * in-suite warm exceeded 3 s AND looks anomalous — warm > 2x its own
+  * cold (mid-suite contention; a steady key's warm never beats the cold
+  * that paid its builds), or the end-of-suite calibration burn drifted
+  * >1.5x from the start burn (the r14 uniform-stall shape that inflates
+  * cold and warm equally, invisible to any ratio) — is re-measured once
+  * at suite end and both numbers ship (`warm_remeasured`), so a
+  * contended window self-corrects in the artifact instead of reading as
+  * a 30 s "regression" on a 1 s key (VERDICT r13; combined trigger per
+  * ADVICE r15 — the r15 purely-absolute trigger re-ran every
+  * legitimately-slow steady key every suite end). A re-measure
   * that itself fails lands in `warm_remeasure_errors` (never a fake
   * -1.0 "time" — ADVICE r14). The full artifact also carries `t`, each
   * key's suite-relative start offset in seconds, and
-  * `calib_parallel_end` (the start-of-suite burn repeated at suite end),
-  * so a mid-run stall window is directly visible in the artifact
+  * `calib_parallel_end` (the start-of-suite burn repeated at suite end,
+  * now taken BEFORE the re-measure phase so it can arm it), so a
+  * mid-run stall window is directly visible in the artifact
   * instead of demanding a standalone adjudication session.
   * `calib_single`/`calib_parallel` time one fixed CPU burn run on one
   * thread and on all worker threads: parallel/single ≈ 1 on an
@@ -127,33 +129,44 @@ object Bench {
       val builds = Memo.buildLogFrom(m0)
       (name, cold, warm, builds, off)
     }
-    // Warm-side self-adjudication (VERDICT r13 missing #3): THREE driver
-    // rounds landed 10–100 s warm outliers that a standalone re-run
-    // dismissed (r13: lsh_tuning 33.8 s warm vs 1.2 s steady; r14: the
-    // whole win_* block 10–58 s warm vs 0.4–1.4 s steady under a ~10 min
-    // uniform stall). At suite end, re-measure once any key whose warm
-    // exceeded an ABSOLUTE 3 s and record BOTH numbers; the in-suite warm
-    // stays in `warm` (totals unchanged, comparable across rounds), the
-    // re-measure lands in `warm_remeasured` so the artifact self-corrects
-    // instead of demanding a manual adjudication session. The old
-    // relative trigger (w > 3× cold) could not see r14's stall — it
-    // inflated cold and warm EQUALLY. A failed re-measure is an ERROR
-    // (`warm_remeasure_errors`), never emitted as a -1.0 "time"
-    // (ADVICE r14).
-    val warmRemeasuredAll = results.collect {
-      case (k, c, w, _, _) if c >= 0 && w > 3.0 => (k, timed(k))
-    }
-    val (warmRemeasureErrs0, warmRemeasured) =
-      warmRemeasuredAll.partition(_._2 < 0)
-    val warmRemeasureErrs = warmRemeasureErrs0.map("\"" + _._1 + "\"")
-    // bracket the run: the start-of-suite calibration burn repeated at
-    // suite end — a stall that ends before the suite does still shows up
-    // as calib drift when it overlaps either probe, and per-key `t`
-    // offsets (full artifact) localize it regardless
+    // bracket the run FIRST: the start-of-suite calibration burn repeated
+    // at suite end — a stall that ends before the suite does still shows
+    // up as calib drift when it overlaps either probe, and per-key `t`
+    // offsets (full artifact) localize it regardless. Measured BEFORE the
+    // re-measure phase so the drift signal can arm it (below).
     val calT2 = System.nanoTime()
     val calThreads2 = (1 to cpus.toInt).map(_ => new Thread(() => burn()))
     calThreads2.foreach(_.start()); calThreads2.foreach(_.join())
     val calibParallelEnd = (System.nanoTime() - calT2) / 1e9
+    // Warm-side self-adjudication (VERDICT r13 missing #3): THREE driver
+    // rounds landed 10–100 s warm outliers that a standalone re-run
+    // dismissed (r13: lsh_tuning 33.8 s warm vs 1.2 s steady; r14: the
+    // whole win_* block 10–58 s warm vs 0.4–1.4 s steady under a ~10 min
+    // uniform stall). At suite end, re-measure once the outlier keys and
+    // record BOTH numbers; the in-suite warm stays in `warm` (totals
+    // unchanged, comparable across rounds), the re-measure lands in
+    // `warm_remeasured` so the artifact self-corrects instead of
+    // demanding a manual adjudication session. Combined trigger
+    // (ADVICE r15: the purely-absolute r15 trigger re-ran every
+    // legitimately-slow steady key at every suite end, growing cost and
+    // artifact noise as slow keys accumulate): a key re-measures when
+    // warm > 3 s AND it looks anomalous — warm > 2x cold (a steady key's
+    // warm never exceeds its cold, which pays builds + codegen; a
+    // mid-suite contention window does), OR either calibration probe
+    // drifted >1.5x from its twin (the r14 uniform-stall shape, where
+    // cold and warm inflate equally and the ratio is blind). A failed
+    // re-measure is an ERROR (`warm_remeasure_errors`), never a fake
+    // -1.0 "time" (ADVICE r14).
+    val calibDrift =
+      calibParallelEnd > 1.5 * calibParallel ||
+        calibParallel > 1.5 * calibParallelEnd
+    val warmRemeasuredAll = results.collect {
+      case (k, c, w, _, _) if c >= 0 && w > 3.0 &&
+          (w > 2.0 * c || calibDrift) => (k, timed(k))
+    }
+    val (warmRemeasureErrs0, warmRemeasured) =
+      warmRemeasuredAll.partition(_._2 < 0)
+    val warmRemeasureErrs = warmRemeasureErrs0.map("\"" + _._1 + "\"")
     val load1 = loadAvg
     def f3(v: Double): String = f3s(v)
     val errs = results.collect { case (k, c, _, _, _) if c < 0 => "\"" + k + "\"" }
