@@ -346,15 +346,183 @@ object QRound16 extends QueryPack {
        |    AND o_orderkey BETWEEN klo AND khi) AS sum_cents
        |FROM pr ORDER BY probe""".stripMargin
 
+  // ---- maint_txn_delete_mor ----
+
+  /** Staged once per sfDir: the 8-slice stats layout, then ONE
+    * merge-on-read delete of [maxk/4, maxk/2]
+    * ([[TxnLog.deleteWhereMoR]] — deletion vectors), then a compact that
+    * APPLIES the vectors. */
+  private[graft] def morTable(s: SparkSession, d: String): String =
+    QRound3.staged(s, d, "txnmor") { dir =>
+      val o = centsOrders(s, d).drop("o_custkey")
+      val maxk = o.agg(max("o_orderkey")).head.getLong(0)
+      for (i <- 0 until cSlices)
+        TxnLog.appendWithStats(s, dir,
+          o.filter(expr(s"o_orderkey * $cSlices DIV ${maxk + 1} = $i"))
+            .repartition(1),
+          "o_orderkey")
+      TxnLog.deleteWhereMoR(s, dir, "o_orderkey", maxk / 4, maxk / 2)
+      TxnLog.compact(s, dir, 2)
+    }
+
+  /** MERGE-ON-READ delete audited version-by-version (Delta deletion
+    * vectors): v9 deletes the range WITHOUT rewriting a file — its file
+    * count stays 8, the headline column: the delete wrote O(matched
+    * rows) of sidecar positions instead of rewriting the touched files,
+    * which is what makes a small targeted delete on a 100 TB table a
+    * kilobyte write. v10's compact applies the vectors (2 clean files,
+    * totals unchanged). Readers apply vectors as one broadcast
+    * anti-join; history stays readable on both sides of both
+    * boundaries. ≤ 10 bounded per-version scans. */
+  private def maintTxnDeleteMor(s: SparkSession, d: String): DataFrame = {
+    val dir = morTable(s, d)
+    val latest = TxnLog.latestVersion(s, dir).getOrElse(0)
+    (1 to latest).map { v =>
+      val op = TxnLog.commitInfo(s, dir, v).getOrElse("op", "")
+      TxnLog.read(s, dir, Some(v))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+        .select(lit(v).as("version"), lit(op).as("op"),
+          lit(TxnLog.snapshotFiles(s, dir, v).size).as("n_files"),
+          col("n_rows"), col("sum_cents"))
+    }.reduce(_ unionAll _).orderBy("version")
+  }
+
+  /** Analytic replay: cumulative slice prefixes; v9 = total minus the
+    * range at an UNCHANGED 8 files; v10 = same totals at 2 files. */
+  private val oMaintTxnDeleteMor =
+    s"""WITH o AS (SELECT o_orderkey,
+       |    CAST(floor(o_totalprice * 1e2 + 5e-1) AS BIGINT) AS cents
+       |  FROM orders),
+       |mk AS (SELECT max(o_orderkey) AS maxk FROM o),
+       |s AS (SELECT o_orderkey * $cSlices // (maxk + 1) AS m, count(*) AS n,
+       |    CAST(sum(cents) AS BIGINT) AS sc FROM o, mk GROUP BY 1),
+       |del AS (SELECT count(*) AS dn, CAST(sum(cents) AS BIGINT) AS dsc
+       |  FROM o, mk WHERE o_orderkey BETWEEN maxk // 4 AND maxk // 2),
+       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+       |    CAST(sum(sc) AS BIGINT) AS tsc FROM s)
+       |SELECT CAST(v AS INT) AS version,
+       |  CASE WHEN v = 9 THEN 'delete' WHEN v = 10 THEN 'compact'
+       |    ELSE 'append' END AS op,
+       |  CAST(CASE WHEN v <= 8 THEN v WHEN v = 9 THEN 8 ELSE 2 END AS INT)
+       |    AS n_files,
+       |  CASE WHEN v <= 8
+       |    THEN (SELECT CAST(sum(n) AS BIGINT) FROM s WHERE m < v)
+       |    ELSE (SELECT tn - dn FROM tot, del) END AS n_rows,
+       |  CASE WHEN v <= 8
+       |    THEN (SELECT CAST(sum(sc) AS BIGINT) FROM s WHERE m < v)
+       |    ELSE (SELECT tsc - dsc FROM tot, del) END AS sum_cents
+       |FROM (SELECT unnest(generate_series(1, 10)) AS v)
+       |ORDER BY version""".stripMargin
+
+  // ---- cdc_txn_changes / cdc_txn_merge_changes ----
+
+  /** Per-version CHANGE DATA FEED rollup over a staged txn table
+    * ([[TxnLog.changes]] — the diff-based Delta CDF): one row per
+    * version with insert/delete counts and cent masses. Reuses an
+    * ALREADY-STAGED round-15 table — the CDC surface costs no extra
+    * staging. */
+  private def cdcRollup(s: SparkSession, dir: String): DataFrame = {
+    val latest = TxnLog.latestVersion(s, dir).getOrElse(0)
+    (1 to latest).map { v =>
+      val op = TxnLog.commitInfo(s, dir, v).getOrElse("op", "")
+      TxnLog.changes(s, dir, v - 1, v)
+        .agg(
+          sum(when(col("_change_type") === "insert", 1L).otherwise(0L))
+            .as("ni"),
+          sum(when(col("_change_type") === "delete", 1L).otherwise(0L))
+            .as("nd"),
+          sum(when(col("_change_type") === "insert", col("cents"))
+            .otherwise(0L)).as("ci"),
+          sum(when(col("_change_type") === "delete", col("cents"))
+            .otherwise(0L)).as("cd"))
+        .select(lit(v).as("version"), lit(op).as("op"),
+          coalesce(col("ni"), lit(0L)).as("n_inserts"),
+          coalesce(col("nd"), lit(0L)).as("n_deletes"),
+          coalesce(col("ci"), lit(0L)).as("cents_inserted"),
+          coalesce(col("cd"), lit(0L)).as("cents_deleted"))
+    }.reduce(_ unionAll _).orderBy("version")
+  }
+
+  /** CDC across the copy-on-write DELETE boundary: v1..8 are pure
+    * inserts (one slice each); v9's manifest diff names the touched
+    * files, and the multiset diff of their rows against the rewritten
+    * remainder yields EXACTLY the predicate rows as deletes — the
+    * remainder cancels itself, so the feed shows the logical change,
+    * not the 3x-larger physical rewrite. Zero write-path cost; read
+    * cost bounded by the churned files. */
+  private def cdcTxnChanges(s: SparkSession, d: String): DataFrame =
+    cdcRollup(s, QRound15.delTable(s, d))
+
+  /** Analytic replay: v <= 8 insert slice v-1; v9 deletes exactly the
+    * [maxk/4, maxk/2] range. */
+  private val oCdcTxnChanges =
+    s"""WITH o AS (SELECT o_orderkey,
+       |    CAST(floor(o_totalprice * 1e2 + 5e-1) AS BIGINT) AS cents
+       |  FROM orders),
+       |mk AS (SELECT max(o_orderkey) AS maxk FROM o),
+       |s AS (SELECT o_orderkey * 8 // (maxk + 1) AS m, count(*) AS n,
+       |    CAST(sum(cents) AS BIGINT) AS sc FROM o, mk GROUP BY 1),
+       |del AS (SELECT count(*) AS dn, CAST(sum(cents) AS BIGINT) AS dsc
+       |  FROM o, mk WHERE o_orderkey BETWEEN maxk // 4 AND maxk // 2)
+       |SELECT CAST(v AS INT) AS version,
+       |  CASE WHEN v = 9 THEN 'delete' ELSE 'append' END AS op,
+       |  CASE WHEN v <= 8
+       |    THEN (SELECT CAST(n AS BIGINT) FROM s WHERE m = v - 1)
+       |    ELSE CAST(0 AS BIGINT) END AS n_inserts,
+       |  CASE WHEN v = 9 THEN (SELECT CAST(dn AS BIGINT) FROM del)
+       |    ELSE CAST(0 AS BIGINT) END AS n_deletes,
+       |  CASE WHEN v <= 8 THEN (SELECT sc FROM s WHERE m = v - 1)
+       |    ELSE CAST(0 AS BIGINT) END AS cents_inserted,
+       |  CASE WHEN v = 9 THEN (SELECT dsc FROM del)
+       |    ELSE CAST(0 AS BIGINT) END AS cents_deleted
+       |FROM (SELECT unnest(generate_series(1, 9)) AS v)
+       |ORDER BY version""".stripMargin
+
+  /** CDC across the MERGE boundary: v9 restates the key range at doubled
+    * cents — the diff emits each updated key as a delete+insert PAIR
+    * (Delta's update_pre/postimage in multiset terms): deletes carry the
+    * original range mass, inserts the doubled mass, counts equal. */
+  private def cdcTxnMergeChanges(s: SparkSession, d: String): DataFrame =
+    cdcRollup(s, QRound15.mergeTable(s, d))
+
+  private val oCdcTxnMergeChanges =
+    s"""WITH o AS (SELECT o_orderkey,
+       |    CAST(floor(o_totalprice * 1e2 + 5e-1) AS BIGINT) AS cents
+       |  FROM orders),
+       |mk AS (SELECT max(o_orderkey) AS maxk FROM o),
+       |s AS (SELECT o_orderkey * 8 // (maxk + 1) AS m, count(*) AS n,
+       |    CAST(sum(cents) AS BIGINT) AS sc FROM o, mk GROUP BY 1),
+       |upd AS (SELECT count(*) AS un, CAST(sum(cents) AS BIGINT) AS usc
+       |  FROM o, mk WHERE o_orderkey BETWEEN maxk // 4 AND maxk // 2)
+       |SELECT CAST(v AS INT) AS version,
+       |  CASE WHEN v = 9 THEN 'merge' ELSE 'append' END AS op,
+       |  CASE WHEN v <= 8
+       |    THEN (SELECT CAST(n AS BIGINT) FROM s WHERE m = v - 1)
+       |    ELSE (SELECT CAST(un AS BIGINT) FROM upd) END AS n_inserts,
+       |  CASE WHEN v = 9 THEN (SELECT CAST(un AS BIGINT) FROM upd)
+       |    ELSE CAST(0 AS BIGINT) END AS n_deletes,
+       |  CASE WHEN v <= 8 THEN (SELECT sc FROM s WHERE m = v - 1)
+       |    ELSE (SELECT 2 * usc FROM upd) END AS cents_inserted,
+       |  CASE WHEN v = 9 THEN (SELECT usc FROM upd)
+       |    ELSE CAST(0 AS BIGINT) END AS cents_deleted
+       |FROM (SELECT unnest(generate_series(1, 9)) AS v)
+       |ORDER BY version""".stripMargin
+
   val queries: Map[String, QFn] = Map(
-    "maint_txn_concurrent" -> ((s, d) => maintTxnConcurrent(s, d)),
-    "scan_txn_skip_multi"  -> ((s, d) => scanTxnSkipMulti(s, d)),
-    "scan_txn_skip_null"   -> ((s, d) => scanTxnSkipNull(s, d)),
-    "scan_txn_partition"   -> ((s, d) => scanTxnPartition(s, d)))
+    "maint_txn_concurrent"   -> ((s, d) => maintTxnConcurrent(s, d)),
+    "scan_txn_skip_multi"    -> ((s, d) => scanTxnSkipMulti(s, d)),
+    "scan_txn_skip_null"     -> ((s, d) => scanTxnSkipNull(s, d)),
+    "scan_txn_partition"     -> ((s, d) => scanTxnPartition(s, d)),
+    "maint_txn_delete_mor"   -> ((s, d) => maintTxnDeleteMor(s, d)),
+    "cdc_txn_changes"        -> ((s, d) => cdcTxnChanges(s, d)),
+    "cdc_txn_merge_changes"  -> ((s, d) => cdcTxnMergeChanges(s, d)))
 
   val oracles: Map[String, String] = Map(
-    "maint_txn_concurrent" -> oMaintTxnConcurrent,
-    "scan_txn_skip_multi"  -> oScanTxnSkipMulti,
-    "scan_txn_skip_null"   -> oScanTxnSkipNull,
-    "scan_txn_partition"   -> oScanTxnPartition)
+    "maint_txn_concurrent"   -> oMaintTxnConcurrent,
+    "scan_txn_skip_multi"    -> oScanTxnSkipMulti,
+    "scan_txn_skip_null"     -> oScanTxnSkipNull,
+    "scan_txn_partition"     -> oScanTxnPartition,
+    "maint_txn_delete_mor"   -> oMaintTxnDeleteMor,
+    "cdc_txn_changes"        -> oCdcTxnChanges,
+    "cdc_txn_merge_changes"  -> oCdcTxnMergeChanges)
 }

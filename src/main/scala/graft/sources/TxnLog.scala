@@ -227,6 +227,27 @@ object TxnLog {
     }
   }
 
+  /** The DELETION-VECTOR sidecar paths of a manifest line
+    * ([[deleteWhereMoR]]): each `dv:<rel>` token names a parquet of
+    * (fname, idx) row positions deleted from this line's file without
+    * rewriting it. Successive merge-on-read deletes APPEND tokens; the
+    * reader applies their union. */
+  private[graft] def dvTokensOf(line: String): Seq[String] = {
+    val i = line.indexOf('\t')
+    if (i < 0) return Nil
+    line.substring(i + 1).split("\t").toSeq.collect {
+      case t if t.startsWith("dv:") => t.substring("dv:".length)
+    }
+  }
+
+  /** The file's own table-relative path as a column, derived from the
+    * parquet reader's `_metadata.file_path` — the join key tying a row
+    * back to its deletion-vector entries. */
+  private def dvFnameCol =
+    org.apache.spark.sql.functions.regexp_extract(
+      org.apache.spark.sql.functions.col("_metadata.file_path"),
+      "data/[^/]+/[^/]+$", 0)
+
   /** Can the file described by `st` contain a row with the stats column
     * in [lo, hi]? No stats token → yes (keep — pruning is only ever a
     * correct superset); stats with empty min/max → the file has no
@@ -796,6 +817,87 @@ object TxnLog {
       else None)
   }
 
+  /** MERGE-ON-READ range DELETE (Delta deletion vectors / Iceberg
+    * positional delete files — the modern alternative to [[deleteWhere]]'s
+    * copy-on-write): instead of rewriting the stats-intersecting files,
+    * record the MATCHED ROW POSITIONS in a tiny sidecar parquet
+    * (fname, idx) and append a `dv:<sidecar>` token to each hit file's
+    * manifest line. The write cost is O(matched rows) — deleting 1k rows
+    * from a 100 TB table writes kilobytes, not the touched files — and
+    * readers apply the vectors as one broadcast anti-join
+    * ([[readLines]]). Successive MoR deletes APPEND tokens (the reader
+    * unions them; already-deleted rows are excluded from matching, so
+    * sidecars stay disjoint). File stats go stale-wide, which is always
+    * superset-correct. [[compact]] reads through the vectors, so
+    * compaction doubles as the DV-apply pass: the rewritten files are
+    * clean, the tokens drop, and [[vacuum]] reclaims the orphaned
+    * sidecars (it retains any sidecar a retained manifest references).
+    * [[changes]] reports DV additions as row-level deletes — the CDC
+    * feed stays exact across both delete spellings. NULL rows never
+    * match. Concurrency is [[deleteWhere]]'s: range-disjoint concurrent
+    * appends commute (auto-retry), everything else aborts loudly.
+    * Partitioned tables are rejected (use copy-on-write there). Returns
+    * the new version, or the current one when nothing matched (a
+    * provable no-op publishes nothing). */
+  def deleteWhereMoR(s: SparkSession, table: String, statsCol: String,
+      lo: Long, hi: Long): Int = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val base = latestVersion(s, table).getOrElse(
+      throw new IllegalStateException(s"$table has no committed snapshot"))
+    val lines = snapshotLines(s, table, base)
+    require(lines.forall(partTokenOf(_).isEmpty),
+      s"$table is partitioned: merge-on-read delete is unsupported on " +
+        "partitioned tables — use deleteWhere (copy-on-write)")
+    val (touched, _) = lines.partition(ln =>
+      mayContainRange(fileStatsOf(ln, statsCol), lo, hi))
+    if (touched.isEmpty) return base
+    val raw = s.read.parquet(touched.map(ln => s"$table/${pathOf(ln)}"): _*)
+    validateStatsCols(raw.schema, Seq(statsCol))
+    val data = raw.withColumn("_dv_fname", dvFnameCol)
+      .withColumn("_dv_idx", col("_metadata.row_index"))
+    // exclude rows ALREADY deleted by earlier vectors, so sidecar sets
+    // stay disjoint and the CDC dv-diff is exact
+    val priors = touched.flatMap(dvTokensOf).distinct
+    val live =
+      if (priors.isEmpty) data
+      else {
+        val prior = s.read.parquet(priors.map(rel => s"$table/$rel"): _*)
+        data.join(broadcast(prior),
+          data("_dv_fname") === prior("fname") &&
+            data("_dv_idx") === prior("idx"), "left_anti")
+      }
+    val matches = live
+      .filter(col(statsCol) >= lo && col(statsCol) <= hi) // NULL never matches
+      .select(col("_dv_fname").as("fname"), col("_dv_idx").as("idx"))
+    // metadata-scale: which files actually hold matches (token targets)
+    val hitFiles = matches.select("fname").distinct()
+      .collect().map(_.getString(0)).toSet
+    if (hitFiles.isEmpty) return base // provable no-op: nothing matched
+    val dvRel = writeDv(s, table, matches)
+    val newTouched = touched.map { ln =>
+      if (hitFiles(pathOf(ln))) s"$ln\tdv:$dvRel" else ln
+    }
+    publishCowRewrite(s, table, base, lines.toSet, touched.toSet,
+      newTouched, "delete",
+      ln => if (mayContainRange(fileStatsOf(ln, statsCol), lo, hi))
+        Some(if (fileStatsOf(ln, statsCol).isDefined)
+          s"has $statsCol stats overlapping the delete range [$lo, $hi]"
+        else s"carries no $statsCol stats (it might hold matching rows)")
+      else None)
+  }
+
+  /** Write a deletion-vector sidecar under `dv/<uuid>/`; returns its
+    * table-relative path. One tiny file — the vector is matched-row
+    * metadata, not data. */
+  private def writeDv(s: SparkSession, table: String, matches: DataFrame)
+      : String = {
+    val sub = s"dv/${java.util.UUID.randomUUID()}"
+    matches.coalesce(1).write.parquet(s"$table/$sub")
+    val f = fs(s, table)
+    f.listStatus(new Path(table, sub)).toSeq.map(_.getPath.getName)
+      .filter(_.endsWith(".parquet")).map(n => s"$sub/$n").head
+  }
+
   /** The columns a DML rewrite should re-stats: every column ANY touched
     * line carried stats for, plus the DML's own column — so a
     * multi-column-stats table keeps all its pruning dimensions sharp
@@ -1020,13 +1122,14 @@ object TxnLog {
         throw new IllegalStateException(s"$table has no committed snapshot"))
       val baseInfo = commitInfo(s, table, base)
       val baseTs = baseInfo.get("ts").flatMap(t => Try(t.toLong).toOption)
-      val missing = files.map(pathOf)
+      val missing = (files.map(pathOf) ++ files.flatMap(dvTokensOf))
         .filterNot(rel => f.exists(new Path(table, rel)))
       if (missing.nonEmpty)
         throw new IllegalStateException(
           s"restore of $table to version $toVersion aborted: " +
-            s"${missing.size} resolved data file(s) were vacuumed " +
-            s"concurrently (first: ${missing.head}); no head published")
+            s"${missing.size} resolved data/deletion-vector file(s) were " +
+            s"vacuumed concurrently (first: ${missing.head}); no head " +
+            "published")
       if (tryPublish(s, table, base + 1, files, "restore", None, "",
           highsOf(baseInfo), "full", baseTs.map(_ + 1).getOrElse(0L)))
         committed = base + 1
@@ -1158,7 +1261,11 @@ object TxnLog {
   private def readLines(s: SparkSession, table: String,
       lines: Seq[String], mergeSchema: Boolean = false): DataFrame = {
     require(lines.nonEmpty, s"$table: empty manifest line set")
-    val (parted, plain) = lines.partition(partTokenOf(_).isDefined)
+    val (dv, rest) = lines.partition(dvTokensOf(_).nonEmpty)
+    require(dv.forall(partTokenOf(_).isEmpty),
+      s"$table: deletion vectors on PARTITIONED lines are unsupported — " +
+        "use copy-on-write deleteWhere on partitioned tables")
+    val (parted, plain) = rest.partition(partTokenOf(_).isDefined)
     val plainDf =
       if (plain.isEmpty) Nil
       else Seq(s.read.option("mergeSchema", mergeSchema.toString)
@@ -1171,7 +1278,27 @@ object TxnLog {
           .option("basePath", s"$table/$sub")
           .parquet(ls.map(ln => s"$table/${pathOf(ln)}"): _*)
       }
-    (plainDf ++ partedDfs).reduce(_ unionByName _)
+    // DV-carrying lines: scan once with row positions, anti-join the
+    // BROADCAST union of their sidecars — deleted-row sets are small
+    // relative to the data (that is the merge-on-read bet), so the
+    // filter costs one broadcast hash anti-join, no shuffle of the data
+    val dvDf =
+      if (dv.isEmpty) Nil
+      else {
+        import org.apache.spark.sql.functions.{broadcast, col}
+        val data = s.read.option("mergeSchema", mergeSchema.toString)
+          .parquet(dv.map(ln => s"$table/${pathOf(ln)}"): _*)
+          .withColumn("_dv_fname", dvFnameCol)
+          .withColumn("_dv_idx", col("_metadata.row_index"))
+        val sidecars = s.read.parquet(
+          dv.flatMap(dvTokensOf).distinct.map(rel => s"$table/$rel"): _*)
+        Seq(data.join(broadcast(sidecars),
+            data("_dv_fname") === sidecars("fname") &&
+              data("_dv_idx") === sidecars("idx"),
+            "left_anti")
+          .drop("_dv_fname", "_dv_idx"))
+      }
+    (plainDf ++ partedDfs ++ dvDf).reduce(_ unionByName _)
   }
 
   /** The uniform partition column of a line set: Some(col) when EVERY
@@ -1270,6 +1397,95 @@ object TxnLog {
     else s.read.parquet(added.map(rel => s"$table/$rel"): _*)
   }
 
+  /** Diff-based CHANGE DATA FEED (Delta CDF reduced to this log's
+    * invariants): the logical row changes each version in (fromV, toV]
+    * introduced, derived by multiset-diffing the rows of the files the
+    * version REMOVED against the rows it ADDED — CDF with ZERO
+    * write-path cost, and read cost O(churned files), never O(table)
+    * (the manifest diff names exactly the changed files; immutable data
+    * files make the diff exact). Per-op shape, all from the ONE
+    * mechanism:
+    *
+    *  - append → pure inserts (no removed files, no diff executed);
+    *  - copy-on-write delete → exactly the predicate rows as deletes
+    *    (the rewritten remainder appears on both sides and cancels);
+    *  - merge → delete+insert pairs for updated keys (Delta's
+    *    update_pre/postimage in multiset terms) + pure inserts for new
+    *    keys;
+    *  - compact / restore-to-equal-state → empty (same rows, the diff
+    *    proves it);
+    *  - overwrite → the old snapshot as deletes + the new as inserts.
+    *
+    * Each row is tagged (`_change_version`, `_change_type`
+    * 'insert'/'delete'). Versions in the range must share a schema
+    * (CDF over a schema-evolution boundary needs the union schema —
+    * read the sides separately with mergeSchema instead). At 100 TB the
+    * exceptAll shuffles only the churned files' rows; Delta instead
+    * WRITES change files to make this read-free — the manifest diff
+    * here is the same asymptotic read cost without touching the write
+    * path. */
+  def changes(s: SparkSession, table: String, fromV: Int, toV: Int)
+      : DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    require(fromV < toV, s"changes needs fromV < toV, got [$fromV, $toV]")
+    def tagged(df: DataFrame, v: Int, ct: String): DataFrame =
+      df.withColumn("_change_version", lit(v))
+        .withColumn("_change_type", lit(ct))
+    (math.max(1, fromV + 1) to toV).flatMap { v =>
+      val prev =
+        if (v == 1) Nil else snapshotLines(s, table, v - 1)
+      val cur = snapshotLines(s, table, v)
+      val prevByPath = prev.map(ln => pathOf(ln) -> ln).toMap
+      val curPaths = cur.map(pathOf).toSet
+      // diff by PATH, not full line: a token-only change (fresh stats on
+      // a carried file) is not a data change...
+      val removed = prev.filterNot(ln => curPaths(pathOf(ln)))
+      val added = cur.filterNot(ln => prevByPath.contains(pathOf(ln)))
+      val pathDiff = (removed, added) match {
+        case (Nil, Nil) => None
+        case (Nil, a) => Some(tagged(readLines(s, table, a), v, "insert"))
+        case (r, Nil) => Some(tagged(readLines(s, table, r), v, "delete"))
+        case (r, a) =>
+          val ra = readLines(s, table, a)
+          val rr = readLines(s, table, r)
+          Some(tagged(ra.exceptAll(rr), v, "insert")
+            .unionByName(tagged(rr.exceptAll(ra), v, "delete")))
+      }
+      // ...EXCEPT a grown dv token set, which IS a data change: a
+      // merge-on-read delete touches no file paths, it appends deletion
+      // vectors to carried lines. The rows those new vectors name are
+      // still IN the files (MoR never rewrites), so a positional
+      // semi-join recovers the exact deleted rows; sidecars are disjoint
+      // per file (deleteWhereMoR matches only still-live rows), so no
+      // row double-reports.
+      val dvAdded = cur.flatMap { ln =>
+        prevByPath.get(pathOf(ln)).toSeq.flatMap { pl =>
+          dvTokensOf(ln).diff(dvTokensOf(pl))
+        }
+      }.distinct
+      val dvDiff =
+        if (dvAdded.isEmpty) None
+        else {
+          import org.apache.spark.sql.functions.{broadcast, col}
+          val dvs = s.read.parquet(dvAdded.map(r => s"$table/$r"): _*)
+          val fnames = dvs.select("fname").distinct()
+            .collect().map(_.getString(0)) // metadata-scale
+          val data = s.read
+            .parquet(fnames.map(fn => s"$table/$fn"): _*)
+            .withColumn("_dv_fname", dvFnameCol)
+            .withColumn("_dv_idx", col("_metadata.row_index"))
+          Some(tagged(data.join(broadcast(dvs),
+              data("_dv_fname") === dvs("fname") &&
+                data("_dv_idx") === dvs("idx"), "left_semi")
+            .drop("_dv_fname", "_dv_idx"), v, "delete"))
+        }
+      (pathDiff.toSeq ++ dvDiff.toSeq).reduceOption(_ unionByName _)
+    }.reduceOption(_ unionByName _).getOrElse {
+      // nothing changed anywhere in the range: empty frame, full shape
+      tagged(read(s, table, Some(toV)).limit(0), toV, "insert")
+    }
+  }
+
   /** Retention-bounded cleanup (VERDICT r11 stretch #7): keep the newest
     * `retain` manifests; delete older manifests, aged `.tmp-` staging
     * litter, and data files no retained manifest references. A reader
@@ -1346,7 +1562,11 @@ object TxnLog {
         fc.rename(tmp, manifestPath(table, oldest), Options.Rename.OVERWRITE)
       }
     }
-    val referenced = kept.flatMap(snapshotFiles(s, table, _)).toSet
+    val keptLines = kept.flatMap(snapshotLines(s, table, _))
+    val referenced = keptLines.map(pathOf).toSet
+    // deletion-vector sidecars referenced by any retained manifest must
+    // survive — reclaiming one would corrupt every read of its file
+    val referencedDv = keptLines.flatMap(dvTokensOf).toSet
     val cutoff = System.currentTimeMillis() - orphanGraceMs
     // delete unreferenced data files (under every data/<uuid>/ dir) —
     // uniformly age-gated (see scaladoc: the immediate dropped-ref
@@ -1374,6 +1594,27 @@ object TxnLog {
         // aged past the grace window and the dir itself is too — a
         // younger dir may belong to an in-flight writer or a racing
         // restore's resolved-but-unpublished target
+        if (live.isEmpty && reclaimable.size == unref.size &&
+            dir.getModificationTime < cutoff) {
+          deleted += reclaimable.size
+          f.delete(dir.getPath, true)
+        } else reclaimable.foreach { p =>
+          if (f.delete(p._1.getPath, false)) deleted += 1
+        }
+      }
+    }
+    // deletion-vector sidecars: same age-gated reclaim under dv/, keyed
+    // on the retained manifests' dv tokens (a compacted-away vector is
+    // dropped-manifest history exactly like its data files)
+    val dvRoot = new Path(table, "dv")
+    if (f.exists(dvRoot)) {
+      for (dir <- f.listStatus(dvRoot).toSeq if dir.isDirectory) {
+        val sub = s"dv/${dir.getPath.getName}"
+        val parts = f.listStatus(dir.getPath).toSeq
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .map(p => p -> s"$sub/${p.getPath.getName}")
+        val (live, unref) = parts.partition(p => referencedDv(p._2))
+        val reclaimable = unref.filter(_._1.getModificationTime < cutoff)
         if (live.isEmpty && reclaimable.size == unref.size &&
             dir.getModificationTime < cutoff) {
           deleted += reclaimable.size

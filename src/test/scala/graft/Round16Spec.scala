@@ -356,6 +356,115 @@ class Round16Spec extends SparkSpec {
     assert(TxnLog.read(spark, dir, Some(dv)).count() === 0L)
   }
 
+  test("merge-on-read delete: file list unchanged, rows exact, vectors " +
+    "accumulate across deletes, CDC reports the deleted rows, compact " +
+    "applies the vectors, vacuum keeps referenced sidecars") {
+    val dir = freshTable()
+    for (i <- 0 until 4)
+      TxnLog.appendWithStats(spark, dir, df(10L * i, 10L * i + 10), "value")
+    val before = TxnLog.snapshotFiles(spark, dir, 4).toSet
+    val dv1 = TxnLog.deleteWhereMoR(spark, dir, "value", 12, 27)
+    assert(dv1 === 5)
+    // the headline: NO file was rewritten — same file set, tiny sidecar
+    assert(TxnLog.snapshotFiles(spark, dir, 5).toSet === before)
+    assert(TxnLog.read(spark, dir).collect().map(_.getLong(0)).sorted
+      === ((0L to 11L) ++ (28L to 39L)).toArray)
+    assert(TxnLog.read(spark, dir, Some(4)).count() === 40L) // history
+    // second overlapping MoR delete: tokens ACCUMULATE, union applies,
+    // previously-deleted rows are not re-matched (disjoint sidecars)
+    val dv2 = TxnLog.deleteWhereMoR(spark, dir, "value", 0, 13)
+    assert(TxnLog.read(spark, dir).collect().map(_.getLong(0)).sorted
+      === (28L to 39L).toArray)
+    val lines6 = TxnLog.snapshotLines(spark, dir, dv2)
+    assert(lines6.exists(ln => TxnLog.dvTokensOf(ln).size === 2),
+      "file hit by both deletes must carry both vectors")
+    // a provable no-op (everything in range already deleted) publishes
+    // nothing
+    assert(TxnLog.deleteWhereMoR(spark, dir, "value", 12, 13) === dv2)
+    // CDC sees the MoR deletes exactly, even though no file path changed
+    val ch = TxnLog.changes(spark, dir, 4, 6)
+      .collect().map(r => (r.getAs[Int]("_change_version"),
+        r.getAs[String]("_change_type"), r.getLong(0)))
+    assert(ch.forall(_._2 == "delete"))
+    assert(ch.filter(_._1 == 5).map(_._3).sorted === (12L to 27L).toArray)
+    assert(ch.filter(_._1 == 6).map(_._3).sorted === (0L to 11L).toArray)
+    // stats pruning still works (stale-wide is superset-correct)
+    val (d1, k1, _) = TxnLog.readSkipped(spark, dir, "value", 12, 18)
+    assert(d1.filter("value BETWEEN 12 AND 18").count() === 0L)
+    assert(k1 >= 1)
+    // compact APPLIES the vectors: clean files, tokens gone, rows same
+    val cv = TxnLog.compact(spark, dir, targetFiles = 2)
+    val lines7 = TxnLog.snapshotLines(spark, dir, cv)
+    assert(lines7.size === 2 && lines7.forall(ln =>
+      TxnLog.dvTokensOf(ln).isEmpty))
+    assert(TxnLog.read(spark, dir).collect().map(_.getLong(0)).sorted
+      === (28L to 39L).toArray)
+    // ...and the compact is CDC-invisible (same rows on both sides)
+    assert(TxnLog.changes(spark, dir, 6, 7).count() === 0L)
+    // pre-compact DV version still reads exactly (sidecars retained)
+    assert(TxnLog.read(spark, dir, Some(6)).count() === 12L)
+    // vacuum: while a manifest referencing the vectors is retained, the
+    // sidecars survive; once only the compacted head remains, data AND
+    // sidecars reclaim, and the on-disk set equals the head's files
+    Thread.sleep(20)
+    TxnLog.vacuum(spark, dir, retain = 3, orphanGraceMs = 0)
+    assert(TxnLog.read(spark, dir, Some(6)).count() === 12L,
+      "retained DV version must survive vacuum with its sidecars")
+    TxnLog.vacuum(spark, dir, retain = 1, orphanGraceMs = 0)
+    assert(TxnLog.read(spark, dir).count() === 12L)
+    assert(!new java.io.File(dir, "dv").exists() ||
+      new java.io.File(dir, "dv").listFiles().isEmpty,
+      "orphaned deletion-vector sidecars survived the final vacuum")
+  }
+
+  test("merge-on-read delete rejects partitioned tables loudly") {
+    import spark.implicits._
+    val dir = freshTable()
+    TxnLog.appendPartitioned(spark, dir,
+      (0L until 12L).map(k => (k, k % 3)).toDF("k", "p").coalesce(1),
+      "p", "k")
+    val e = intercept[IllegalArgumentException] {
+      TxnLog.deleteWhereMoR(spark, dir, "k", 0L, 5L)
+    }
+    assert(e.getMessage.contains("partitioned"), e.getMessage)
+    assert(TxnLog.latestVersion(spark, dir) === Some(1))
+  }
+
+  test("changes(): appends are pure inserts, copy-on-write delete yields " +
+    "exactly the predicate rows, merge yields delete+insert pairs, " +
+    "compact and a concurrent-carry rewrite stay invisible") {
+    import spark.implicits._
+    val dir = freshTable()
+    for (i <- 0 until 3)
+      TxnLog.appendWithStats(spark, dir, df(10L * i, 10L * i + 10), "value")
+    // append CDC: insert-only, the slice's rows
+    val a = TxnLog.changes(spark, dir, 2, 3).collect()
+    assert(a.forall(_.getAs[String]("_change_type") == "insert"))
+    assert(a.map(_.getLong(0)).sorted === (20L until 30L).toArray)
+    // CoW delete CDC: the rewritten remainder cancels itself
+    val dv = TxnLog.deleteWhere(spark, dir, "value", 5, 24)
+    val d = TxnLog.changes(spark, dir, dv - 1, dv).collect()
+    assert(d.forall(_.getAs[String]("_change_type") == "delete"))
+    assert(d.map(_.getLong(0)).sorted === (5L to 24L).toArray)
+    // full-range CDC composes: net live rows = inserts minus deletes
+    val all = TxnLog.changes(spark, dir, 0, dv)
+    val net = all.filter("_change_type = 'insert'").select("value")
+      .exceptAll(all.filter("_change_type = 'delete'").select("value"))
+    assert(net.collect().map(_.getLong(0)).sorted ===
+      TxnLog.read(spark, dir).collect().map(_.getLong(0)).sorted)
+    // merge CDC: updated key -> delete+insert pair with old and new values
+    val dir2 = freshTable()
+    TxnLog.appendWithStats(spark, dir2,
+      (0L until 10L).map(k => (k, k)).toDF("k", "v").coalesce(1), "k")
+    TxnLog.mergeInto(spark, dir2,
+      Seq((3L, 30L), (42L, 42L)).toDF("k", "v"), "k")
+    val m = TxnLog.changes(spark, dir2, 1, 2).collect()
+      .map(r => (r.getAs[String]("_change_type"), r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(m === Set(("delete", 3L, 3L), ("insert", 3L, 30L),
+      ("insert", 42L, 42L)))
+  }
+
   test("delete remainders stay RANGE-CLUSTERED (ADVICE r15 medium): " +
     "after deleting the middle of a 2-file touched range, a probe near " +
     "one edge opens one rewritten file, not both") {
