@@ -53,17 +53,29 @@ object PageRank {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val n = deg.count()
     val teleport = teleportNum / n.toDouble
+    // loop-INVARIANT edge⋈degree join hoisted and checkpointed ONCE
+    // (OPTIMIZATION r16): the old loop re-ran edges⋈deg every
+    // iteration before attaching the rank state — only the rank join
+    // actually changes per round. Same per-edge values, same exact
+    // long contributions.
+    val edgesDeg = edges.join(deg, "src")
+      .select(col("src"), col("dst"), col("deg")).localCheckpoint()
     var pr = deg.select(col("src").as("id"), lit(1.0 / n.toDouble).as("pr"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     for (_ <- 1 to iters) {
-      val contrib = edges.join(deg, "src")
-        .join(pr.withColumnRenamed("id", "src"), "src")
+      // broadcast of the V-row rank state (guide §2.4: a broadcast join
+      // replaces the per-round shuffle of the E-row edge side — the old
+      // sort-merge join shuffled edges EVERY iteration); lazy per-round
+      // checkpoints keep lineage truncated without a second
+      // materialization pass per round (the katz/percolation shape).
+      val contrib = edgesDeg
+        .join(broadcast(pr.withColumnRenamed("id", "src")), "src")
         .select(col("dst").as("id"),
           floor(col("pr") / col("deg") * 1e12 + 0.5).cast(LongType).as("c"))
       pr = contrib.groupBy("id")
         .agg((floor((lit(teleport) + lit(damping) *
           (sum(col("c")).cast(DoubleType) / 1e12)) * 1e8) / 1e8).as("pr"))
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     pr.join(deg.withColumnRenamed("src", "id"), "id")
       .select(col("id"), col("deg"), col("pr"))

@@ -52,7 +52,7 @@ object QJoins extends QueryPack {
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .filter(r("r_name") === "ASIA")
       .groupBy("n_name")
-      .agg(sum(revenue).cast(DoubleType).as("revenue"), count(lit(1)).as("n_items"))
+      .agg(sumRevenue.as("revenue"), count(lit(1)).as("n_items"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 

@@ -113,8 +113,8 @@ object QRelational extends QueryPack {
       .agg(
         sum4(col("l_quantity")).as("sum_qty"),
         sum4(col("l_extendedprice")).as("sum_base_price"),
-        sum(revenue).cast(DoubleType).as("sum_disc_price"),
-        sum(charge).cast(DoubleType).as("sum_charge"),
+        sumRevenue.as("sum_disc_price"),
+        sumCharge.as("sum_charge"),
         avg4(col("l_quantity")).as("avg_qty"),
         avg4(col("l_extendedprice")).as("avg_price"),
         avg4(col("l_discount")).as("avg_disc"),

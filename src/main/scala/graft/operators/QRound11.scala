@@ -29,9 +29,9 @@ object QRound11 extends QueryPack {
     * reduce-order-proof. */
   private[graft] def txnTable(s: SparkSession, d: String): String =
     QRound3.staged(s, d, "txnlog") { dir =>
-      val o = t(s, d, "orders").select(col("o_orderkey"),
-        floor(col("o_totalprice") * lit(1e2) + lit(5e-1)).cast(LongType)
-          .as("cents"))
+      // memoized persisted slice base (OPTIMIZATION r16) — see
+      // QRound16.centsOrders; exact column projection preserved
+      val o = QRound16.centsOrders(s, d).drop("o_custkey")
       TxnLog.overwrite(s, dir, o.filter(col("o_orderkey") % 4 === 0))
       TxnLog.append(s, dir, o.filter(col("o_orderkey") % 4 === 1))
       TxnLog.overwrite(s, dir, o.filter(col("o_orderkey") % 4 === 2))

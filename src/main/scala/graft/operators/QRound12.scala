@@ -103,9 +103,9 @@ object QRound12 extends QueryPack {
     * retained manifest, so vacuum reclaims them. */
   private[graft] def vacTable(s: SparkSession, d: String): String =
     QRound3.staged(s, d, "txnvac") { dir =>
-      val o = t(s, d, "orders").select(col("o_orderkey"),
-        floor(col("o_totalprice") * lit(1e2) + lit(5e-1)).cast(LongType)
-          .as("cents"))
+      // memoized persisted slice base (OPTIMIZATION r16) — see
+      // QRound16.centsOrders; exact column projection preserved
+      val o = QRound16.centsOrders(s, d).drop("o_custkey")
       TxnLog.overwrite(s, dir, o.filter(col("o_orderkey") % 5 === 0))
       TxnLog.append(s, dir, o.filter(col("o_orderkey") % 5 === 1))
       TxnLog.append(s, dir, o.filter(col("o_orderkey") % 5 === 2))

@@ -60,9 +60,9 @@ object QRound15 extends QueryPack {
     * version regardless of scan parallelism. */
   private[graft] def cpTable(s: SparkSession, d: String): String =
     QRound3.staged(s, d, "txncompact") { dir =>
-      val o = t(s, d, "orders").select(col("o_orderkey"),
-        floor(col("o_totalprice") * lit(1e2) + lit(5e-1)).cast(LongType)
-          .as("cents"))
+      // memoized persisted slice base (OPTIMIZATION r16) — see
+      // QRound16.centsOrders; exact column projection preserved
+      val o = QRound16.centsOrders(s, d).drop("o_custkey")
       for (m <- 0 until cpSlices)
         TxnLog.append(s, dir,
           o.filter(col("o_orderkey") % 7 === m).repartition(1))
@@ -128,9 +128,9 @@ object QRound15 extends QueryPack {
     * ingest layout data skipping exists for. */
   private[graft] def skTable(s: SparkSession, d: String): String =
     QRound3.staged(s, d, "txnskip") { dir =>
-      val o = t(s, d, "orders").select(col("o_orderkey"),
-        floor(col("o_totalprice") * lit(1e2) + lit(5e-1)).cast(LongType)
-          .as("cents"))
+      // memoized persisted slice base (OPTIMIZATION r16) — see
+      // QRound16.centsOrders; exact column projection preserved
+      val o = QRound16.centsOrders(s, d).drop("o_custkey")
       val maxk = o.agg(max("o_orderkey")).head.getLong(0)
       for (i <- 0 until skSlices)
         TxnLog.appendWithStats(s, dir,
@@ -199,9 +199,9 @@ object QRound15 extends QueryPack {
     * copy-on-write delete of o_orderkey ∈ [maxk/4, maxk/2]. */
   private[graft] def delTable(s: SparkSession, d: String): String =
     QRound3.staged(s, d, "txndel") { dir =>
-      val o = t(s, d, "orders").select(col("o_orderkey"),
-        floor(col("o_totalprice") * lit(1e2) + lit(5e-1)).cast(LongType)
-          .as("cents"))
+      // memoized persisted slice base (OPTIMIZATION r16) — see
+      // QRound16.centsOrders; exact column projection preserved
+      val o = QRound16.centsOrders(s, d).drop("o_custkey")
       val maxk = o.agg(max("o_orderkey")).head.getLong(0)
       for (i <- 0 until skSlices)
         TxnLog.appendWithStats(s, dir,
@@ -268,9 +268,9 @@ object QRound15 extends QueryPack {
     * restatement shape — same keys, new values). */
   private[graft] def mergeTable(s: SparkSession, d: String): String =
     QRound3.staged(s, d, "txnmerge") { dir =>
-      val o = t(s, d, "orders").select(col("o_orderkey"),
-        floor(col("o_totalprice") * lit(1e2) + lit(5e-1)).cast(LongType)
-          .as("cents"))
+      // memoized persisted slice base (OPTIMIZATION r16) — see
+      // QRound16.centsOrders; exact column projection preserved
+      val o = QRound16.centsOrders(s, d).drop("o_custkey")
       val maxk = o.agg(max("o_orderkey")).head.getLong(0)
       for (i <- 0 until skSlices)
         TxnLog.appendWithStats(s, dir,

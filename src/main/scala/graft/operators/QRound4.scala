@@ -475,10 +475,10 @@ object QRound4 extends QueryPack {
     t(s, d, "lineitem")
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"),
-        sum(dec4(x)).as("sx"), sum(dec4(y)).as("sy"),
-        sum(dec4(x) * dec4(y)).as("sxy"),
-        sum(dec4(x) * dec4(x)).as("sxx"),
-        sum(dec4(y) * dec4(y)).as("syy"))
+        sumDec4(x).as("sx"), sumDec4(y).as("sy"),
+        sumProd8(x, y).as("sxy"),
+        sumProd8(x, x).as("sxx"),
+        sumProd8(y, y).as("syy"))
       .select(col("l_returnflag"), col("n"),
         trunc6(
           (col("n").cast(DoubleType) * col("sxy").cast(DoubleType)

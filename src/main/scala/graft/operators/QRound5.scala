@@ -576,10 +576,16 @@ object QRound5 extends QueryPack {
     t(s, d, "customer").createOrReplaceTempView("g_customer")
     t(s, d, "orders").createOrReplaceTempView("g_orders")
     t(s, d, "lineitem").createOrReplaceTempView("g_lineitem")
+    // g_revsum4u: the 128-bit integer spelling of the decimal revenue
+    // sum (registered session aggregate, bit-identical values —
+    // Tables.registerIntSums). The SQL-text surface (parse, joins,
+    // pushdown, TakeOrdered) is the point of this key and is unchanged;
+    // the filter is selective so the per-group Decimal128 rebuild is
+    // cheap next to the 6M-row probe side it replaced decimal math on.
+    registerIntSums(s)
     s.sql(
       """SELECT l_orderkey,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-        |    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        |  CAST(g_revsum4u(l_extendedprice, l_discount) AS DOUBLE) AS revenue,
         |  o_orderdate, o_orderpriority
         |FROM g_customer JOIN g_orders ON c_custkey = o_custkey
         |  JOIN g_lineitem ON l_orderkey = o_orderkey

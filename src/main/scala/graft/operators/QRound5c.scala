@@ -201,6 +201,20 @@ object QRound5c extends QueryPack {
       coEdges(t(s, d, "lineitem"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** Memoized persisted BIDIRECTIONAL co-occurrence edges (u, v) — the
+    * `coedges ∪ swap` union that katz and percolation each re-derived
+    * per power-iteration round (OPTIMIZATION r16): un-memoized, every
+    * round re-scanned the persisted half-edge cache and re-ran the
+    * union map (~2E rows x rounds x keys); persisted once, each round's
+    * join reads the cached 2E-row table directly. */
+  private[graft] def coDirMemo(s: SparkSession, d: String): DataFrame =
+    graft.Memo.memo(s, "codir", d) {
+      val e = coEdgesMemo(s, d)
+      e.select(col("a").as("u"), col("b").as("v"))
+        .union(e.select(col("b").as("u"), col("a").as("v")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
   /** Edge/wedge/triangle tally + global clustering coefficient over the
     * co-occurrence graph. Wedges via a single groupBy on vertex degree
     * (no join); triangles from the SHARED memoized per-edge participation

@@ -61,14 +61,21 @@ object QRound5h extends QueryPack {
     * aggregated scan), because pipe syntax is pure parser surface. */
   private def sqlPipeSyntax(s: SparkSession, d: String): DataFrame = {
     t(s, d, "lineitem").createOrReplaceTempView("g_lineitem")
+    // g_sum4u/g_revrow4u: the 128-bit integer spellings of the decimal
+    // sums (registered session functions, bit-identical values —
+    // Tables.registerIntSums). Every pipe-syntax parser surface of the
+    // original (WHERE / EXTEND / AGGREGATE..GROUP BY / ORDER BY) is
+    // unchanged; EXTEND now carries the exact 1e4-scaled BIGINT revenue
+    // term instead of the DECIMAL product — same quantization casts,
+    // same summed value through DECIMAL(38,4) -> DOUBLE.
+    registerIntSums(s)
     s.sql(
       """FROM g_lineitem
         ||> WHERE l_shipdate < TIMESTAMP '2001-01-01 00:00:00'
-        ||> EXTEND CAST(l_extendedprice AS DECIMAL(18,4))
-        |     * (1 - CAST(l_discount AS DECIMAL(4,2))) AS disc_price
+        ||> EXTEND g_revrow4u(l_extendedprice, l_discount) AS disc_price_u
         ||> AGGREGATE count(*) AS n_rows,
-        |     CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-        |     CAST(sum(disc_price) AS DOUBLE) AS sum_disc_price
+        |     CAST(g_sum4u(l_quantity) AS DOUBLE) AS sum_qty,
+        |     CAST(g_sumu4(disc_price_u) AS DOUBLE) AS sum_disc_price
         |   GROUP BY l_returnflag, l_linestatus
         ||> ORDER BY l_returnflag, l_linestatus""".stripMargin)
   }

@@ -55,17 +55,25 @@ object QRound9ai extends QueryPack {
     val controls = users.filter(col("arm") === 0)
       .select(col("user_id").as("c_user"), col("score").as("c_score"),
         col("outcome").as("c_outcome"), col("cell"))
-    val w = Window.partitionBy("t_user")
-      .orderBy(col("diff"), col("c_user"))
+    // best-match selection as a struct-MIN hash aggregate instead of a
+    // row_number window (OPTIMIZATION r16, guide §2.3 "aggregate before
+    // you shuffle"): the window spelling shuffled and SORTED the whole
+    // candidate stream by t_user; min(struct(diff, c_user, ...)) picks
+    // the identical row (lexicographic struct order == ORDER BY diff,
+    // c_user; a (t,c) pair appears once — controls own ONE cell) with
+    // map-side partial aggregation, so only one best-so-far row per
+    // treated user crosses the exchange.
     treated.join(controls, Seq("cell"))
       .withColumn("diff", abs(col("t_score") - col("c_score")))
       .filter(col("diff") <= lit(1e-2))
-      .withColumn("r", row_number().over(w))
-      .filter(col("r") === 1)
-      .select(col("t_user"), col("c_user"),
-        col("t_score"), col("c_score"), trunc4(col("diff")).as("diff"),
-        col("t_outcome"), col("c_outcome"),
-        trunc4(col("t_outcome") - col("c_outcome")).as("effect"))
+      .groupBy("t_user", "t_score", "t_outcome")
+      .agg(min(struct(col("diff"), col("c_user"), col("c_score"),
+        col("c_outcome"))).as("best"))
+      .select(col("t_user"), col("best.c_user").as("c_user"),
+        col("t_score"), col("best.c_score").as("c_score"),
+        trunc4(col("best.diff")).as("diff"),
+        col("t_outcome"), col("best.c_outcome").as("c_outcome"),
+        trunc4(col("t_outcome") - col("best.c_outcome")).as("effect"))
       .orderBy("t_user")
   }
 

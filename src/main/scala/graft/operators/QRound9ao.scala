@@ -37,10 +37,11 @@ object QRound9ao extends QueryPack {
     val dd = DoubleType
     val agg = lineitem.groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"),
-        sum(x).as("sx"), sum(y).as("sy"),
-        sum((x * y).cast(DecimalType(38, 8))).as("sxy"),
-        sum((x * x).cast(DecimalType(38, 8))).as("sxx"),
-        sum((y * y).cast(DecimalType(38, 8))).as("syy"))
+        sumDec4(col("l_quantity")).as("sx"),
+        sumDec4(col("l_extendedprice")).as("sy"),
+        sumProd8(col("l_quantity"), col("l_extendedprice")).as("sxy"),
+        sumProd8(col("l_quantity"), col("l_quantity")).as("sxx"),
+        sumProd8(col("l_extendedprice"), col("l_extendedprice")).as("syy"))
     val n = col("n").cast(dd)
     val sx = col("sx").cast(dd); val sy = col("sy").cast(dd)
     val sxy = col("sxy").cast(dd); val sxx = col("sxx").cast(dd)

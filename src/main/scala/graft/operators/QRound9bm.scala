@@ -46,13 +46,24 @@ object QRound9bm extends QueryPack {
       .withColumnRenamed("col", "tok")
       .withColumn("sent", expr(s"pos div $trSentLen"))
       .select(col("doc_id"), col("sent"), col("tok")).distinct()
-    val pairs = toks.join(
-        toks.select(col("doc_id"), col("sent").as("sent_b"),
-          col("tok")), Seq("doc_id", "tok"))
+    // per-sentence TOKEN SETS instead of the per-shared-token pair join
+    // (OPTIMIZATION r16, guide §2.3 "shuffle metadata instead of
+    // payloads"): the old spelling joined toks⋈toks on (doc, tok) and
+    // hash-aggregated the fan-out — ~10^8 generated rows at sf0.1 (the
+    // same blow-up the r11 oracle respelling killed on the DuckDB side
+    // with bitmasks). One collect_set per (doc, sent) then the per-doc
+    // sentence self-join (Σ n_sents²/2 ≈ 0.4M pairs) computes
+    // shared = |set_a ∩ set_b| with array_intersect — identical counts
+    // (toks is DISTINCT per (doc, sent, tok)), per-doc bounded at any
+    // scale, no vocab-width assumption.
+    val sents = toks.groupBy("doc_id", "sent")
+      .agg(collect_set(col("tok")).as("tks"))
+    val pairs = sents.join(
+        sents.select(col("doc_id"), col("sent").as("sent_b"),
+          col("tks").as("tks_b")), Seq("doc_id"))
       .filter(col("sent") < col("sent_b"))
-      .groupBy("doc_id", "sent", "sent_b")
-      .agg(count(lit(1)).as("shared"))
-      .filter(col("shared") >= trMinShared)
+      .filter(size(array_intersect(col("tks"), col("tks_b")))
+        >= trMinShared)
       .select((col("doc_id") * 1000 + col("sent")).as("src"),
         (col("doc_id") * 1000 + col("sent_b")).as("dst"))
     val pr = PageRank.ranks(pairs)

@@ -123,31 +123,38 @@ object QRound9br extends QueryPack {
       katzCentralityBuild(s, d).localCheckpoint(true))
 
   private[graft] def katzCentralityBuild(s: SparkSession, d: String): DataFrame = {
-    val e = graft.Memo.memo(s, "coedges", d)(
-      QRound5c.coEdges(t(s, d, "lineitem"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val dir = e.select(col("a").as("u"), col("b").as("v"))
-      .union(e.select(col("b").as("u"), col("a").as("v")))
-    val dmax = dir.groupBy("v").agg(count(lit(1)).as("deg"))
-      .agg(max("deg")).collect().head.getLong(0)
+    // persisted bidirectional edges (shared memo): each of the 4 rounds
+    // below joins `dir` once — un-memoized, every round re-ran the
+    // half-edge union map over the cached edge list (OPTIMIZATION r16)
+    val dir = QRound5c.coDirMemo(s, d)
+    // ONE degree pass feeds both the dmax scalar and y0 (OPTIMIZATION
+    // r16): the old spelling ran two separate full shuffles over dir —
+    // groupBy(v) for dmax AND select(v).distinct() for y0 — when the
+    // degree table's key set IS the node set. The eager localCheckpoint
+    // makes deg a size-known cached table, so dmax is a 20k-row scan.
+    val deg = dir.groupBy("v").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val dmax = deg.agg(max("deg")).collect().head.getLong(0)
     val bigD = dmax + 1L
-    // per-round eager checkpoint DELIBERATELY kept although lineage is
-    // linear (each round's state joins once, so the 2^r rule does not
-    // bite): r11 A/B-measured the lazy 4-level single-job chain against
-    // this shape at sf0.1 and found them equal within run noise
-    // (~4.3–5.4 s warm both ways) — the per-round job floor is offset by
-    // the checkpointed V-row state getting a size-known broadcast into
-    // the edge join. Keeping the judge-audited shape.
-    var y = dir.select(col("v").as("node")).distinct()
-      .withColumn("y", lit(1L))
+    // LAZY per-round checkpoints + an explicit broadcast of the V-row
+    // state (OPTIMIZATION r16, re-measured via GraphProbe): the r11 A/B
+    // that kept eager rounds predates the shared codir memo — against
+    // the cached 2E-row edge table the lazy single-job chain runs the 4
+    // rounds + top-k in ~2.6 s vs ~4.6 s eager (each eager round paid a
+    // separate job floor + checkpoint materialization). Lineage stays
+    // linear (state is referenced once per round), each round's tiny
+    // state RDD is persist-materialized on first use inside the one
+    // job, and long sums keep results bit-identical.
+    var y = deg.select(col("v").as("node")).withColumn("y", lit(1L))
+      .localCheckpoint(false)
     var dPow = 1L
     for (_ <- 1 to katzRounds) {
       dPow *= bigD
-      val nbr = dir.join(y, col("u") === col("node"))
+      val nbr = dir.join(broadcast(y), col("u") === col("node"))
         .groupBy("v").agg(sum("y").as("nbr_sum"))
       y = nbr.select(col("v").as("node"),
         (lit(dPow) + col("nbr_sum")).as("y"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     // global top-k WITHOUT a single-partition window (the PlanSpec
     // gate): TakeOrderedAndProject for the selection, then ranks from a

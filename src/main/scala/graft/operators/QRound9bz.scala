@@ -51,22 +51,29 @@ object QRound9bz extends QueryPack {
     graft.Memo.memo(s, "percolation", d)(bootstrapPercolationBuild(s, d))
 
   private[graft] def bootstrapPercolationBuild(s: SparkSession, d: String): DataFrame = {
-    val e = graft.Memo.memo(s, "coedges", d)(
-      QRound5c.coEdges(t(s, d, "lineitem"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val dir = e.select(col("a").as("u"), col("b").as("v"))
-      .union(e.select(col("b").as("u"), col("a").as("v")))
+    // persisted bidirectional edges (shared memo, OPTIMIZATION r16) —
+    // the per-round activation join reads the cached 2E-row table
+    // instead of re-running the half-edge union map every round
+    val dir = QRound5c.coDirMemo(s, d)
     val nodes = dir.select(col("v").as("node")).distinct()
+    // LAZY per-round checkpoints + broadcast of the V-bounded active set
+    // (OPTIMIZATION r16, same re-measurement as the katz loop): eager
+    // rounds each paid a job floor + checkpoint materialization; lazily
+    // checkpointed, the whole 4-round cascade plus the final by-round
+    // tally is ONE job — each round's active-set RDD materializes on
+    // first use and its other two references (anti-join, union) read
+    // the cache, the NSW beam-loop shape. Integer set logic keeps the
+    // cascade bit-identical.
     var act = nodes.filter(col("node") % 97 === 0)
-      .withColumn("rnd", lit(0)).localCheckpoint(true)
+      .withColumn("rnd", lit(0)).localCheckpoint(false)
     for (r <- 1 to percRounds) {
-      val newly = dir.join(act.select(col("node").as("u")), "u")
+      val newly = dir.join(broadcast(act.select(col("node").as("u"))), "u")
         .groupBy("v").agg(count(lit(1)).as("deg_act"))
         .filter(col("deg_act") >= 2)
         .select(col("v").as("node"))
-        .join(act.select("node"), Seq("node"), "left_anti")
+        .join(broadcast(act.select("node")), Seq("node"), "left_anti")
         .withColumn("rnd", lit(r))
-      act = act.union(newly).localCheckpoint(true)
+      act = act.union(newly).localCheckpoint(false)
     }
     val byRound = act.groupBy("rnd").agg(count(lit(1)).as("c"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap

@@ -65,12 +65,45 @@ object Tables {
   /** Money columns in this dataset are true 2-dp values stored as double. */
   def money(c: Column): Column = c.cast(D122)
 
+  // ---- 128-bit integer spellings of the exact sums (OPTIMIZATION r16) ----
+  //
+  // Measured first (FloorProbe, guide §1): Spark's SUM over DECIMAL(18,4)
+  // carries a DECIMAL(28,4) buffer — past Decimal's 18-digit compact-long
+  // range — so every per-row update allocates java.math.BigDecimals; a
+  // 4-sum groupBy ran 1.24–1.41 s warm at sf0.1 vs 0.60 s with integer
+  // buffers. The quantization (one decimal CAST per row) is unchanged;
+  // only the accumulation switches to an exact 128-bit integer
+  // (plans/SumExprs.scala), which is associative and order-independent
+  // exactly like decimal addition, so results are bit-identical. The
+  // final DECIMAL(38,s) -> DOUBLE conversion happens once per group,
+  // through the same value space as before.
+  private def expr2col(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(e)
+
+  private def col2expr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.graft.ColumnBridge.expression(c)
+
+  /** Exact unscaled value (x·10^4 as BIGINT) of the dec4 quantization. */
+  private def unscaled4(c: Column): Column =
+    expr2col(org.apache.spark.sql.catalyst.expressions.UnscaledValue(
+      col2expr(dec4(c))))
+
+  /** 128-bit exact SUM of a pre-scaled BIGINT column, as DECIMAL(38,s). */
+  def sum128(c: Column, scale: Int): Column =
+    expr2col(graft.plans.SumUnscaled128(col2expr(c), scale)
+      .toAggregateExpression())
+
   /** Exact decimal SUM (order-independent), emitted as DOUBLE: both engines
     * convert the exact decimal to the nearest double identically (verified:
     * DuckDB's decimal->double cast is correctly rounded even past 2^53
     * scaled), and double columns materialize identically through every
-    * parquet/pandas path — DECIMAL output columns do not. */
-  def sum4(c: Column): Column = sum(dec4(c)).cast(DoubleType)
+    * parquet/pandas path — DECIMAL output columns do not.
+    *
+    * Spelled as the 128-bit integer sum of the dec4 unscaled value: same
+    * per-row quantization, same exact total, same DECIMAL(38,4)->DOUBLE
+    * final conversion — but the per-row accumulate is codegen'd long
+    * arithmetic instead of BigDecimal allocation (see sum128). */
+  def sum4(c: Column): Column = sum128(unscaled4(c), 4).cast(DoubleType)
 
   /** Truncate a double to 4dp. Unlike round(), floor() on the *same* double
     * bits gives the same answer in Spark (Math.floor) and DuckDB (std::floor)
@@ -83,7 +116,79 @@ object Tables {
 
   /** Deterministic mean: exact decimal sum -> double -> truncate. */
   def avg4(c: Column): Column =
-    trunc4(sum(dec4(c)).cast(DoubleType) / count(lit(1)))
+    trunc4(sum128(unscaled4(c), 4).cast(DoubleType) / count(lit(1)))
+
+  /** 128-bit spelling of `sum(revenue).cast(DOUBLE)`: the per-row product
+    * is cents(price) · (100 − cents'(disc)) — two exact BIGINTs whose
+    * product is the revenue term scaled 10^4 (≤ ~1e11/row, no overflow) —
+    * summed 128-bit, emitted through the same DECIMAL(38,4) -> DOUBLE
+    * path. Replaces a per-row decimal multiply + BigDecimal-buffered sum. */
+  def sumRevenue: Column =
+    sum128(unscaledMoney(col("l_extendedprice")) *
+      (lit(100L) - unscaledD42(col("l_discount"))), 4).cast(DoubleType)
+
+  /** 128-bit spelling of `sum(charge).cast(DOUBLE)`: revenue-scaled-1e4
+    * times (100 + cents'(tax)) is the charge term scaled 10^6. */
+  def sumCharge: Column =
+    sum128(unscaledMoney(col("l_extendedprice")) *
+      (lit(100L) - unscaledD42(col("l_discount"))) *
+      (lit(100L) + unscaledD42(col("l_tax"))), 6).cast(DoubleType)
+
+  /** 128-bit spelling of `sum((dec4(x)·dec4(y)).cast(DECIMAL(38,8)))`:
+    * the exact moment sums (corr/OLS). Product of two 1e4-unscaled longs
+    * is the moment scaled 10^8; per-row magnitude ≤ ~5e14, summed 128-bit.
+    * Emitted as the same DECIMAL(38,8). */
+  def sumProd8(x: Column, y: Column): Column =
+    sum128(unscaled4(x) * unscaled4(y), 8)
+
+  /** 128-bit spelling of `sum(dec4(c))` kept as DECIMAL (for moment sums
+    * whose double cast happens downstream). Wider declared type
+    * (DECIMAL(38,4) vs (28,4)) but the identical exact value. */
+  def sumDec4(c: Column): Column = sum128(unscaled4(c), 4)
+
+  private def unscaledMoney(c: Column): Column =
+    expr2col(org.apache.spark.sql.catalyst.expressions.UnscaledValue(
+      col2expr(money(c))))
+
+  private def unscaledD42(c: Column): Column =
+    expr2col(org.apache.spark.sql.catalyst.expressions.UnscaledValue(
+      col2expr(c.cast(D42))))
+
+  /** Register the 128-bit sums as SQL temp functions so the SQL-TEXT
+    * surface keys (pipe syntax, UNPIVOT, TPC-H Q3 text) can use the same
+    * fast aggregates as the DataFrame API:
+    *  - `g_sum4u(x)`   == SUM(CAST(x AS DECIMAL(18,4))) as DECIMAL(38,4)
+    *  - `g_revsum4u(p, d)` == SUM(CAST(p AS DECIMAL(12,2)) *
+    *    (1 - CAST(d AS DECIMAL(4,2)))) as DECIMAL(38,4)
+    * (same per-row quantization casts; only the accumulation changes —
+    * values bit-identical, see sum128). Idempotent per session. */
+  def registerIntSums(s: SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.expressions._
+    val reg = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("g_sum4u",
+      (es: Seq[Expression]) =>
+        graft.plans.SumUnscaled128(UnscaledValue(Cast(es.head, D184)), 4),
+      "scala_udf")
+    reg.createOrReplaceTempFunction("g_revsum4u",
+      (es: Seq[Expression]) =>
+        graft.plans.SumUnscaled128(
+          Multiply(
+            UnscaledValue(Cast(es.head, D122)),
+            Subtract(Literal(100L), UnscaledValue(Cast(es(1), D42)))), 4),
+      "scala_udf")
+    // scalar: the exact 1e4-scaled BIGINT revenue term per row
+    reg.createOrReplaceTempFunction("g_revrow4u",
+      (es: Seq[Expression]) =>
+        Multiply(
+          UnscaledValue(Cast(es.head, D122)),
+          Subtract(Literal(100L), UnscaledValue(Cast(es(1), D42)))),
+      "scala_udf")
+    // aggregate over an ALREADY-scaled BIGINT column
+    reg.createOrReplaceTempFunction("g_sumu4",
+      (es: Seq[Expression]) => graft.plans.SumUnscaled128(es.head, 4),
+      "scala_udf")
+  }
 
   // ---- Oracle-side (DuckDB SQL) twins of the helpers above ----
 
