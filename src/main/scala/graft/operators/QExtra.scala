@@ -72,11 +72,17 @@ object QExtra extends QueryPack {
   private def aggPercentile(s: SparkSession, d: String): DataFrame =
     t(s, d, "lineitem")
       .groupBy("l_returnflag")
-      .agg(
-        trunc4(expr("percentile(l_quantity, 0.25)")).as("q25"),
-        trunc4(expr("percentile(l_quantity, 0.5)")).as("q50"),
-        trunc4(expr("percentile(l_quantity, 0.75)")).as("q75"),
+      // ONE array-percentile aggregate (OPTIMIZATION r16): three scalar
+      // percentile() calls each built their own per-group counts map
+      // and sorted it; the array form computes all quantiles from one
+      // map/sort with identical interpolation.
+      .agg(expr("percentile(l_quantity, array(0.25, 0.5, 0.75))").as("qs"),
         trunc4(expr("median(l_quantity)")).as("med"))
+      .select(col("l_returnflag"),
+        trunc4(element_at(col("qs"), 1)).as("q25"),
+        trunc4(element_at(col("qs"), 2)).as("q50"),
+        trunc4(element_at(col("qs"), 3)).as("q75"),
+        col("med"))
       .orderBy("l_returnflag")
 
   private val oAggPercentile =

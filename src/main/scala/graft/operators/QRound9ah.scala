@@ -129,9 +129,12 @@ object QRound9ah extends QueryPack {
     * partial-aggregates. At deployment exact percentile becomes the
     * approx-sketch bound with the same plumbing. */
   private[graft] def winsorize(events: DataFrame): DataFrame = {
+    // one array-percentile call — see ts_gap_percentiles (r16)
     val bounds = events.groupBy("event_type")
-      .agg(trunc4(expr("percentile(value, 0.05)")).as("lo"),
-        trunc4(expr("percentile(value, 0.95)")).as("hi"))
+      .agg(expr("percentile(value, array(0.05, 0.95))").as("ps"))
+      .select(col("event_type"),
+        trunc4(element_at(col("ps"), 1)).as("lo"),
+        trunc4(element_at(col("ps"), 2)).as("hi"))
     def scaled(c: Column): Column =
       floor(c * lit(1e12) + lit(0.5)).cast(DecimalType(38, 0))
     events.join(broadcast(bounds), Seq("event_type"))

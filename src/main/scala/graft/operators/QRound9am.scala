@@ -153,11 +153,18 @@ object QRound9am extends QueryPack {
       .withColumn("gap_us", col("us") - lag("us", 1).over(w))
       .filter(col("gap_us").isNotNull)
       .groupBy("event_type")
+      // ONE array-percentile aggregate (OPTIMIZATION r16): the three
+      // scalar percentile() calls each built a per-group counts map
+      // over the 500k gaps; the array form builds it once — identical
+      // interpolation, identical values.
       .agg(count(lit(1)).as("n_gaps"),
-        trunc4(expr("percentile(gap_us, 0.5)") / lit(1e6)).as("p50_s"),
-        trunc4(expr("percentile(gap_us, 0.9)") / lit(1e6)).as("p90_s"),
-        trunc4(expr("percentile(gap_us, 0.99)") / lit(1e6)).as("p99_s"),
+        expr("percentile(gap_us, array(0.5, 0.9, 0.99))").as("ps"),
         trunc4(max("gap_us").cast(DoubleType) / lit(1e6)).as("max_s"))
+      .select(col("event_type"), col("n_gaps"),
+        trunc4(element_at(col("ps"), 1) / lit(1e6)).as("p50_s"),
+        trunc4(element_at(col("ps"), 2) / lit(1e6)).as("p90_s"),
+        trunc4(element_at(col("ps"), 3) / lit(1e6)).as("p99_s"),
+        col("max_s"))
       .orderBy("event_type")
   }
 

@@ -99,10 +99,14 @@ object QRound9at extends QueryPack {
       .filter(col("v_us").isNotNull && col("p_us").isNotNull &&
         col("p_us") >= col("v_us"))
       .withColumn("delta_us", col("p_us") - col("v_us"))
+      // one array-percentile call — see ts_gap_percentiles (r16)
       .agg(count(lit(1)).as("n_converted"),
-        trunc4(expr("percentile(delta_us, 0.5)") / lit(1e6)).as("p50_s"),
-        trunc4(expr("percentile(delta_us, 0.9)") / lit(1e6)).as("p90_s"),
+        expr("percentile(delta_us, array(0.5, 0.9))").as("ps"),
         trunc4(max("delta_us").cast(DoubleType) / lit(1e6)).as("max_s"))
+      .select(col("n_converted"),
+        trunc4(element_at(col("ps"), 1) / lit(1e6)).as("p50_s"),
+        trunc4(element_at(col("ps"), 2) / lit(1e6)).as("p90_s"),
+        col("max_s"))
   }
 
   private def chpFunnelTimePctl(s: SparkSession, d: String): DataFrame =

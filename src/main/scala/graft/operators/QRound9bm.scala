@@ -217,10 +217,13 @@ object QRound9bm extends QueryPack {
     * one counting pass. */
   private[graft] def tukeyFences(events: DataFrame): DataFrame = {
     val dd = DoubleType
+    // one array-percentile call — see ts_gap_percentiles (r16)
     val q = events.groupBy("event_type")
       .agg(count(lit(1)).as("n"),
-        expr("percentile(value, 0.25)").as("q1"),
-        expr("percentile(value, 0.75)").as("q3"))
+        expr("percentile(value, array(0.25, 0.75))").as("ps"))
+      .select(col("event_type"), col("n"),
+        element_at(col("ps"), 1).as("q1"),
+        element_at(col("ps"), 2).as("q3"))
       .withColumn("lo", col("q1") - lit(1.5) * (col("q3") - col("q1")))
       .withColumn("hi", col("q3") + lit(1.5) * (col("q3") - col("q1")))
     events.select(col("event_type"), col("value").cast(dd).as("v"))

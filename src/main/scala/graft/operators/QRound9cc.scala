@@ -245,9 +245,12 @@ object QRound9cc extends QueryPack {
     * counting pass — the Tukey-fences dataflow. */
   private[graft] def trimmedMean(s: SparkSession, d: String): DataFrame = {
     val o = t(s, d, "orders")
-    val q = o.groupBy("o_orderpriority").agg(
-      expr("percentile(o_totalprice, 1e-1)").as("p10"),
-      expr("percentile(o_totalprice, 9e-1)").as("p90"))
+    // one array-percentile call — see ts_gap_percentiles (r16)
+    val q = o.groupBy("o_orderpriority")
+      .agg(expr("percentile(o_totalprice, array(1e-1, 9e-1))").as("ps"))
+      .select(col("o_orderpriority"),
+        element_at(col("ps"), 1).as("p10"),
+        element_at(col("ps"), 2).as("p90"))
     o.join(broadcast(q), "o_orderpriority")
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n"),
