@@ -352,7 +352,10 @@ object QRound7b extends QueryPack {
       val S = qv.select(col("qv"), posexplode(col("qv")).as(Seq("i", "qi")))
         .select(col("i"), col("qi"), posexplode(col("qv")).as(Seq("j", "qj")))
         .groupBy("i", "j")
-        .agg(sum((col("qi") * col("qj")).cast(DecimalType(38, 0))).as("sij"))
+        // 128-bit integer sum (OPTIMIZATION r16): the per-row product is
+        // long-exact (|q| <= ~2e6), only the BigDecimal SUM buffer cost
+        // is removed; identical DECIMAL(38,0) totals
+        .agg(sum128(col("qi") * col("qj"), 0).as("sij"))
         .collect()
       val sm = Array.ofDim[BigInt](pcaDim, pcaDim)
       S.foreach { r =>

@@ -36,16 +36,22 @@ object QRound9ag extends QueryPack {
     * Scale shape: one partial-aggregable pass — the power sums combine
     * associatively map-side exactly like plain sums. */
   private[graft] def skewKurtosis(lineitem: DataFrame): DataFrame = {
-    val c = (money(col("l_extendedprice")) * lit(100))
-      .cast(DecimalType(13, 0))
-    val c2 = (c * c).cast(DecimalType(38, 0))
+    // 128-bit integer power sums (OPTIMIZATION r16): the decimal
+    // spelling multiplied DECIMAL(38,0)s per row (BigDecimal allocation
+    // chains) and summed into BigDecimal buffers. Cents are an exact
+    // BIGINT (≤ ~1.1e7), c² fits a long exactly (≤ ~1.2e14); c³/c⁴ are
+    // accumulated as exact 128-bit PRODUCTS (SumProd128) — identical
+    // values, identical DECIMAL(38,0) result type, same Σc⁴ ≤ DECIMAL(38)
+    // headroom bound as before.
+    val cl = cents(col("l_extendedprice"))
+    val cl2 = cl * cl
     val agg = lineitem
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"),
-        sum(c.cast(DecimalType(38, 0))).as("s1"),
-        sum(c2).as("s2"),
-        sum((c2 * c).cast(DecimalType(38, 0))).as("s3"),
-        sum((c2 * c2).cast(DecimalType(38, 0))).as("s4"))
+        sum128(cl, 0).as("s1"),
+        sumProd128(cl, cl, 0).as("s2"),
+        sumProd128(cl2, cl, 0).as("s3"),
+        sumProd128(cl2, cl2, 0).as("s4"))
     val n  = col("n").cast(DoubleType)
     val s1 = col("s1").cast(DoubleType)
     val s2 = col("s2").cast(DoubleType)

@@ -118,10 +118,11 @@ object QRound9ai extends QueryPack {
     * the hash order (partitioned window). */
   private[graft] def neymanAlloc(events: DataFrame): DataFrame = {
     val st = events.groupBy("event_type")
+      // 128-bit integer moment sums (OPTIMIZATION r16, see Tables.sum128)
       .agg(count(lit(1)).as("n_h"),
-        sum(col("value").cast(D184)).as("s1"),
-        sum((col("value").cast(D184) * col("value").cast(D184))
-          .cast(DecimalType(38, 8))).as("s2"))
+        sumDec4(col("value")).as("s1"),
+        sumProd128(unscaled4Col(col("value")),
+          unscaled4Col(col("value")), 8).as("s2"))
       .select(col("event_type"), col("n_h"),
         sqrt((col("s2").cast(DoubleType) / col("n_h").cast(DoubleType)) -
           ((col("s1").cast(DoubleType) / col("n_h").cast(DoubleType)) *

@@ -137,3 +137,102 @@ object Decimal128 {
     Decimal(new java.math.BigDecimal(bi, scale), 38, scale)
   }
 }
+
+/** High 64 bits of the signed 128-bit product a·b (Math.multiplyHigh
+  * with the two's-complement sign corrections) — the companion of the
+  * wrapping low word `a * b`. Codegen'd; exists so SUM128 can accumulate
+  * per-row PRODUCTS whose value exceeds 64 bits (power sums: c³, c⁴)
+  * without any per-row Decimal allocation. */
+case class MulHiLong(left: Expression, right: Expression)
+    extends BinaryExpression with BinaryLike[Expression] {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def prettyName: String = "mul_hi_long"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Math.multiplyHigh(a.asInstanceOf[Long], b.asInstanceOf[Long])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"java.lang.Math.multiplyHigh($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MulHiLong =
+    copy(left = newLeft, right = newRight)
+}
+
+/** 128-bit SUM of the per-row 128-bit signed PRODUCT of two BIGINT
+  * children — [[SumUnscaled128]] for inputs whose per-row value itself
+  * needs more than 64 bits (the skewness/kurtosis power sums c³ and c⁴,
+  * and moment sums over columns with no safe per-row 64-bit bound).
+  * Per row: lo = a·b (wrapping), hi = multiplyHigh(a, b); the (hi, lo)
+  * pair is added into the two-long accumulator with the same carry
+  * arithmetic. NULL in either child skips the row (product-of-NULL is
+  * NULL — SUM semantics). Same DECIMAL(38, scale) evaluation, same
+  * associativity/bit-identity argument, same 2^127 headroom. */
+case class SumProd128(a: Expression, b: Expression, scale: Int)
+    extends DeclarativeAggregate with BinaryLike[Expression] {
+
+  override def left: Expression = a
+  override def right: Expression = b
+  override def dataType: DataType = DecimalType(38, scale)
+  override def nullable: Boolean = true
+  override def prettyName: String = "sum_prod128"
+
+  private lazy val hi = AttributeReference("hi128", LongType, nullable = false)()
+  private lazy val lo = AttributeReference("lo128", LongType, nullable = false)()
+  private lazy val cnt = AttributeReference("cnt128", LongType, nullable = false)()
+
+  override lazy val aggBufferAttributes: Seq[AttributeReference] =
+    Seq(hi, lo, cnt)
+
+  override lazy val initialValues: Seq[Expression] =
+    Seq(Literal(0L), Literal(0L), Literal(0L))
+
+  private def addWrap(x: Expression, y: Expression): Expression =
+    Add(x, y, EvalMode.LEGACY)
+
+  private def mulWrap(x: Expression, y: Expression): Expression =
+    Multiply(x, y, EvalMode.LEGACY)
+
+  private def carry(x: Expression, y: Expression, s: Expression): Expression =
+    ShiftRightUnsigned(
+      BitwiseOr(BitwiseAnd(x, y), BitwiseAnd(BitwiseOr(x, y), BitwiseNot(s))),
+      Literal(63))
+
+  private def anyNull: Expression = Or(IsNull(a), IsNull(b))
+
+  override lazy val updateExpressions: Seq[Expression] = {
+    val xa = If(anyNull, Literal(0L), a)
+    val xb = If(anyNull, Literal(0L), b)
+    val pLo = mulWrap(xa, xb)
+    val pHi = MulHiLong(xa, xb)
+    val newLo = addWrap(lo, pLo)
+    val c = carry(lo, pLo, newLo)
+    Seq(
+      addWrap(addWrap(hi, pHi), c),
+      newLo,
+      If(anyNull, cnt, addWrap(cnt, Literal(1L))))
+  }
+
+  override lazy val mergeExpressions: Seq[Expression] = {
+    val newLo = addWrap(lo.left, lo.right)
+    val c = carry(lo.left, lo.right, newLo)
+    Seq(
+      addWrap(addWrap(hi.left, hi.right), c),
+      newLo,
+      addWrap(cnt.left, cnt.right))
+  }
+
+  override lazy val evaluateExpression: Expression =
+    If(EqualTo(cnt, Literal(0L)),
+      Literal(null, dataType),
+      Decimal128(hi, lo, scale))
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SumProd128 =
+    copy(a = newLeft, b = newRight)
+}

@@ -146,6 +146,21 @@ object Tables {
     * (DECIMAL(38,4) vs (28,4)) but the identical exact value. */
   def sumDec4(c: Column): Column = sum128(unscaled4(c), 4)
 
+  /** Exact cents (x·10² as BIGINT) of the money quantization. */
+  def cents(c: Column): Column = unscaledMoney(c)
+
+  /** The exact 1e4-unscaled BIGINT of the dec4 quantization (public
+    * twin of the private helper, for power-sum call sites). */
+  def unscaled4Col(c: Column): Column = unscaled4(c)
+
+  /** 128-bit SUM of the per-row 128-bit PRODUCT a·b of two BIGINT
+    * columns, as DECIMAL(38,s) — for power/moment sums whose per-row
+    * value itself exceeds 64 bits (c³, c⁴, squares of unbounded
+    * columns). Values identical to `sum((decA·decB).cast(DECIMAL))`. */
+  def sumProd128(a: Column, b: Column, scale: Int): Column =
+    expr2col(graft.plans.SumProd128(col2expr(a), col2expr(b), scale)
+      .toAggregateExpression())
+
   private def unscaledMoney(c: Column): Column =
     expr2col(org.apache.spark.sql.catalyst.expressions.UnscaledValue(
       col2expr(money(c))))

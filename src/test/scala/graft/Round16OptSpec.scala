@@ -90,6 +90,36 @@ class Round16OptSpec extends SparkSpec {
     assert(empty.isNullAt(0))
   }
 
+  test("sumProd128 == legacy decimal power sums (c2/c3/c4, type and value)") {
+    val cl = cents(col("l_extendedprice"))
+    val cl2 = cl * cl
+    val c = (money(col("l_extendedprice")) * lit(100))
+      .cast(DecimalType(13, 0))
+    val c2 = (c * c).cast(DecimalType(38, 0))
+    val a = li.groupBy("l_returnflag")
+      .agg(sumProd128(cl, cl, 0).as("s2"),
+        sumProd128(cl2, cl, 0).as("s3"),
+        sumProd128(cl2, cl2, 0).as("s4"))
+      .orderBy("l_returnflag")
+    val b = li.groupBy("l_returnflag")
+      .agg(sum(c2).as("s2"),
+        sum((c2 * c).cast(DecimalType(38, 0))).as("s3"),
+        sum((c2 * c2).cast(DecimalType(38, 0))).as("s4"))
+      .orderBy("l_returnflag")
+    assert(a.schema("s3").dataType == b.schema("s3").dataType)
+    assert(a.collect().toSeq == b.collect().toSeq)
+  }
+
+  test("sumProd128 per-row product past 64 bits (global agg, negatives)") {
+    import spark.implicits._
+    // 4e9 * 4e9 = 1.6e19 > Long.Max per ROW; include a negative product
+    val df = Seq((4000000000L, 4000000000L), (-4000000000L, 4000000000L),
+      (3L, 7L)).toDF("a", "b")
+    val got = df.agg(sumProd128(col("a"), col("b"), 0)).collect().head
+      .getDecimal(0)
+    assert(got.toBigInteger.toString == "21")
+  }
+
   test("128-bit accumulator exceeds long range without wrap (hi word real)") {
     import spark.implicits._
     // 4e14 per row * 50k rows = 2e19 unscaled at scale 4 — past Long.Max
