@@ -162,9 +162,16 @@ class Round15Spec extends SparkSpec {
     // keys here ARE the values; build a 2-col table to tell them apart
     val dir2 = Staging.trackedTempDir("graft_txn15m_")
     def kv(pairs: (Long, Long)*) = pairs.toDF("k", "v")
+    // coalesce(1): one file per slice, as the file-carry assertions below
+    // assume (fixture latency bug found in OPTIMIZATION r16 — a local Seq
+    // toDF writes leafNodeDefaultParallelism=4 part files, 3 of the 4
+    // k∈[10,20) parts intersect the source range, and the `.head` carry
+    // assertion then depended on directory-listing order: ~75% pass odds
+    // per run. Round16Spec's twin fixture already coalesced.)
     for (i <- 0 until 4)
       TxnLog.appendWithStats(spark, dir2,
-        (10L * i until 10L * i + 10).map(k => (k, k)).toDF("k", "v"), "k")
+        (10L * i until 10L * i + 10).map(k => (k, k)).toDF("k", "v")
+          .coalesce(1), "k")
     val before = TxnLog.snapshotFiles(spark, dir2, 4).toSet
     // updates: k=12,13 get v=-1; inserts: k=15999,16001 (outside any file)
     val mv = TxnLog.mergeInto(spark, dir2,
