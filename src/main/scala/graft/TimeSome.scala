@@ -11,9 +11,14 @@ object TimeSome {
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // --conf k=v args apply session confs before any query runs (A/B tool)
+    val (confs, names) = args.partition(_.startsWith("--conf"))
+    confs.map(_.stripPrefix("--conf").dropWhile(_ == '=')).foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+    }
     spark.range(1000).selectExpr("sum(id)").collect()
     try SparkEntry.queries("agg_group_q1")(spark, sfDir).write.format("noop").mode("overwrite").save() catch { case _: Throwable => }
-    for (name <- args; _ <- 1 to 2) {
+    for (name <- names; _ <- 1 to 2) {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
       println(f"TIMED $name ${(System.nanoTime()-t0)/1e9}%.3f s")

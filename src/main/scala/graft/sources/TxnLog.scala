@@ -620,17 +620,111 @@ object TxnLog {
   }
 
   /** Decorate freshly-written file paths with per-file
-    * (min, max, rows, nulls) stats tokens for each of `statsCols`: ONE
-    * groupBy(input_file_name) aggregate over exactly the new files,
-    * collected at metadata scale (one tiny row per file — the same order
-    * as the manifest text itself). Files with no rows keep a bare line
-    * (no stats → always kept); a column with no non-null value in a file
-    * writes empty min/max (provably range-unmatchable). Aggregates run
-    * on the native integral type and the RESULT is cast to long, so any
-    * integral column works (ADVICE r15). */
+    * (min, max, rows, nulls) stats tokens for each of `statsCols`.
+    *
+    * Fast path (OPTIMIZATION r17, guide §6 "derive per-file stats from
+    * the same pass that writes"): the parquet FOOTERS of the files just
+    * written already carry exact per-row-group min/max/null-count
+    * statistics for integral columns — fold them per file driver-side
+    * (pure metadata I/O, zero Spark jobs), exactly what Delta/Iceberg do
+    * at commit time. This removes one full scan+shuffle+collect job per
+    * append — the staged-txn builders run ~10 appends per table × 9
+    * tables, so the second data pass dominated their staging cost
+    * (VERDICT r16 next #4).
+    *
+    * Fallback (bit-identical semantics): any file whose footer lacks a
+    * usable statistic for a needed column (foreign parquet, disabled
+    * stats) falls back to the original ONE groupBy(input_file_name)
+    * aggregate over exactly the new files. `graft.txnlog.footerStats=
+    * false` forces the fallback — Round17OptSpec proves both paths emit
+    * byte-identical manifest lines (incl. all-null and empty files).
+    *
+    * Files with no rows keep a bare line (no stats → always kept); a
+    * column with no non-null value in a file writes empty min/max
+    * (provably range-unmatchable). Aggregates run on the native integral
+    * type and the RESULT is cast to long, so any integral column works
+    * (ADVICE r15). */
   private def statsLines(s: SparkSession, table: String,
       newFiles: Seq[String], statsCols: Seq[String]): Seq[String] = {
     if (newFiles.isEmpty || statsCols.isEmpty) return newFiles
+    if (s.conf.get("graft.txnlog.footerStats", "true").toBoolean) {
+      footerStatsLines(s, table, newFiles, statsCols) match {
+        case Some(lines) => return lines
+        case None => // fall through to the aggregate path
+      }
+    }
+    statsLinesByScan(s, table, newFiles, statsCols)
+  }
+
+  /** Per-file stats tokens from the parquet footers alone; None when any
+    * footer lacks a usable exact statistic (the caller then scans). */
+  private def footerStatsLines(s: SparkSession, table: String,
+      newFiles: Seq[String], statsCols: Seq[String]): Option[Seq[String]] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val conf = s.sparkContext.hadoopConfiguration
+
+    // one column's token over the file's row groups; None on any missing
+    // or inexact statistic (poisons the whole call — exactness first)
+    def colToken(blocks: Seq[org.apache.parquet.hadoop.metadata.BlockMetaData],
+        rows: Long, c: String): Option[String] = {
+      var mn = Long.MaxValue; var mx = Long.MinValue
+      var nulls = 0L; var nonNull = 0L; var ok = true
+      blocks.foreach { b =>
+        b.getColumns.asScala.find(_.getPath.toDotString == c) match {
+          case None => ok = false
+          case Some(ch) =>
+            val st = ch.getStatistics
+            if (st == null || !st.isNumNullsSet) ok = false
+            else {
+              nulls += st.getNumNulls
+              val nn = ch.getValueCount - st.getNumNulls
+              nonNull += nn
+              if (nn > 0) {
+                if (!st.hasNonNullValue) ok = false
+                else (st.genericGetMin, st.genericGetMax) match {
+                  case (a: Number, z: Number) =>
+                    mn = math.min(mn, a.longValue)
+                    mx = math.max(mx, z.longValue)
+                  case _ => ok = false
+                }
+              }
+            }
+        }
+      }
+      if (!ok) None
+      else {
+        val (mns, mxs) =
+          if (nonNull == 0L) ("", "") else (mn.toString, mx.toString)
+        Some(s"stats:$c=$mns:$mxs:$rows:$nulls")
+      }
+    }
+
+    def fileLine(rel: String): Option[String] = {
+      val rd = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new Path(table, rel), conf))
+      val blocks =
+        try rd.getFooter.getBlocks.asScala.toSeq
+        finally rd.close()
+      val rows = blocks.map(_.getRowCount).sum
+      if (rows == 0L) Some(rel) // empty file: bare line, always kept
+      else {
+        val toks = statsCols.map(colToken(blocks, rows, _))
+        if (toks.exists(_.isEmpty)) None
+        else Some(s"$rel\t${toks.map(_.get).mkString("\t")}")
+      }
+    }
+
+    val lines = newFiles.map(fileLine)
+    if (lines.exists(_.isEmpty)) None else Some(lines.map(_.get))
+  }
+
+  /** The original stats pass: ONE groupBy(input_file_name) aggregate
+    * over exactly the new files, collected at metadata scale (one tiny
+    * row per file). */
+  private def statsLinesByScan(s: SparkSession, table: String,
+      newFiles: Seq[String], statsCols: Seq[String]): Seq[String] = {
     import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
     import org.apache.spark.sql.types.LongType
     val sdf = s.read.parquet(newFiles.map(rel => s"$table/$rel"): _*)
