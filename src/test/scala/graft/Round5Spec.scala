@@ -11,11 +11,18 @@ class Round5Spec extends SparkSpec {
   private val sfTrain = "/root/testdata/sf0.01"
 
   test("chp_train_auc: deterministic — two runs emit the identical row") {
-    val a = SparkEntry.queries("chp_train_auc")(spark, sfTrain)
+    // drive the BUILD directly: the declared key memoizes its result per
+    // session (model-state discipline, r17), so only the underlying fit
+    // proves training determinism
+    val a = operators.ChurnModel.trainEval(spark, sfTrain)
       .collect().map(_.toString).toSeq
-    val b = SparkEntry.queries("chp_train_auc")(spark, sfTrain)
+    val b = operators.ChurnModel.trainEval(spark, sfTrain)
       .collect().map(_.toString).toSeq
     assert(a === b, "training is not deterministic")
+    // and the memoized declared key emits the same row
+    val c = SparkEntry.queries("chp_train_auc")(spark, sfTrain)
+      .collect().map(_.toString).toSeq
+    assert(a === c, "memoized key diverges from the build")
   }
 
   test("chp_train_auc: AUC bounded, confusion conserves the test fold") {
@@ -36,11 +43,15 @@ class Round5Spec extends SparkSpec {
   }
 
   test("chp_train_cv: deterministic sweep, bounded AUC, shrinkage monotone") {
-    val a = SparkEntry.queries("chp_train_cv")(spark, sfTrain)
+    // drive the build directly (see the chp_train_auc gate)
+    val a = operators.ChurnModel.sweep(spark, sfTrain)
       .collect().map(_.toString).toSeq
-    val b = SparkEntry.queries("chp_train_cv")(spark, sfTrain)
+    val b = operators.ChurnModel.sweep(spark, sfTrain)
       .collect().map(_.toString).toSeq
     assert(a === b, "sweep is not deterministic")
+    val m = SparkEntry.queries("chp_train_cv")(spark, sfTrain)
+      .collect().map(_.toString).toSeq
+    assert(a === m, "memoized key diverges from the build")
     val rows = SparkEntry.queries("chp_train_cv")(spark, sfTrain).collect()
     assert(rows.length === 3)
     assert(rows.forall(r => r.getAs[Double]("auc") >= 0.0 &&

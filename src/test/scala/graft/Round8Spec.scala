@@ -11,11 +11,17 @@ class Round8Spec extends SparkSpec {
   private val sfTrain = "/root/testdata/sf0.01"
 
   test("chp_train_mlp: deterministic — two runs emit the identical row") {
-    val a = SparkEntry.queries("chp_train_mlp")(spark, sfTrain)
+    // drive the BUILD directly: the declared key memoizes its result per
+    // session (model-state discipline, r17), so only the underlying fit
+    // proves training determinism
+    val a = operators.ChurnModel.trainEvalMlp(spark, sfTrain)
       .collect().map(_.toString).toSeq
-    val b = SparkEntry.queries("chp_train_mlp")(spark, sfTrain)
+    val b = operators.ChurnModel.trainEvalMlp(spark, sfTrain)
       .collect().map(_.toString).toSeq
     assert(a === b, "MLP training is not deterministic")
+    val c = SparkEntry.queries("chp_train_mlp")(spark, sfTrain)
+      .collect().map(_.toString).toSeq
+    assert(a === c, "memoized key diverges from the build")
   }
 
   test("chp_train_mlp: AUC bounded, confusion conserves the test fold") {
