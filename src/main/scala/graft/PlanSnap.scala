@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 
 /** Optimization-round plan snapshotter: writes `.explain("formatted")` of
-  * each named key to `plans/r16/<key>_<suffix>.txt` so before/after plan
+  * each named key to `plans/r17/<key>_<suffix>.txt` so before/after plan
   * claims in OPTIMIZATION_r16.md are checkable without running Spark.
   *
   * Args: sfDir suffix key...   (suffix is e.g. "before" or "after")
@@ -23,14 +23,19 @@ object PlanSnap {
     spark.sparkContext.setLogLevel("ERROR")
     val d = args(0)
     val suffix = args(1)
-    Files.createDirectories(Paths.get("plans/r16"))
+    Files.createDirectories(Paths.get("plans/r17"))
     args.drop(2).foreach { k =>
-      val df = SparkEntry.queries(k)(spark, d)
+      // build: pseudo-keys snapshot an exposed un-memoized build dataflow
+      // (the declared key's plan is just the memo's checkpoint scan)
+      val df = k match {
+        case "build_knnjoin" => operators.QSim.knnJoinBuild(spark, d)
+        case _ => SparkEntry.queries(k)(spark, d)
+      }
       // queryExecution.explainString(FormattedMode) == df.explain("formatted")
       val txt = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
-      Files.writeString(Paths.get(s"plans/r16/${k}_$suffix.txt"), txt)
-      println(s"[plansnap] wrote plans/r16/${k}_$suffix.txt (${txt.length} chars)")
+      Files.writeString(Paths.get(s"plans/r17/${k}_$suffix.txt"), txt)
+      println(s"[plansnap] wrote plans/r17/${k}_$suffix.txt (${txt.length} chars)")
     }
     spark.stop()
   }

@@ -28,6 +28,24 @@ import org.apache.spark.sql.types._
   */
 object PageRank {
 
+  /** Size-GATED broadcast hint for V-row iterative loop state
+    * (OPTIMIZATION r17 / VERDICT r16 #3): the pagerank/katz/percolation
+    * loops broadcast their per-round rank/active-set state into the
+    * cached edge join — a clear win while V is small, but an explicit
+    * `broadcast()` of an unbounded V-row table is a driver/executor OOM
+    * at 100 TB (guide §3: broadcast only when the small side fits — the
+    * hard cap is 8 GB / 512M rows). `rowBound` is a KNOWN upper bound on
+    * the state's rows (node count, or 2E for an active set); past
+    * `graft.graph.broadcastStateMaxRows` (default 10M rows ≈ a few
+    * hundred MB framed) the hint is dropped and the join degrades to a
+    * plain equi-join — values bit-identical (Round17OptSpec gates both
+    * paths), only the join strategy changes. */
+  def stateHint(df: DataFrame, rowBound: Long): DataFrame = {
+    val maxRows = df.sparkSession.conf
+      .get("graft.graph.broadcastStateMaxRows", "10000000").toLong
+    if (rowBound <= maxRows) broadcast(df) else df
+  }
+
   val damping = 0.85
   /** Teleport numerator, DERIVED from damping (1 − d = 0.15000…02 in
     * IEEE — not the decimal literal 0.15). Both the Spark side and the
@@ -63,13 +81,15 @@ object PageRank {
     var pr = deg.select(col("src").as("id"), lit(1.0 / n.toDouble).as("pr"))
       .localCheckpoint(false)
     for (_ <- 1 to iters) {
-      // broadcast of the V-row rank state (guide §2.4: a broadcast join
-      // replaces the per-round shuffle of the E-row edge side — the old
-      // sort-merge join shuffled edges EVERY iteration); lazy per-round
+      // size-gated broadcast of the V-row rank state (guide §2.4: a
+      // broadcast join replaces the per-round shuffle of the E-row edge
+      // side — the old sort-merge join shuffled edges EVERY iteration);
+      // n is the exact row bound, so past the gate the hint drops and
+      // only the V-row side shuffles per round. Lazy per-round
       // checkpoints keep lineage truncated without a second
       // materialization pass per round (the katz/percolation shape).
       val contrib = edgesDeg
-        .join(broadcast(pr.withColumnRenamed("id", "src")), "src")
+        .join(stateHint(pr.withColumnRenamed("id", "src"), n), "src")
         .select(col("dst").as("id"),
           floor(col("pr") / col("deg") * 1e12 + 0.5).cast(LongType).as("c"))
       pr = contrib.groupBy("id")

@@ -52,11 +52,16 @@ object QRound9aw extends QueryPack {
         row_number().over(org.apache.spark.sql.expressions.Window
           .partitionBy("doc_id", "run_id").orderBy("pos")))
       .withColumn("chunk", expr(s"(idx_in_run - 1) div $rakeMaxLen"))
+    // lazily checkpointed (r17): `phrases` fans out to the word stats,
+    // the phrase-score join AND the occurrence rollup — un-truncated,
+    // the tokenize→window→segment pipeline executed three times per run
+    // (6 document scans in the before-plan, 2 after)
     val phrases = inRun.groupBy("doc_id", "run_id", "chunk")
       .agg(array_join(transform(array_sort(
           collect_list(struct(col("pos"), col("tok")))),
           x => x.getField("tok")), " ").as("phrase"),
         count(lit(1)).as("len"))
+      .localCheckpoint(false)
     val words = phrases
       .select(col("phrase"), col("len"),
         explode(split(col("phrase"), " ")).as("word"))

@@ -134,7 +134,11 @@ object QRound9br extends QueryPack {
     // makes deg a size-known cached table, so dmax is a 20k-row scan.
     val deg = dir.groupBy("v").agg(count(lit(1)).as("deg"))
       .localCheckpoint(true)
-    val dmax = deg.agg(max("deg")).collect().head.getLong(0)
+    // ONE collect feeds dmax AND the node count that gates the per-round
+    // state broadcast (r17: the hint must not apply to an unbounded V)
+    val mr = deg.agg(max("deg"), count(lit(1))).collect().head
+    val dmax = mr.getLong(0)
+    val nNodes = mr.getLong(1)
     val bigD = dmax + 1L
     // LAZY per-round checkpoints + an explicit broadcast of the V-row
     // state (OPTIMIZATION r16, re-measured via GraphProbe): the r11 A/B
@@ -150,7 +154,8 @@ object QRound9br extends QueryPack {
     var dPow = 1L
     for (_ <- 1 to katzRounds) {
       dPow *= bigD
-      val nbr = dir.join(broadcast(y), col("u") === col("node"))
+      val nbr = dir.join(PageRank.stateHint(y, nNodes),
+          col("u") === col("node"))
         .groupBy("v").agg(sum("y").as("nbr_sum"))
       y = nbr.select(col("v").as("node"),
         (lit(dPow) + col("nbr_sum")).as("y"))

@@ -258,30 +258,52 @@ object QRound9by extends QueryPack {
     if (tfidfDomK(s) > 1) raw.distinct() else raw
   }
 
+  /** Memoized per-doc SORTED tf-idf vector table (doc_id, tks, ws, nn):
+    * token keys ascending in Spark's binary string order with aligned
+    * long weights, plus the squared norm — the sparse-vector layout the
+    * `sorted_dot` merge kernel consumes (OPTIMIZATION r17). Derived from
+    * the postings memo in one pass; N rows of t̄-element arrays. */
+  private[graft] def tfidfDocVecs(s: SparkSession, d: String): DataFrame =
+    graft.Memo.memo(s, "tfidfvecs", d) {
+      tfidfPostings(s, d)
+        .groupBy("doc_id")
+        .agg(expr("array_sort(collect_list(struct(tk, w)))").as("a"),
+          sum(col("w") * col("w")).as("nn"))
+        .select(col("doc_id"),
+          expr("transform(a, x -> x.tk)").as("tks"),
+          expr("transform(a, x -> x.w)").as("ws"),
+          col("nn"))
+        .localCheckpoint(true)
+    }
+
   private[graft] def tfidfNn(s: SparkSession, d: String): DataFrame = {
+    graft.plans.SortedDotLong.register(s)
     val docs = t(s, d, "documents")
-    val wp = tfidfPostings(s, d)
-    val norms = graft.Memo.memo(s, "tfidfnorms", d)(
-      wp.groupBy("doc_id").agg(sum(col("w") * col("w")).as("nn"))
-        .localCheckpoint(true))
     val parts = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val cand = tfidfNnCands(s, d).repartition(parts, col("da"))
-    val xa = wp.select(col("doc_id").as("da"), col("tk"), col("w").as("wa"))
-    val xb = wp.select(col("doc_id").as("db"), col("tk"), col("w").as("wb"))
-    val na = norms.select(col("doc_id").as("da"), col("nn").as("na"))
-    val nb = norms.select(col("doc_id").as("db"), col("nn").as("nb"))
+    // per-doc sorted sparse vectors + norms in ONE table (r17): the old
+    // spelling joined the |pairs|-row candidate set against the posting
+    // table TWICE (on da, then on (db, tk)) — a |pairs|×t̄ ≈ 45M-row
+    // intermediate feeding a |pairs|-group hash aggregate. The sorted_dot
+    // merge kernel computes each pair's exact long dot in one fused loop
+    // over the two t̄-element arrays: zero intermediate rows, zero
+    // aggregate, and the norms ride in the same two joins. Integer
+    // products/sums are order-free, so every cos_sc is bit-identical.
+    val dv = tfidfDocVecs(s, d)
+    val va = dv.select(col("doc_id").as("da"), col("tks").as("tka"),
+      col("ws").as("wsa"), col("nn").as("na"))
+    val vb = dv.select(col("doc_id").as("db"), col("tks").as("tkb"),
+      col("ws").as("wsb"), col("nn").as("nb"))
     // SIZE-CONDITIONAL broadcast (the triangle-gate discipline): the
-    // posting/norm tables are O(corpus) — broadcast keeps the 24×
-    // candidate expansion map-side while they fit, shuffle joins past
-    // the gate.
+    // vector table is O(corpus) — broadcast keeps the candidate
+    // expansion map-side while it fits, shuffle joins past the gate.
     val maxBcDocs =
       s.conf.get("graft.tfidfnn.broadcastMaxDocs", "100000").toLong
-    val docCnt = docs.count()
+    val docCnt = graft.Memo.memoAny(s, "doccount", d)(docs.count())
     val small = docCnt <= maxBcDocs
     def side(t: DataFrame): DataFrame = if (small) broadcast(t) else t
-    val dots = cand.join(side(xa), "da").join(side(xb), Seq("db", "tk"))
-      .groupBy("da", "db").agg(sum(col("wa") * col("wb")).as("dot"))
-    val cos = dots.join(side(na), "da").join(side(nb), "db")
+    val cos = cand.join(side(va), "da").join(side(vb), "db")
+      .withColumn("dot", expr("sorted_dot(tka, wsa, tkb, wsb)"))
       .withColumn("cos_sc", floor(
         col("dot").cast(dd) / (sqrt(col("na").cast(dd))
           * sqrt(col("nb").cast(dd))) * lit(1e12) + lit(0.5))

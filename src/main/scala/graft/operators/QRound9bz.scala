@@ -55,7 +55,9 @@ object QRound9bz extends QueryPack {
     // the per-round activation join reads the cached 2E-row table
     // instead of re-running the half-edge union map every round
     val dir = QRound5c.coDirMemo(s, d)
-    val nodes = dir.select(col("v").as("node")).distinct()
+    // 2E rows of the CACHED edge table upper-bound every round's active
+    // set — the gate for the per-round state broadcast (r17)
+    val nodeBound = dir.count()
     // LAZY per-round checkpoints + broadcast of the V-bounded active set
     // (OPTIMIZATION r16, same re-measurement as the katz loop): eager
     // rounds each paid a job floor + checkpoint materialization; lazily
@@ -64,14 +66,21 @@ object QRound9bz extends QueryPack {
     // first use and its other two references (anti-join, union) read
     // the cache, the NSW beam-loop shape. Integer set logic keeps the
     // cascade bit-identical.
-    var act = nodes.filter(col("node") % 97 === 0)
+    // seed set: FILTER before the distinct (r17) — the old spelling
+    // distinct'd all 2E endpoint rows just to keep the ~1/97 seeds; the
+    // filter commutes with DISTINCT, so the set is identical while the
+    // dedup shuffle carries 1/97th of the rows
+    var act = dir.filter(col("v") % 97 === 0)
+      .select(col("v").as("node")).distinct()
       .withColumn("rnd", lit(0)).localCheckpoint(false)
     for (r <- 1 to percRounds) {
-      val newly = dir.join(broadcast(act.select(col("node").as("u"))), "u")
+      val newly = dir.join(
+          PageRank.stateHint(act.select(col("node").as("u")), nodeBound), "u")
         .groupBy("v").agg(count(lit(1)).as("deg_act"))
         .filter(col("deg_act") >= 2)
         .select(col("v").as("node"))
-        .join(broadcast(act.select("node")), Seq("node"), "left_anti")
+        .join(PageRank.stateHint(act.select("node"), nodeBound),
+          Seq("node"), "left_anti")
         .withColumn("rnd", lit(r))
       act = act.union(newly).localCheckpoint(false)
     }

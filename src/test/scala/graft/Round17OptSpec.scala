@@ -66,4 +66,71 @@ class Round17OptSpec extends SparkSpec {
     val b = TxnLog.read(spark, dB).orderBy("k").collect().toSeq
     assert(a == b)
   }
+
+  /** 2. Size-gated state broadcasts (PageRank.stateHint): the iterative
+    * graph loops must emit BIT-IDENTICAL results whether the per-round
+    * V-row state is broadcast (small V, the default here) or the hint is
+    * gated off (the 100 TB path, forced via broadcastStateMaxRows=0). */
+  test("graph loops bit-identical with the state broadcast gated off") {
+    def runAll(): Seq[Seq[String]] = {
+      import spark.implicits._
+      val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L),
+        (5L, 1L), (6L, 2L), (7L, 3L)).toDF("src", "dst")
+      Seq(
+        operators.PageRank.ranks(edges).orderBy("id")
+          .collect().map(_.toString).toSeq,
+        operators.QRound9br.katzCentralityBuild(spark, sf)
+          .collect().map(_.toString).toSeq,
+        operators.QRound9bz.bootstrapPercolationBuild(spark, sf)
+          .collect().map(_.toString).toSeq)
+    }
+    val withBc = runAll()
+    spark.conf.set("graft.graph.broadcastStateMaxRows", "0")
+    val noBc =
+      try runAll()
+      finally spark.conf.unset("graft.graph.broadcastStateMaxRows")
+    assert(withBc == noBc)
+  }
+
+  /** 3. sorted_dot merge kernel (plans/VectorExprs.SortedDotLong): the
+    * fused sparse-dot loop must equal the join-explode-aggregate
+    * spelling it replaced in dedup_tfidf_nn — on the real posting table
+    * AND on adversarial edges (disjoint keys, empty vectors, negative
+    * weights, subset overlap). */
+  test("sorted_dot == join-aggregate sparse dot, on real postings") {
+    import spark.implicits._
+    graft.plans.SortedDotLong.register(spark)
+    // unit edges
+    val cases = Seq(
+      (Seq("a", "b", "c"), Seq(2L, 3L, 5L), Seq("b", "c", "d"),
+        Seq(7L, -1L, 9L), 3L * 7L + 5L * -1L),
+      (Seq.empty[String], Seq.empty[Long], Seq("x"), Seq(4L), 0L),
+      (Seq("p"), Seq(-2L), Seq("q"), Seq(3L), 0L),
+      (Seq("a", "z"), Seq(1L, 1L), Seq("a", "z"), Seq(1L, 1L), 2L))
+    cases.zipWithIndex.foreach { case ((ka, va, kb, vb, want), i) =>
+      val got = Seq((ka, va, kb, vb)).toDF("ka", "va", "kb", "vb")
+        .selectExpr("sorted_dot(ka, va, kb, vb) AS d").head.getLong(0)
+      assert(got == want, s"case $i: got $got, want $want")
+    }
+    // real postings: kernel dot over sorted doc vectors == the legacy
+    // join + SUM(wa*wb) GROUP BY pair, for every blocked candidate pair
+    val wp = operators.QRound9by.tfidfPostings(spark, sf)
+    val cand = operators.QRound9by.tfidfNnCands(spark, sf)
+    val dv = operators.QRound9by.tfidfDocVecs(spark, sf)
+    val kernel = cand
+      .join(dv.select(col("doc_id").as("da"), col("tks").as("tka"),
+        col("ws").as("wsa")), "da")
+      .join(dv.select(col("doc_id").as("db"), col("tks").as("tkb"),
+        col("ws").as("wsb")), "db")
+      .selectExpr("da", "db", "sorted_dot(tka, wsa, tkb, wsb) AS dot")
+      .orderBy("da", "db").collect().map(_.toString).toSeq
+    val legacy = cand
+      .join(wp.select(col("doc_id").as("da"), col("tk"),
+        col("w").as("wa")), "da")
+      .join(wp.select(col("doc_id").as("db"), col("tk"),
+        col("w").as("wb")), Seq("db", "tk"))
+      .groupBy("da", "db").agg(sum(col("wa") * col("wb")).as("dot"))
+      .orderBy("da", "db").collect().map(_.toString).toSeq
+    assert(kernel.nonEmpty && kernel == legacy)
+  }
 }
