@@ -212,6 +212,14 @@ object QRound5c extends QueryPack {
       val e = coEdgesMemo(s, d)
       e.select(col("a").as("u"), col("b").as("v"))
         .union(e.select(col("b").as("u"), col("a").as("v")))
+        // pre-partitioned by v ONCE (r17, guide §2.4 "establish the
+        // partitioning once"): every consumer joins on u via a broadcast
+        // (stream side keeps this partitioning) and then aggregates or
+        // distincts BY v — katz's degree pass + 4 rounds, percolation's
+        // seed distinct + 4 rounds — so each of those ~10 per-round
+        // exchanges is elided for the price of one build-time shuffle.
+        // Long-sum/count aggregates are order-free: values unchanged.
+        .repartition(col("v"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
