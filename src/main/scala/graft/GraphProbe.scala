@@ -73,6 +73,20 @@ object GraphProbe {
         .distinct()
         .write.format("noop").mode("overwrite").save()
     }
+    // r17 probe: key the op distinct by ok ALONE (HashPartitioning(ok)
+    // satisfies both the (ok, pk) distinct's clustering AND the
+    // self-join's ok clustering), so the dedup and the join share ONE
+    // exchange instead of three
+    tsec("okkeyed_selfjoin_distinct") {
+      val opk = t(spark, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .repartition(col("ok")).distinct()
+      opk.as("x").join(opk.as("y"), col("x.ok") === col("y.ok"))
+        .filter(col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("a"), col("y.pk").as("b"))
+        .distinct()
+        .write.format("noop").mode("overwrite").save()
+    }
     val e = tsec("coedges_build") {
       val x = graft.operators.QRound5c.coEdges(t(spark, d, "lineitem"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -89,7 +89,15 @@ object QRound5c extends QueryPack {
     * both (undirected, deduped, stored once as a<b). Exposed for the
     * Round5cSpec fixture test. */
   private[graft] def coEdges(li: DataFrame): DataFrame = {
+    // keyed by ok ALONE (r17, guide §2.4 "share one exchange"):
+    // HashPartitioning(ok) satisfies BOTH the (ok, pk) distinct's
+    // clustering and the self-join's ok clustering, so the dedup and the
+    // join run off one exchange instead of three (the (ok, pk)-keyed
+    // distinct exchange could not be reused by the ok-keyed join).
+    // Per-order item counts are small and uniform, so the coarser key
+    // adds no skew; DISTINCT output is set-equal either way.
     val op = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .repartition(col("ok"))
       .distinct()
     op.as("x").join(op.as("y"), col("x.ok") === col("y.ok"))
       .filter(col("x.pk") < col("y.pk"))
